@@ -1,0 +1,305 @@
+"""Vector-geometry kernels (pure numpy, no Spark, no GDAL).
+
+Semantics notes (reference = /root/reference, read-only):
+
+- Geometries are ring lists: ``rings = [ndarray (N,2), ...]``. Ring 0 and any
+  ring with positive signed area is an outer ring (CCW); negative-area rings
+  are holes (CW). Point-in-polygon uses the **even-odd** rule over the flat
+  ring list, which composes outers + holes + disjoint multipolygon parts in
+  one pass (parts must not overlap each other — the synth generator
+  guarantees that, FIXTURES.md §2).
+- The reference tests pairs with OGR ``Intersects`` (lib/join.py:52) and
+  measures with ``geom.Area()/Length()`` (fields.py:407-416). We reproduce
+  those semantics with the classical formulas below; parity is pinned by
+  golden fixtures, not by linking GDAL (the reference has no tests and is not
+  installable here — SURVEY.md §5.1).
+- The PIP crossing test is kept **formula-identical** to the DuckDB oracle SQL
+  used by the driver correctness gate:
+      crosses = (y1 > py) != (y2 > py)
+                AND px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+  so Spark-side and oracle-side agree bit-for-bit on non-degenerate inputs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+__all__ = [
+    "parse_wkt",
+    "rings_bbox",
+    "rings_to_edges",
+    "points_in_rings",
+    "signed_area",
+    "ring_length",
+    "polygon_area",
+    "polygon_perimeter",
+    "segments_intersect",
+    "polygon_intersects",
+    "geom_distance",
+    "buffer_point",
+    "clip_convex",
+    "normalize_rings",
+]
+
+_WKT_POINT = re.compile(r"^\s*POINT\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)\s*$", re.I)
+
+
+def parse_wkt(text: str):
+    """Parse the WKT-lite subset used by geo spans (FIXTURES.md §1).
+
+    Returns ``("point", [ndarray (1,2)])`` or ``("polygon", [rings...])``.
+    MULTIPOLYGON parts are flattened into one ring list (even-odd semantics).
+    """
+    m = _WKT_POINT.match(text)
+    if m:
+        return "point", [np.array([[float(m.group(1)), float(m.group(2))]])]
+    up = text.lstrip()
+    if up.upper().startswith("MULTIPOLYGON"):
+        body = _top_groups(up)[0]  # content of the outermost parens
+        rings = []
+        for part in _top_groups(body):
+            for ring in _top_groups(part):
+                rings.append(_parse_ring(ring))
+        return "polygon", rings
+    if up.upper().startswith("POLYGON"):
+        body = _top_groups(up)[0]
+        return "polygon", [_parse_ring(r) for r in _top_groups(body)]
+    raise ValueError(f"unsupported WKT: {text[:60]!r}")
+
+
+def _top_groups(s: str):
+    """Contents of each top-level '(...)' group found while scanning s."""
+    depth, start, out = 0, None, []
+    for i, ch in enumerate(s):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                out.append(s[start:i])
+    return out
+
+
+def _parse_ring(s: str) -> np.ndarray:
+    pts = []
+    for pair in s.split(","):
+        x, y = pair.split()
+        pts.append((float(x), float(y)))
+    return np.asarray(pts, dtype=np.float64)
+
+
+def rings_from_cell(value) -> list[np.ndarray]:
+    """Convert a Spark/Arrow ``rings`` cell (nested lists or object ndarrays
+    of per-point arrays, as delivered by toPandas/applyInPandas) into the
+    kernel representation: a list of float64 (N,2) arrays."""
+    return [np.array([(p[0], p[1]) for p in ring], dtype=np.float64) for ring in value]
+
+
+def normalize_rings(rings) -> list[np.ndarray]:
+    """Drop explicit closing vertex; keep >=3 distinct vertices per ring.
+
+    The analog of the reference's ``make_valid`` (features.py:204-223) scoped
+    to what the engine's fixtures need: consistent open-ring storage.
+    """
+    out = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        if len(r) >= 2 and np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        if len(r) >= 3:
+            out.append(r)
+    return out
+
+
+def rings_bbox(rings) -> tuple[float, float, float, float]:
+    """Envelope over all rings — the analog of get_extent (features.py:79-94)."""
+    allpts = np.concatenate([np.asarray(r) for r in rings])
+    return (
+        float(allpts[:, 0].min()),
+        float(allpts[:, 1].min()),
+        float(allpts[:, 0].max()),
+        float(allpts[:, 1].max()),
+    )
+
+
+def rings_to_edges(rings) -> np.ndarray:
+    """Flatten rings to an (E,4) array of segments [x1,y1,x2,y2] (closed)."""
+    segs = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        nxt = np.roll(r, -1, axis=0)
+        segs.append(np.concatenate([r, nxt], axis=1))
+    return np.concatenate(segs, axis=0) if segs else np.empty((0, 4))
+
+
+def points_in_rings(px: np.ndarray, py: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """Even-odd ray-cast PIP, vectorized: P points x E edges.
+
+    `edges` from :func:`rings_to_edges`. Returns bool (P,). Formula is kept
+    identical to the oracle SQL (module docstring).
+    """
+    if len(edges) == 0:
+        return np.zeros(len(px), dtype=bool)
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    x1, y1, x2, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+    straddles = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+    crossings = straddles & (px < xint)
+    return (crossings.sum(axis=1) % 2).astype(bool)
+
+
+def signed_area(ring: np.ndarray) -> float:
+    """Shoelace signed area of one (open) ring — CCW positive."""
+    r = np.asarray(ring, dtype=np.float64)
+    x, y = r[:, 0], r[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    return float(np.sum(x * yn - xn * y) / 2.0)
+
+
+def ring_length(ring: np.ndarray) -> float:
+    r = np.asarray(ring, dtype=np.float64)
+    d = np.roll(r, -1, axis=0) - r
+    return float(np.sqrt((d**2).sum(axis=1)).sum())
+
+
+def polygon_area(rings) -> float:
+    """geom.Area() analog (fields.py:407-411): outers minus holes.
+
+    With CCW outers / CW holes this is just the signed-shoelace sum — the same
+    expression the oracle SQL computes over the zone_edges table.
+    """
+    return sum(signed_area(r) for r in rings)
+
+
+def polygon_perimeter(rings) -> float:
+    """geom.Length() analog (fields.py:413-416): total boundary length."""
+    return sum(ring_length(r) for r in rings)
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def segments_intersect(a: np.ndarray, b: np.ndarray) -> bool:
+    """Any proper crossing between edge sets a (E1,4) and b (E2,4)?
+
+    Vectorized orientation test over the full E1 x E2 grid. Proper crossings
+    only (strict sign changes) — collinear touching is measure-zero for the
+    seeded float fixtures and excluded on both engine and oracle sides.
+    """
+    if len(a) == 0 or len(b) == 0:
+        return False
+    ax1, ay1, ax2, ay2 = (a[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (b[:, i][None, :] for i in range(4))
+    d1 = _orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d2 = _orient(ax1, ay1, ax2, ay2, bx2, by2)
+    d3 = _orient(bx1, by1, bx2, by2, ax1, ay1)
+    d4 = _orient(bx1, by1, bx2, by2, ax2, ay2)
+    return bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0)))
+
+
+def polygon_intersects(rings_a, rings_b) -> bool:
+    """OGR Intersects semantics for two polygons (lib/join.py:52 analog).
+
+    True iff a vertex of A is inside B, a vertex of B is inside A, or any
+    edge pair properly crosses — complete for simple polygons up to
+    measure-zero boundary contact.
+    """
+    ea, eb = rings_to_edges(rings_a), rings_to_edges(rings_b)
+    va = np.concatenate([np.asarray(r) for r in rings_a])
+    vb = np.concatenate([np.asarray(r) for r in rings_b])
+    if points_in_rings(va[:, 0], va[:, 1], eb).any():
+        return True
+    if points_in_rings(vb[:, 0], vb[:, 1], ea).any():
+        return True
+    return segments_intersect(ea, eb)
+
+
+def _point_seg_dist(px, py, edges):
+    """Min distance from points (P,) to segments (E,4) -> (P,) array."""
+    if len(edges) == 0:
+        return np.full(len(px), np.inf)
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    x1, y1, x2, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+    dx, dy = x2 - x1, y2 - y1
+    ll = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - x1) * dx + (py - y1) * dy) / ll
+    t = np.clip(np.where(np.isfinite(t), t, 0.0), 0.0, 1.0)
+    cx, cy = x1 + t * dx, y1 + t * dy
+    return np.sqrt((px - cx) ** 2 + (py - cy) ** 2).min(axis=1)
+
+
+def geom_distance(kind_a, rings_a, kind_b, rings_b) -> float:
+    """geom.Distance() analog (lib/analysis.py:315): planar min distance.
+
+    Point-point is the plain Euclidean distance (the near_table fixture case,
+    lib/analysis.py:241-322); polygon pairs return 0 when intersecting.
+    """
+    va = np.concatenate([np.asarray(r) for r in rings_a])
+    vb = np.concatenate([np.asarray(r) for r in rings_b])
+    if kind_a == "point" and kind_b == "point":
+        d = va[:, None, :] - vb[None, :, :]
+        return float(np.sqrt((d**2).sum(axis=2)).min())
+    if kind_a != "point" and kind_b != "point" and polygon_intersects(rings_a, rings_b):
+        return 0.0
+    if kind_a != "point":
+        ea = rings_to_edges(rings_a)
+        if points_in_rings(vb[:, 0], vb[:, 1], ea).any():
+            return 0.0
+    if kind_b != "point":
+        eb = rings_to_edges(rings_b)
+        if points_in_rings(va[:, 0], va[:, 1], eb).any():
+            return 0.0
+    d1 = _point_seg_dist(va[:, 0], va[:, 1], rings_to_edges(rings_b)).min() if kind_b != "point" else np.inf
+    d2 = _point_seg_dist(vb[:, 0], vb[:, 1], rings_to_edges(rings_a)).min() if kind_a != "point" else np.inf
+    dv = np.sqrt(((va[:, None, :] - vb[None, :, :]) ** 2).sum(axis=2)).min()
+    return float(min(d1, d2, dv))
+
+
+def buffer_point(x: float, y: float, dist: float, n: int = 32) -> np.ndarray:
+    """Buffer of a point = regular n-gon CCW (geom.Buffer analog,
+    lib/analysis.py:39; fixtures use point/convex buffers, SURVEY §2.5 G1)."""
+    th = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    return np.column_stack([x + dist * np.cos(th), y + dist * np.sin(th)])
+
+
+def clip_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None:
+    """Sutherland–Hodgman clip of an arbitrary ring by a CONVEX CCW ring.
+
+    The pairwise kernel behind clip/intersection/erase-style overlays
+    (lib/analysis.py:74,100,155 analogs). Exact for convex clip polygons —
+    the overlay fixtures use convex clippers (SURVEY §2.5 parity note).
+    Returns the clipped ring or None if empty.
+    """
+    out = np.asarray(subject, dtype=np.float64)
+    clip = np.asarray(clip_ring, dtype=np.float64)
+    for i in range(len(clip)):
+        if len(out) == 0:
+            return None
+        cx1, cy1 = clip[i]
+        cx2, cy2 = clip[(i + 1) % len(clip)]
+        prev = out
+        keep = _orient(cx1, cy1, cx2, cy2, prev[:, 0], prev[:, 1]) >= 0
+        res = []
+        for j in range(len(prev)):
+            k = (j + 1) % len(prev)
+            if keep[j]:
+                res.append(prev[j])
+            if keep[j] != keep[k]:
+                # edge crosses the clip line: add intersection point
+                x1, y1 = prev[j]
+                x2, y2 = prev[k]
+                den = (cx2 - cx1) * (y2 - y1) - (cy2 - cy1) * (x2 - x1)
+                if den != 0.0:
+                    t = -((cx2 - cx1) * (y1 - cy1) - (cy2 - cy1) * (x1 - cx1)) / den
+                    res.append(np.array([x1 + t * (x2 - x1), y1 + t * (y2 - y1)]))
+        out = np.asarray(res) if res else np.empty((0, 2))
+    return out if len(out) >= 3 else None

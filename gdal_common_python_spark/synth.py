@@ -1,0 +1,381 @@
+"""Deterministic synthetic tables for the spans-shaped input (FIXTURES.md).
+
+The driver's `/root/testdata` documents table is flat; the authoritative
+input shape (BASELINE.json input_hint) is
+``(doc_id:string, spans:array<struct<kind,text,media_ref,offset>>)`` and must
+be synthesized. Everything here is seeded (seed=42) and versioned: tables are
+written once under ``<repo>/data/synth/<sf>/`` and reused by Spark, DuckDB
+(the correctness oracle) and pytest alike. No external data.
+
+Generation follows FIXTURES.md §§1-4:
+- documents: 1-12 spans/doc, ~70% text / 20% geo / 10% media; geo spans carry
+  WKT-lite POINT/POLYGON/MULTIPOLYGON in [-120,-80]x[30,45] (srid 4326); a
+  fraction of geo points cluster into hot cells to exercise skew/salting.
+- zones: rects / convex hulls, ~10% with a hole, ~5% two-part multipolygons;
+  ~20% stored in srid 3857 (Web Mercator meters) to exercise the auto-rectify
+  rule (lib/_rectifyinputs.py:18-28 semantics). Outer rings CCW, holes CW.
+  A flat ``zone_edges`` companion table (native coords) lets the DuckDB
+  oracle run ray-cast point-in-polygon in pure SQL.
+- rasters/raster_tiles: 3 rasters on a shared 128x128 grid (identical-raster
+  fast path, lib/zonal.py:69-89) + 1 on a shifted grid; 32x32 tiles; ~5%
+  nodata pixels; ``input_rank`` drives mosaic overlay order
+  (lib/gdal_merge.py:81-106 semantics).
+- near_points: uniform + a tight cluster + exact duplicates (kNN tie cases).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .kernels import proj
+
+_SYNTH_VERSION = "1"
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SYNTH_ROOT = os.path.join(REPO_ROOT, "data", "synth")
+
+SCALES = {
+    "sf0.001": dict(docs=1_000, zones=50, points=200),
+    "sf0.01": dict(docs=10_000, zones=200, points=500),
+    "sf0.1": dict(docs=200_000, zones=400, points=2_000),
+}
+
+EXTENT = (-120.0, -80.0, 30.0, 45.0)  # xmin, xmax, ymin, ymax (WGS84)
+HOT_CENTERS = [(-112.3, 40.7), (-95.4, 33.1), (-87.9, 41.9)]  # skew clusters
+NODATA = -9999.0
+
+# shared grid (rasters r0,r1,r2) + shifted grid (r3)
+SHARED_GRID = dict(origin_x=-120.0, origin_y=45.0, px_x=0.25, px_y=-0.25, width=128, height=128)
+SHIFTED_GRID = dict(origin_x=-119.87, origin_y=44.63, px_x=0.2, px_y=-0.2, width=96, height=96)
+TILE = 32
+# (raster_id, band, input_rank, grid)
+RASTER_DEFS = [
+    ("r0", 1, 0, SHARED_GRID),
+    ("r1", 1, 1, SHARED_GRID),
+    ("r1", 2, 1, SHARED_GRID),
+    ("r2", 1, 2, SHARED_GRID),
+    ("r3", 1, 3, SHIFTED_GRID),
+]
+
+_LOREM = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor "
+    "incididunt ut labore et dolore magna aliqua enim ad minim veniam quis nostrud"
+).split()
+
+
+def sf_dir(sf: str) -> str:
+    return os.path.join(SYNTH_ROOT, sf)
+
+
+def table_path(sf: str, name: str) -> str:
+    return os.path.join(sf_dir(sf), f"{name}.parquet")
+
+
+def ensure(sf: str) -> str:
+    """Generate all tables for `sf` if absent or stale; return the directory."""
+    d = sf_dir(sf)
+    vfile = os.path.join(d, "VERSION")
+    if os.path.exists(vfile) and open(vfile).read().strip() == _SYNTH_VERSION:
+        return d
+    os.makedirs(d, exist_ok=True)
+    cfg = SCALES[sf]
+    _gen_documents(sf, cfg["docs"])
+    _gen_zones(sf, cfg["zones"])
+    _gen_rasters(sf)
+    _gen_near_points(sf, cfg["points"])
+    with open(vfile, "w") as f:
+        f.write(_SYNTH_VERSION)
+    return d
+
+
+def _fmt(v: float) -> str:
+    return repr(float(v))
+
+
+def _gen_documents(sf: str, n_docs: int) -> None:
+    rng = np.random.default_rng(42)
+    n_spans = rng.integers(1, 13, size=n_docs)
+    total = int(n_spans.sum())
+    u = rng.random(total)
+    kinds = np.where(u < 0.70, "text", np.where(u < 0.90, "geo", "media"))
+
+    # geo coords: 80% uniform over EXTENT, 20% hot clusters (skew)
+    xmin, xmax, ymin, ymax = EXTENT
+    gx = rng.uniform(xmin, xmax, total)
+    gy = rng.uniform(ymin, ymax, total)
+    hot = rng.random(total) < 0.20
+    hidx = rng.integers(0, len(HOT_CENTERS), total)
+    hx = np.array([c[0] for c in HOT_CENTERS])[hidx] + rng.normal(0, 0.05, total)
+    hy = np.array([c[1] for c in HOT_CENTERS])[hidx] + rng.normal(0, 0.05, total)
+    gx = np.where(hot, hx, gx)
+    gy = np.where(hot, hy, gy)
+    gshape = rng.random(total)  # <0.85 point, <0.97 polygon, else multipolygon
+    gsize = rng.uniform(0.02, 0.3, total)
+
+    media_r = rng.integers(0, 4, total)
+    media_b = np.where(media_r == 1, rng.integers(1, 3, total), 1)
+    n_words = rng.integers(3, 11, total)
+    word_pick = rng.integers(0, len(_LOREM), (total, 10))
+
+    texts: list[str | None] = [None] * total
+    refs: list[str | None] = [None] * total
+    for i in range(total):
+        k = kinds[i]
+        if k == "text":
+            texts[i] = " ".join(_LOREM[w] for w in word_pick[i, : n_words[i]])
+        elif k == "media":
+            refs[i] = f"r{media_r[i]}/{media_b[i]}"
+        else:
+            x, y, s = gx[i], gy[i], gsize[i]
+            if gshape[i] < 0.85:
+                texts[i] = f"POINT({_fmt(x)} {_fmt(y)})"
+            elif gshape[i] < 0.97:
+                texts[i] = (
+                    f"POLYGON(({_fmt(x)} {_fmt(y)}, {_fmt(x + s)} {_fmt(y)}, "
+                    f"{_fmt(x + s)} {_fmt(y + s)}, {_fmt(x)} {_fmt(y + s)}))"
+                )
+            else:
+                x2, y2 = x + 2 * s, y + 2 * s
+                part1 = (
+                    f"(({_fmt(x)} {_fmt(y)}, {_fmt(x + s)} {_fmt(y)}, "
+                    f"{_fmt(x + s)} {_fmt(y + s)}, {_fmt(x)} {_fmt(y + s)}))"
+                )
+                part2 = (
+                    f"(({_fmt(x2)} {_fmt(y2)}, {_fmt(x2 + s)} {_fmt(y2)}, "
+                    f"{_fmt(x2 + s)} {_fmt(y2 + s)}, {_fmt(x2)} {_fmt(y2 + s)}))"
+                )
+                texts[i] = f"MULTIPOLYGON({part1}, {part2})"
+
+    # offsets restart at 0 per doc, strictly increasing
+    doc_starts = np.concatenate([[0], np.cumsum(n_spans)[:-1]])
+    offsets = np.arange(total) - np.repeat(doc_starts, n_spans)
+
+    span_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds.tolist(), pa.string()),
+            pa.array(texts, pa.string()),
+            pa.array(refs, pa.string()),
+            pa.array(offsets.astype(np.int32)),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    list_offsets = pa.array(np.concatenate([[0], np.cumsum(n_spans)]).astype(np.int32))
+    spans_col = pa.ListArray.from_arrays(list_offsets, span_struct)
+    doc_ids = pa.array([f"doc{i:08d}" for i in range(n_docs)], pa.string())
+    tbl = pa.table({"doc_id": doc_ids, "spans": spans_col})
+    pq.write_table(tbl, table_path(sf, "documents_spans"))
+
+
+_CATEGORIES = [f"cat{i:02d}" for i in range(10)]
+
+
+def _gen_zones(sf: str, n_zones: int) -> None:
+    rng = np.random.default_rng(4242)
+    xminE, xmaxE, yminE, ymaxE = EXTENT
+    zrows = []
+    erows = []
+    for zid in range(n_zones):
+        cx = rng.uniform(xminE + 1.0, xmaxE - 1.0)
+        cy = rng.uniform(yminE + 1.0, ymaxE - 1.0)
+        w = float(np.exp(rng.uniform(np.log(0.2), np.log(1.8))))
+        h = float(np.exp(rng.uniform(np.log(0.2), np.log(1.8))))
+        kind = rng.random()
+        rings: list[np.ndarray] = []
+        if kind < 0.60:  # rectangle (CCW)
+            rings.append(_rect(cx, cy, w, h))
+        elif kind < 0.85:  # convex hull of random points
+            npts = int(rng.integers(5, 11))
+            pts = np.column_stack(
+                [cx + rng.uniform(-w / 2, w / 2, npts), cy + rng.uniform(-h / 2, h / 2, npts)]
+            )
+            rings.append(_convex_hull(pts))
+        elif kind < 0.95:  # rectangle with a hole (hole CW)
+            rings.append(_rect(cx, cy, w, h))
+            rings.append(_rect(cx, cy, w * 0.3, h * 0.3)[::-1].copy())
+        else:  # two-part multipolygon, disjoint parts
+            rings.append(_rect(cx - w * 0.75, cy, w * 0.5, h))
+            rings.append(_rect(cx + w * 0.75, cy, w * 0.5, h))
+        srid = 3857 if rng.random() < 0.20 else 4326
+        if srid == 3857:
+            rings = [np.column_stack(proj.lonlat_to_mercator(r[:, 0], r[:, 1])) for r in rings]
+        allpts = np.concatenate(rings)
+        bbox = (
+            float(allpts[:, 0].min()),
+            float(allpts[:, 1].min()),
+            float(allpts[:, 0].max()),
+            float(allpts[:, 1].max()),
+        )
+        zrows.append(
+            dict(
+                zone_id=zid,
+                name=f"zone{zid:05d}",
+                category=_CATEGORIES[int(rng.integers(0, len(_CATEGORIES)))],
+                srid=srid,
+                rings=[r.tolist() for r in rings],
+                bbox=dict(xmin=bbox[0], ymin=bbox[1], xmax=bbox[2], ymax=bbox[3]),
+            )
+        )
+        for ri, r in enumerate(rings):
+            nxt = np.roll(r, -1, axis=0)
+            for (x1, y1), (x2, y2) in zip(r, nxt):
+                erows.append((zid, srid, ri, float(x1), float(y1), float(x2), float(y2)))
+
+    zschema = pa.schema(
+        [
+            ("zone_id", pa.int64()),
+            ("name", pa.string()),
+            ("category", pa.string()),
+            ("srid", pa.int32()),
+            ("rings", pa.list_(pa.list_(pa.list_(pa.float64())))),
+            (
+                "bbox",
+                pa.struct(
+                    [("xmin", pa.float64()), ("ymin", pa.float64()), ("xmax", pa.float64()), ("ymax", pa.float64())]
+                ),
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {**z, "zone_id": z["zone_id"], "srid": z["srid"]}
+                for z in zrows
+            ],
+            schema=zschema,
+        ),
+        table_path(sf, "zones"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "zone_id": pa.array([r[0] for r in erows], pa.int64()),
+                "srid": pa.array([r[1] for r in erows], pa.int32()),
+                "ring_idx": pa.array([r[2] for r in erows], pa.int32()),
+                "x1": pa.array([r[3] for r in erows], pa.float64()),
+                "y1": pa.array([r[4] for r in erows], pa.float64()),
+                "x2": pa.array([r[5] for r in erows], pa.float64()),
+                "y2": pa.array([r[6] for r in erows], pa.float64()),
+            }
+        ),
+        table_path(sf, "zone_edges"),
+    )
+
+
+def _rect(cx, cy, w, h) -> np.ndarray:
+    x0, x1 = cx - w / 2, cx + w / 2
+    y0, y1 = cy - h / 2, cy + h / 2
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)
+
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain, CCW output."""
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def _gen_rasters(sf: str) -> None:
+    rng = np.random.default_rng(424242)
+    meta_rows = []
+    tile_rows = []
+    for raster_id, band, rank, grid in RASTER_DEFS:
+        meta_rows.append(
+            dict(raster_id=raster_id, band=band, input_rank=rank, nodata=NODATA, **grid)
+        )
+        w, h = grid["width"], grid["height"]
+        px = rng.integers(0, 256, size=(h, w)).astype(np.float64)
+        px[rng.random((h, w)) < 0.05] = NODATA
+        for ty in range(0, h, TILE):
+            for tx in range(0, w, TILE):
+                th = min(TILE, h - ty)
+                tw = min(TILE, w - tx)
+                tile_rows.append(
+                    dict(
+                        raster_id=raster_id,
+                        band=band,
+                        input_rank=rank,
+                        nodata=NODATA,
+                        tile_x=tx // TILE,
+                        tile_y=ty // TILE,
+                        tile_w=tw,
+                        tile_h=th,
+                        pixels=px[ty : ty + th, tx : tx + tw].ravel().tolist(),
+                        **grid,
+                    )
+                )
+    meta_schema = pa.schema(
+        [
+            ("raster_id", pa.string()),
+            ("band", pa.int32()),
+            ("input_rank", pa.int32()),
+            ("nodata", pa.float64()),
+            ("origin_x", pa.float64()),
+            ("origin_y", pa.float64()),
+            ("px_x", pa.float64()),
+            ("px_y", pa.float64()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pylist(meta_rows, schema=meta_schema), table_path(sf, "rasters"))
+    tile_schema = pa.schema(
+        list(meta_schema)
+        + [
+            ("tile_x", pa.int32()),
+            ("tile_y", pa.int32()),
+            ("tile_w", pa.int32()),
+            ("tile_h", pa.int32()),
+            ("pixels", pa.list_(pa.float64())),
+        ]
+    )
+    pq.write_table(pa.Table.from_pylist(tile_rows, schema=tile_schema), table_path(sf, "raster_tiles"))
+
+
+def _gen_near_points(sf: str, n: int) -> None:
+    rng = np.random.default_rng(42424242)
+    xminE, xmaxE, yminE, ymaxE = EXTENT
+    x = rng.uniform(xminE, xmaxE, n)
+    y = rng.uniform(yminE, ymaxE, n)
+    clustered = rng.random(n) < 0.15
+    x = np.where(clustered, -100.0 + rng.normal(0, 0.01, n), x)
+    y = np.where(clustered, 37.0 + rng.normal(0, 0.01, n), y)
+    # ~5% exact duplicate coordinates of an earlier point (tie cases)
+    dup = rng.random(n) < 0.05
+    dup[0] = False
+    src = rng.integers(0, np.maximum(np.arange(n), 1))
+    x = np.where(dup, x[src], x)
+    y = np.where(dup, y[src], y)
+    tags = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, n)]
+    pq.write_table(
+        pa.table(
+            {
+                "point_id": pa.array(np.arange(n, dtype=np.int64)),
+                "srid": pa.array(np.full(n, 4326, dtype=np.int32)),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "tag": pa.array(tags.tolist(), pa.string()),
+            }
+        ),
+        table_path(sf, "near_points"),
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    for sf in sys.argv[1:] or list(SCALES):
+        print(sf, "->", ensure(sf))
