@@ -1,38 +1,812 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial join at sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
+the training-data pipeline suite); ``oracle_sql()`` gives the DuckDB SQL the
+driver compares against at sf0.01.
+
+Geospatial queries run over the engine-synthesized spans-shaped tables
+(BASELINE.json input_hint — the driver testdata documents table is flat);
+the oracle SQL reads the same parquet via read_parquet() with ABSOLUTE
+sf0.01 paths. Training-data queries run over the driver's pre-registered
+views (documents, embeddings, events, lineitem, orders, customer).
+
+Determinism policy for hash compares: gate outputs contain only values both
+engines compute bit-identically — integers, strings, md5 hashes, and floats
+produced by identical IEEE expression trees (+,-,*,/,sqrt on identical
+inputs). Unordered float SUMs never reach a gate column (stats use exact
+integer moments; rank queries order with explicit tie-breakers).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gdal_common_python_spark import synth
+from gdal_common_python_spark.functions import dates as D
+from gdal_common_python_spark.operators import (
+    dedup,
+    equi_join,
+    knn as knn_ops,
+    mosaic as mosaic_ops,
+    multimodal,
+    similarity,
+    spatial_join as sj,
+    text as text_ops,
+    tile_assign as ta,
+    zonal as zonal_ops,
+)
+
+# ---------------------------------------------------------------- helpers
+
+S01 = synth.sf_dir("sf0.01")  # absolute path used inside oracle SQL
+
+
+def _sf_label(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base if base in synth.SCALES else "sf0.01"
+
+
+def _synth(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    d = synth.ensure(_sf_label(sf_dir))
+    return spark.read.parquet(os.path.join(d, f"{table}.parquet"))
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-polygon spatial join of geo spans vs zones."""
+    d = synth.ensure("sf0.001")
+    docs = spark.read.parquet(os.path.join(d, "documents_spans.parquet"))
+    zones = spark.read.parquet(os.path.join(d, "zones.parquet"))
+    return sj.spatial_join_points(spark, docs, zones)
+
+
+# ---------------------------------------------------------------- queries
+
+def q_spatial_join_pip(spark, sf_dir):
+    return sj.spatial_join_points(
+        spark, _synth(spark, sf_dir, "documents_spans"), _synth(spark, sf_dir, "zones")
+    )
+
+
+def q_spatial_join_polygons(spark, sf_dir):
+    return sj.spatial_join_geoms(
+        spark,
+        _synth(spark, sf_dir, "documents_spans"),
+        _synth(spark, sf_dir, "zones"),
+        wkt_prefix="POLYGON",
+    )
+
+
+def q_tile_assignment(spark, sf_dir):
+    out = ta.tile_assign(
+        _synth(spark, sf_dir, "zones"), _synth(spark, sf_dir, "rasters")
+    )
+    return out.select(
+        "zone_id", "raster_id", "band", "win_ox", "win_oy", "res_x", "res_y", "off_x", "off_y"
+    )
+
+
+def q_zonal_counts(spark, sf_dir):
+    _, counts = zonal_ops.zonal_statistics(
+        spark,
+        _synth(spark, sf_dir, "zones"),
+        _synth(spark, sf_dir, "rasters"),
+        _synth(spark, sf_dir, "raster_tiles"),
+        hash_safe=True,
+    )
+    return counts
+
+
+def q_zonal_stats(spark, sf_dir):
+    stats, _ = zonal_ops.zonal_statistics(
+        spark,
+        _synth(spark, sf_dir, "zones"),
+        _synth(spark, sf_dir, "rasters"),
+        _synth(spark, sf_dir, "raster_tiles"),
+        hash_safe=True,
+    )
+    return stats.select(
+        "zone_id",
+        "count_total",
+        F.col("min").alias("vmin"),
+        F.col("max").alias("vmax"),
+        F.col("mean").alias("vmean"),
+        F.col("median").alias("vmedian"),
+        F.col("var").alias("vvar"),
+        F.col("stdev").alias("vstdev"),
+        F.col("perc90").alias("vperc90"),
+    )
+
+
+def q_knn(spark, sf_dir):
+    return knn_ops.knn(spark, _synth(spark, sf_dir, "near_points"), k=5)
+
+
+def q_near_table(spark, sf_dir):
+    return knn_ops.near_table(_synth(spark, sf_dir, "near_points"), radius=1.0)
+
+
+def q_dissolve_category(spark, sf_dir):
+    from gdal_common_python_spark.operators.dissolve import dissolve
+
+    out = dissolve(_synth(spark, sf_dir, "zones"), on_fields=["category"])
+    return out.select(F.col("group_key").alias("category"), "feat_count")
+
+
+def q_dissolve_components(spark, sf_dir):
+    from gdal_common_python_spark.operators.dissolve import dissolve
+
+    # rectified view (ingest-time 4326 geometry) — the V2 rule's effect
+    zones = _synth(spark, sf_dir, "zones").select(
+        "zone_id", "category", F.lit(4326).alias("srid"), F.col("rings4326").alias("rings")
+    )
+    out = dissolve(zones, on_fields=["category"], single_part=True)
+    return out.groupBy(F.col("group_key").alias("category")).agg(
+        F.count("*").alias("n_components"), F.sum("feat_count").alias("feat_count")
+    )
+
+
+def q_mosaic(spark, sf_dir):
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    m = mosaic_ops.mosaic(tiles, raster_ids=["r0", "r1", "r2"], band=1)
+    return m.select(
+        "tile_x", "tile_y", F.posexplode("pixels").alias("idx0", "value")
+    ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
+
+
+def q_media_metadata(spark, sf_dir):
+    out = multimodal.extract_media_features(_synth(spark, sf_dir, "documents_spans"))
+    return out.select("doc_id", "offset", "raster_id", "band", "width", "height")
+
+
+def q_span_invariant(spark, sf_dir):
+    """Span-sequence preservation check as a query: reconstruct the
+    (kind, text, media_ref, order) sequence fingerprint per doc AFTER a
+    posexplode/re-assemble round trip; the oracle computes it from the raw
+    table. Equality proves the pipeline preserves span sequences."""
+    docs = _synth(spark, sf_dir, "documents_spans")
+    exploded = docs.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+    reassembled = (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("s.offset").alias("offset"),
+                        F.col("s.kind").alias("kind"),
+                        F.col("s.text").alias("text"),
+                        F.col("s.media_ref").alias("media_ref"),
+                    )
+                )
+            ).alias("spans_sorted")
+        )
+    )
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.transform(
+                F.col("spans_sorted"),
+                lambda s: F.concat_ws(
+                    "\x1e",
+                    s["kind"],
+                    F.coalesce(s["text"], F.lit("")),
+                    F.coalesce(s["media_ref"], F.lit("")),
+                    s["offset"].cast("string"),
+                ),
+            ),
+        )
+    )
+    return reassembled.select("doc_id", fp.alias("span_fp"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), min_count=1)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    signed = dedup.minhash_docs(_t(spark, sf_dir, "documents"), k=16, n=3)
+    return dedup.lsh_candidate_pairs(signed, bands=4, rows=4)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    signed = dedup.minhash_docs(docs, k=16, n=3)
+    pairs = dedup.lsh_candidate_pairs(signed, bands=4, rows=4).select("a_id", "b_id")
+    return dedup.ngram_jaccard_pairs(docs, pairs, n=3)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash_docs(_t(spark, sf_dir, "documents"), bits=32)
+
+
+def q_embedding_topk(spark, sf_dir):
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_embedding_ann_lsh(spark, sf_dir):
+    """Scale-path ANN (bucketed LSH + exact re-rank) — rows-only check;
+    recall vs brute force is pinned in tests."""
+    return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), k=5, n_planes=6)
+
+
+def q_text_profile(spark, sf_dir):
+    return text_ops.text_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_events_dates(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        D.day_of_year(ts).alias("doy"),
+        D.day_of_year(D.add_days(ts, 28)).alias("doy_plus28"),
+        D.days_in_month_ref(F.month(ts), F.year(ts)).alias("dim_ref"),
+        D.is_leap_year_ref(F.year(ts)).alias("leap_ref"),
+        D.month_abbreviation(ts).alias("mon"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+    )
+
+
+def q_orders_by_segment(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = equi_join.attribute_join(
+        orders, cust, "o_custkey", "c_custkey", ["c_mktsegment"], error_if_many=True,
+    )
+    return joined.groupBy("o_orderstatus", "c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "spatial_join_pip": q_spatial_join_pip,
+        "spatial_join_polygons": q_spatial_join_polygons,
+        "tile_assignment": q_tile_assignment,
+        "zonal_counts": q_zonal_counts,
+        "zonal_stats": q_zonal_stats,
+        "knn": q_knn,
+        "near_table": q_near_table,
+        "dissolve_category": q_dissolve_category,
+        "dissolve_components": q_dissolve_components,
+        "mosaic": q_mosaic,
+        "media_metadata": q_media_metadata,
+        "span_invariant": q_span_invariant,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "text_profile": q_text_profile,
+        "events_dates": q_events_dates,
+        "pricing_summary": q_pricing_summary,
+        "orders_by_segment": q_orders_by_segment,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracle SQL
+
+_DOCS = f"read_parquet('{S01}/documents_spans.parquet/*.parquet')"
+_ZONES = f"read_parquet('{S01}/zones.parquet')"
+_EDGES = f"read_parquet('{S01}/zone_edges.parquet')"
+_RASTERS = f"read_parquet('{S01}/rasters.parquet')"
+_TILES = f"read_parquet('{S01}/raster_tiles.parquet')"
+_POINTS = f"read_parquet('{S01}/near_points.parquet')"
+
+# rectify native-srid edge coords to 4326 (closed-form mercator inverse)
+# zone_edges carries ingest-time rectified 4326 coords (ex1..ey2)
+_RECT_EDGES = f"""
+  SELECT zone_id, ex1, ey1, ex2, ey2 FROM {_EDGES}
+"""
+
+_SQL_SPATIAL_JOIN_PIP = f"""
+WITH pts AS (
+  SELECT doc_id, s."offset" AS off,
+         CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 1) AS DOUBLE) px,
+         CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 2) AS DOUBLE) py
+  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
+  WHERE s.kind='geo' AND s.text LIKE 'POINT%'
+),
+edges AS ({_RECT_EDGES})
+SELECT p.doc_id, p.off AS "offset", e.zone_id
+FROM pts p, edges e
+WHERE (e.ey1 > p.py) != (e.ey2 > p.py)
+  AND p.px < (e.ex2 - e.ex1) * (p.py - e.ey1) / (e.ey2 - e.ey1) + e.ex1
+GROUP BY 1, 2, 3
+HAVING count(*) % 2 = 1
+"""
+
+# window snap (north-up grids only — all synth rasters have px_y < 0)
+_SQL_WINDOWS = f"""
+  SELECT zone_id, raster_id, band, input_rank,
+         origin_x, origin_y, px_x, px_y, width, height, nodata,
+         xs AS win_ox, ysnap AS win_oy,
+         CASE WHEN off_x + rx0 > width THEN width - off_x ELSE rx0 END AS res_x,
+         CASE WHEN off_y + ry0 > height THEN height - off_y ELSE ry0 END AS res_y,
+         off_x, off_y
+  FROM (
+    SELECT *,
+           CAST(trunc((xs - origin_x) / px_x) AS BIGINT) AS off_x,
+           CAST(trunc((ysnap - origin_y) / px_y) AS BIGINT) AS off_y,
+           CAST(trunc((xmax - xs) / px_x) AS BIGINT) AS rx0,
+           -CAST(trunc((ysnap - ymin) / px_y) AS BIGINT) AS ry0
+    FROM (
+      SELECT zb.*, r.raster_id, r.band, r.input_rank, r.origin_x, r.origin_y,
+             r.px_x, r.px_y, r.width, r.height, r.nodata,
+             CASE WHEN zb.xmin < r.origin_x THEN r.origin_x
+                  ELSE zb.xmin - ((zb.xmin - r.origin_x) - floor((zb.xmin - r.origin_x)/r.px_x)*r.px_x) END AS xs,
+             CASE WHEN zb.ymax > r.origin_y THEN r.origin_y
+                  ELSE zb.ymax - ((r.origin_y - zb.ymax) - floor((r.origin_y - zb.ymax)/r.px_y)*r.px_y) END AS ysnap
+      FROM (
+        SELECT zone_id, bbox4326.xmin AS xmin, bbox4326.ymin AS ymin,
+               bbox4326.xmax AS xmax, bbox4326.ymax AS ymax
+        FROM {_ZONES}
+      ) zb, {_RASTERS} r
+    )
+  )
+  WHERE off_x <= width AND off_y <= height
+    AND (CASE WHEN off_x + rx0 > width THEN width - off_x ELSE rx0 END) > 0
+    AND (CASE WHEN off_y + ry0 > height THEN height - off_y ELSE ry0 END) > 0
+"""
+
+_SQL_TILE_ASSIGNMENT = f"""
+SELECT zone_id, raster_id, band, win_ox, win_oy, res_x, res_y, off_x, off_y
+FROM ({_SQL_WINDOWS})
+"""
+
+_SQL_KNN = f"""
+SELECT from_id, rank, to_id, distance FROM (
+  SELECT a.point_id AS from_id, b.point_id AS to_id,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS distance,
+         row_number() OVER (
+           PARTITION BY a.point_id
+           ORDER BY sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), b.point_id
+         ) AS rank
+  FROM {_POINTS} a JOIN {_POINTS} b ON a.point_id != b.point_id
+) WHERE rank <= 5
+"""
+
+_SQL_NEAR = f"""
+SELECT a.point_id AS from_id, b.point_id AS to_id,
+       sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS distance
+FROM {_POINTS} a JOIN {_POINTS} b ON a.point_id != b.point_id
+WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 1.0
+"""
+
+_SQL_DISSOLVE_CATEGORY = f"""
+SELECT category, count(*) AS feat_count FROM {_ZONES} GROUP BY category
+"""
+
+# polygon-intersects predicate over rectified edges: vertex-of-A in B,
+# vertex-of-B in A, or proper edge crossing (same kernel as the engine)
+_SQL_PAIRS = f"""
+  WITH RECURSIVE e AS ({_RECT_EDGES}),
+  z AS (SELECT zone_id, category FROM {_ZONES}),
+  vin AS (  -- vertex (ex1,ey1) of zone a inside zone b (even-odd)
+    SELECT va.zone_id AS a_id, eb.zone_id AS b_id
+    FROM (SELECT DISTINCT zone_id, ex1 AS vx, ey1 AS vy FROM e) va
+    JOIN e eb ON eb.zone_id != va.zone_id
+    WHERE (eb.ey1 > va.vy) != (eb.ey2 > va.vy)
+      AND va.vx < (eb.ex2 - eb.ex1) * (va.vy - eb.ey1) / (eb.ey2 - eb.ey1) + eb.ex1
+    GROUP BY va.zone_id, eb.zone_id, va.vx, va.vy
+    HAVING count(*) % 2 = 1
+  ),
+  cross_e AS (  -- proper edge crossings
+    SELECT DISTINCT ea.zone_id AS a_id, eb.zone_id AS b_id
+    FROM e ea JOIN e eb ON ea.zone_id < eb.zone_id
+    WHERE ((ea.ex2-ea.ex1)*(eb.ey1-ea.ey1) - (ea.ey2-ea.ey1)*(eb.ex1-ea.ex1))
+        * ((ea.ex2-ea.ex1)*(eb.ey2-ea.ey1) - (ea.ey2-ea.ey1)*(eb.ex2-ea.ex1)) < 0
+      AND ((eb.ex2-eb.ex1)*(ea.ey1-eb.ey1) - (eb.ey2-eb.ey1)*(ea.ex1-eb.ex1))
+        * ((eb.ex2-eb.ex1)*(ea.ey2-eb.ey1) - (eb.ey2-eb.ey1)*(ea.ex2-eb.ex1)) < 0
+  ),
+  pairs AS (
+    SELECT DISTINCT least(a_id, b_id) AS a_id, greatest(a_id, b_id) AS b_id FROM (
+      SELECT a_id, b_id FROM vin
+      UNION ALL SELECT a_id, b_id FROM cross_e
+    )
+  )
+"""
+
+_SQL_DISSOLVE_COMPONENTS = f"""
+{_SQL_PAIRS},
+  zc AS (SELECT zone_id, category FROM {_ZONES}),
+  -- restrict pairs to same category (dissolve groups by category first)
+  gp AS (
+    SELECT p.a_id, p.b_id FROM pairs p
+    JOIN zc a ON a.zone_id = p.a_id JOIN zc b ON b.zone_id = p.b_id
+    WHERE a.category = b.category
+  ),
+  sym AS (SELECT a_id, b_id FROM gp UNION SELECT b_id, a_id FROM gp),
+  reach AS (
+    SELECT zone_id, zone_id AS label FROM zc
+    UNION
+    SELECT s.b_id AS zone_id, r.label
+    FROM reach r JOIN sym s ON s.a_id = r.zone_id
+  ),
+  comp AS (SELECT zone_id, min(label) AS component FROM reach GROUP BY zone_id)
+SELECT z.category, count(DISTINCT c.component) AS n_components, count(*) AS feat_count
+FROM zc z JOIN comp c ON c.zone_id = z.zone_id
+GROUP BY z.category
+"""
+
+_SQL_MOSAIC = f"""
+WITH px AS (
+  SELECT tile_x, tile_y, input_rank,
+         generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+  FROM {_TILES}
+  WHERE band = 1 AND raster_id IN ('r0','r1','r2')
+)
+SELECT tile_x, tile_y, idx,
+       coalesce(max_by(v, input_rank) FILTER (v != -9999.0), -9999.0) AS value
+FROM px GROUP BY tile_x, tile_y, idx
+"""
+
+_SQL_MEDIA_METADATA = f"""
+WITH m AS (
+  SELECT doc_id, s."offset" AS off, s.media_ref AS media_ref, md5(s.media_ref) AS h
+  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
+  WHERE s.kind = 'media'
+),
+nib AS (
+  SELECT *,
+    (strpos('0123456789abcdef', substr(h,1,1))-1)*16 + (strpos('0123456789abcdef', substr(h,2,1))-1) AS b0,
+    (strpos('0123456789abcdef', substr(h,3,1))-1)*16 + (strpos('0123456789abcdef', substr(h,4,1))-1) AS b1
+  FROM m
+)
+SELECT doc_id, off AS "offset",
+       string_split(media_ref, '/')[1] AS raster_id,
+       CAST(string_split(media_ref, '/')[2] AS INT) AS band,
+       CAST(64 + b0 % 192 AS INT) AS width,
+       CAST(64 + b1 % 192 AS INT) AS height
+FROM nib
+"""
+
+_SQL_SPAN_INVARIANT = f"""
+SELECT doc_id,
+       md5(string_agg(
+             concat_ws(chr(30), s.kind, coalesce(s.text, ''), coalesce(s.media_ref, ''), CAST(s."offset" AS VARCHAR)),
+             chr(31) ORDER BY s."offset")) AS span_fp
+FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
+GROUP BY doc_id
+"""
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+_SQL_SHINGLES = """
+  SELECT doc_id, list_distinct(list_transform(
+           range(0, greatest(len(toks) - 3, 0) + 1),
+           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+         )) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+  WHERE len(toks) > 0
+"""
+
+_SQL_MINHASH_SIGNED = (
+    "  SELECT doc_id, ["
+    + ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5(concat('{j}:', s))), 'min')"
+        for j in range(16)
+    )
+    + f"] AS sig FROM ({_SQL_SHINGLES}) WHERE len(shingles) > 0"
+)
+
+_SQL_BANDED = (
+    f"  WITH signed AS ({_SQL_MINHASH_SIGNED}),\n  banded AS (\n"
+    + "    SELECT doc_id, sig, b.band, md5(array_to_string(list_slice(sig, b.band*4 + 1, b.band*4 + 4), '|')) AS bkey\n"
+    + "    FROM signed, (SELECT unnest([0,1,2,3]) AS band) b\n  )"
+)
+
+_SQL_DEDUP_MINHASH = f"""
+{_SQL_BANDED},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+signed2 AS ({_SQL_MINHASH_SIGNED})
+SELECT p.a_id, p.b_id,
+       CAST(len(list_filter(range(1, 17), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 16.0 AS est_jaccard
+FROM pairs p JOIN signed2 sa ON sa.doc_id = p.a_id JOIN signed2 sb ON sb.doc_id = p.b_id
+"""
+
+_SQL_NGRAM_JACCARD = f"""
+{_SQL_BANDED},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sh AS ({_SQL_SHINGLES})
+SELECT p.a_id, p.b_id,
+       CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+       / CAST(len(sa.shingles) + len(sb.shingles)
+              - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE) AS jaccard
+FROM pairs p JOIN sh sa ON sa.doc_id = p.a_id JOIN sh sb ON sb.doc_id = p.b_id
+"""
+
+_SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+bits AS (
+  SELECT doc_id, tok, md5(tok) AS h, b.b AS b FROM toks, (SELECT unnest(range(0, 32)) AS b) b
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN CAST(floor(
+               (strpos('0123456789abcdef', substr(h, CAST(floor(b/4) AS INT) + 1, 1)) - 1)
+               / pow(2.0, 3 - (b % 4))) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN vote > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+_SQL_EMBEDDING_TOPK = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id, rank, neighbor_id FROM (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id
+         ) AS rank
+  FROM v a JOIN v b ON a.vec_id != b.vec_id
+) WHERE rank <= 5
+"""
+
+_STOP_SQL = {
+    "en": "['the','and','of','to','in','is','that','it','was','for']",
+    "es": "['el','la','de','que','y','en','un','los','se','por']",
+    "de": "['der','die','und','das','ist','von','mit','den','nicht','ein']",
+    "fr": "['le','la','et','les','des','est','dans','que','pour','une']",
+}
+
+_SQL_TEXT_PROFILE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct
+  FROM documents
+),
+hits AS (
+  SELECT *,
+    len(list_filter(toks, t -> list_contains({_STOP_SQL['en']}, t))) AS h_en,
+    len(list_filter(toks, t -> list_contains({_STOP_SQL['es']}, t))) AS h_es,
+    len(list_filter(toks, t -> list_contains({_STOP_SQL['de']}, t))) AS h_de,
+    len(list_filter(toks, t -> list_contains({_STOP_SQL['fr']}, t))) AS h_fr
+  FROM base
+)
+SELECT doc_id, n_tokens,
+  list_aggregate(list_transform(toks, t -> greatest(CAST(ceil(length(t)/4.0) AS BIGINT), 1)), 'sum') AS n_subwords,
+  CASE WHEN greatest(h_en,h_es,h_de,h_fr) = 0 THEN 'und'
+       WHEN h_en = greatest(h_en,h_es,h_de,h_fr) THEN 'en'
+       WHEN h_es = greatest(h_en,h_es,h_de,h_fr) THEN 'es'
+       WHEN h_de = greatest(h_en,h_es,h_de,h_fr) THEN 'de'
+       ELSE 'fr' END AS lang_guess,
+  round(0.4 * (CASE WHEN n > 0 THEN alpha / n ELSE 0 END)
+      + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+      + 0.3 * (1.0 - (CASE WHEN n > 0 THEN punct / n ELSE 0 END)), 9) AS quality,
+  substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
+FROM hits
+"""
+
+_SQL_EVENTS_DATES = """
+SELECT event_id,
+       CAST(dayofyear(ts) AS INT) AS doy,
+       CAST(dayofyear(ts + INTERVAL 28 DAY) AS INT) AS doy_plus28,
+       CAST(CASE WHEN month(ts) = 2 AND year(ts) % 4 = 0 THEN 29
+            ELSE [0,31,28,31,30,31,30,31,31,30,31,30,31][month(ts) + 1] END AS INT) AS dim_ref,
+       (year(ts) % 4 = 0) AS leap_ref,
+       strftime(ts, '%b') AS mon
+FROM events
+"""
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       count(DISTINCT l_orderkey) AS n_orders,
+       min(l_shipdate) AS first_ship,
+       max(l_shipdate) AS last_ship
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+_SQL_ORDERS_SEGMENT = """
+SELECT o.o_orderstatus, c.c_mktsegment,
+       count(*) AS n_orders,
+       min(o.o_totalprice) AS min_price,
+       max(o.o_totalprice) AS max_price
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_orderstatus, c.c_mktsegment
+"""
+
+
+
+# pixel-level zonal oracle: unnest tiles to global pixels, join zone windows,
+# even-odd PIP of pixel centers against R1-quantized zone edges (the same
+# convention as kernels.raster.rasterize_mask), exclude nodata
+_SQL_ZONAL_INSIDE = f"""
+  win AS ({_SQL_WINDOWS}),
+  px AS (
+    SELECT raster_id, band,
+           tile_x*32 + CAST((idx-1) % tile_w AS BIGINT) AS gc,
+           tile_y*32 + CAST(floor((idx-1) / tile_w) AS BIGINT) AS gr,
+           v
+    FROM (SELECT raster_id, band, tile_x, tile_y, tile_w, tile_h,
+                 generate_subscripts(pixels,1) AS idx, unnest(pixels) AS v
+          FROM {_TILES})
+  ),
+  e AS (SELECT zone_id, ex1, ey1, ex2, ey2 FROM {_EDGES}),
+  cand AS (
+    SELECT w.zone_id, w.raster_id, w.band, w.nodata, p.v, p.gc, p.gr,
+           (p.gc - w.off_x) + 0.5 AS pcx, (p.gr - w.off_y) + 0.5 AS pcy,
+           w.win_ox, w.win_oy, w.px_x, w.px_y
+    FROM win w JOIN px p ON p.raster_id = w.raster_id AND p.band = w.band
+     AND p.gc >= w.off_x AND p.gc < w.off_x + w.res_x
+     AND p.gr >= w.off_y AND p.gr < w.off_y + w.res_y
+  ),
+  inside AS (
+    SELECT c.zone_id, c.raster_id, c.band, c.gc, c.gr,
+           any_value(c.v) AS v, any_value(c.nodata) AS nodata
+    FROM cand c JOIN e ON e.zone_id = c.zone_id
+    WHERE (trunc((e.ey1 - c.win_oy)/c.px_y) > c.pcy) != (trunc((e.ey2 - c.win_oy)/c.px_y) > c.pcy)
+      AND c.pcx < (trunc((e.ex2 - c.win_ox)/c.px_x) - trunc((e.ex1 - c.win_ox)/c.px_x))
+                  * (c.pcy - trunc((e.ey1 - c.win_oy)/c.px_y))
+                  / (trunc((e.ey2 - c.win_oy)/c.px_y) - trunc((e.ey1 - c.win_oy)/c.px_y))
+                  + trunc((e.ex1 - c.win_ox)/c.px_x)
+    GROUP BY c.zone_id, c.raster_id, c.band, c.gc, c.gr
+    HAVING count(*) % 2 = 1
+  ),
+  vals AS (SELECT zone_id, raster_id, band, v FROM inside WHERE v != nodata)
+"""
+
+_SQL_ZONAL_COUNTS = f"""
+WITH {_SQL_ZONAL_INSIDE}
+SELECT z.zone_id, r.raster_id, r.band, coalesce(k.n, 0) AS pixel_count
+FROM (SELECT zone_id FROM {_ZONES}) z
+CROSS JOIN (SELECT DISTINCT raster_id, band FROM {_RASTERS}) r
+LEFT JOIN (SELECT zone_id, raster_id, band, count(*) AS n FROM vals GROUP BY 1,2,3) k
+  ON k.zone_id = z.zone_id AND k.raster_id = r.raster_id AND k.band = r.band
+"""
+
+_SQL_ZONAL_STATS = f"""
+WITH {_SQL_ZONAL_INSIDE},
+st AS (
+  SELECT zone_id, count(*) AS n, sum(v) AS s, sum(v*v) AS sq,
+         min(v) AS mn, max(v) AS mx, list(v ORDER BY v) AS sorted
+  FROM vals GROUP BY zone_id
+),
+calc AS (
+  SELECT zone_id, n, mn, mx, s/n AS mean, sq/n - (s/n)*(s/n) AS var,
+         sorted[CAST(((CASE WHEN n%2=0 THEN n//2
+                            WHEN (n//2)%2=0 THEN n//2
+                            ELSE n//2+1 END) - 1 + n) % n + 1 AS INT)] AS med,
+         sorted[CAST(ceil(0.9*n) AS INT)] AS p90
+  FROM st
+)
+SELECT z.zone_id,
+       coalesce(c.n, 0) AS count_total,
+       coalesce(c.mn, 0.0) AS vmin,
+       coalesce(c.mx, 0.0) AS vmax,
+       coalesce(c.mean, 0.0) AS vmean,
+       coalesce(c.med, 0.0) AS vmedian,
+       coalesce(c.var, 0.0) AS vvar,
+       coalesce(sqrt(c.var), 0.0) AS vstdev,
+       coalesce(c.p90, 0.0) AS vperc90
+FROM (SELECT zone_id FROM {_ZONES}) z LEFT JOIN calc c ON c.zone_id = z.zone_id
+"""
+
+# polygon-intersect join oracle: POLYGON geo spans are axis-aligned rects by
+# construction; intersects = rect-corner-in-zone OR zone-vertex-in-rect
+# (half-open, matching the even-odd crossing convention) OR proper edge cross
+_SQL_SPATIAL_POLY = f"""
+WITH rp AS (
+  SELECT doc_id, s."offset" AS off,
+         list_transform(regexp_extract_all(s.text, '([-+0-9.eE]+) [-+0-9.eE]+', 1), x -> CAST(x AS DOUBLE)) AS xs,
+         list_transform(regexp_extract_all(s.text, '[-+0-9.eE]+ ([-+0-9.eE]+)', 1), y -> CAST(y AS DOUBLE)) AS ys
+  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
+  WHERE s.kind='geo' AND s.text LIKE 'POLYGON%'
+),
+rects AS (
+  SELECT doc_id, off,
+         list_aggregate(xs,'min') AS rx0, list_aggregate(xs,'max') AS rx1,
+         list_aggregate(ys,'min') AS ry0, list_aggregate(ys,'max') AS ry1
+  FROM rp
+),
+e AS (SELECT zone_id, ex1, ey1, ex2, ey2 FROM {_EDGES}),
+corners AS (
+  SELECT doc_id, off,
+         CASE i.i WHEN 1 THEN rx0 WHEN 2 THEN rx1 WHEN 3 THEN rx1 ELSE rx0 END AS cx,
+         CASE i.i WHEN 1 THEN ry0 WHEN 2 THEN ry0 WHEN 3 THEN ry1 ELSE ry1 END AS cy
+  FROM rects, (SELECT unnest([1,2,3,4]) AS i) i
+),
+redges AS (
+  SELECT doc_id, off,
+         CASE i.i WHEN 1 THEN rx0 WHEN 2 THEN rx1 WHEN 3 THEN rx1 ELSE rx0 END AS bx1,
+         CASE i.i WHEN 1 THEN ry0 WHEN 2 THEN ry0 WHEN 3 THEN ry1 ELSE ry1 END AS by1,
+         CASE i.i WHEN 1 THEN rx1 WHEN 2 THEN rx1 WHEN 3 THEN rx0 ELSE rx0 END AS bx2,
+         CASE i.i WHEN 1 THEN ry0 WHEN 2 THEN ry1 WHEN 3 THEN ry1 ELSE ry0 END AS by2
+  FROM rects, (SELECT unnest([1,2,3,4]) AS i) i
+),
+corner_in AS (
+  SELECT c.doc_id, c.off, e.zone_id
+  FROM corners c JOIN e ON TRUE
+  WHERE (e.ey1 > c.cy) != (e.ey2 > c.cy)
+    AND c.cx < (e.ex2 - e.ex1) * (c.cy - e.ey1) / (e.ey2 - e.ey1) + e.ex1
+  GROUP BY c.doc_id, c.off, e.zone_id, c.cx, c.cy
+  HAVING count(*) % 2 = 1
+),
+vert_in AS (
+  SELECT DISTINCT r.doc_id, r.off, e.zone_id
+  FROM rects r JOIN e ON e.ex1 >= r.rx0 AND e.ex1 < r.rx1 AND e.ey1 >= r.ry0 AND e.ey1 < r.ry1
+),
+cross_e AS (
+  SELECT DISTINCT b.doc_id, b.off, e.zone_id
+  FROM redges b JOIN e ON TRUE
+  WHERE ((b.bx2-b.bx1)*(e.ey1-b.by1) - (b.by2-b.by1)*(e.ex1-b.bx1))
+      * ((b.bx2-b.bx1)*(e.ey2-b.by1) - (b.by2-b.by1)*(e.ex2-b.bx1)) < 0
+    AND ((e.ex2-e.ex1)*(b.by1-e.ey1) - (e.ey2-e.ey1)*(b.bx1-e.ex1))
+      * ((e.ex2-e.ex1)*(b.by2-e.ey1) - (e.ey2-e.ey1)*(b.bx2-e.ex1)) < 0
+)
+SELECT DISTINCT doc_id, off AS "offset", zone_id FROM (
+  SELECT * FROM corner_in UNION ALL SELECT * FROM vert_in UNION ALL SELECT * FROM cross_e
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    synth.ensure("sf0.01")  # the oracle reads the synth parquet directly
+    return {
+        "spatial_join_pip": _SQL_SPATIAL_JOIN_PIP,
+        "tile_assignment": _SQL_TILE_ASSIGNMENT,
+        "knn": _SQL_KNN,
+        "near_table": _SQL_NEAR,
+        "dissolve_category": _SQL_DISSOLVE_CATEGORY,
+        "dissolve_components": _SQL_DISSOLVE_COMPONENTS,
+        "mosaic": _SQL_MOSAIC,
+        "media_metadata": _SQL_MEDIA_METADATA,
+        "span_invariant": _SQL_SPAN_INVARIANT,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
+        "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "simhash": _SQL_SIMHASH,
+        "embedding_topk": _SQL_EMBEDDING_TOPK,
+        "text_profile": _SQL_TEXT_PROFILE,
+        "events_dates": _SQL_EVENTS_DATES,
+        "pricing_summary": _SQL_PRICING,
+        "orders_by_segment": _SQL_ORDERS_SEGMENT,
+        "zonal_counts": _SQL_ZONAL_COUNTS,
+        "zonal_stats": _SQL_ZONAL_STATS,
+        "spatial_join_polygons": _SQL_SPATIAL_POLY,
+    }

@@ -1,0 +1,172 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1;
+geospatial queries run on the engine-synthesized spans tables at the same
+scale label) on local[$SPARK_GRAFT_CPUS].
+
+Scaling evidence (north rule, sandbox form — BASELINE.md): the flagship
+spatial join runs at local[N/4] and local[N] on identical input;
+efficiency = throughput(N) / (4 * throughput(N/4)). Disable with
+SPARK_GRAFT_SCALING=0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gdal_common_python_spark import synth  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+
+
+def _sf_label() -> str:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    return base if base in synth.SCALES else "sf0.1"
+
+
+def make_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+    from gdal_common_python_spark.session import get_spark
+
+    return get_spark(app=f"bench[{cores}]", cores=cores, shuffle_partitions=max(cores, 8))
+
+
+def flagship_steady(spark, sdir, iters: int = 2):
+    """Flagship steady-state: geo-span extraction + cell join + PIP refine.
+    The plan (incl. zone broadcast) is built once; the measured quantity is
+    query EXECUTION wall time (min over `iters` after one warm-up) — the part
+    that scales with cluster size. Returns (result_rows, docs, best_sec)."""
+    from gdal_common_python_spark.operators import spatial_join as sj
+
+    docs = spark.read.parquet(os.path.join(sdir, "documents_spans.parquet"))
+    zones = spark.read.parquet(os.path.join(sdir, "zones.parquet"))
+    out = sj.spatial_join_points(spark, docs, zones, res=9, strategy="broadcast")
+    rows = out.count()  # warm-up: codegen, python workers, page cache
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.monotonic()
+        out.count()
+        best = min(best, time.monotonic() - t0)
+    return rows, docs.count(), best
+
+
+def run_queries(spark, sdir):
+    import __spark_entry__ as entrymod
+
+    names = [
+        "spatial_join_pip",
+        "spatial_join_polygons",
+        "tile_assignment",
+        "zonal_stats",
+        "knn",
+        "near_table",
+        "mosaic",
+        "dissolve_components",
+        "dedup_minhash_lsh",
+        "simhash",
+        "embedding_ann_lsh",
+        "text_profile",
+        "pricing_summary",
+    ]
+    qs = entrymod.queries()
+    times = {}
+    for name in names:
+        t0 = time.monotonic()
+        n = qs[name](spark, SF_DIR).count()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def _pinned_flagship(cores: int, bdir: str) -> float:
+    """Run the flagship steady-state in a fresh process pinned to `cores`
+    CPUs; returns best wall seconds. Falls back to in-process (unpinned)
+    when taskset is unavailable."""
+    import shutil
+    import subprocess
+
+    if shutil.which("taskset"):
+        cpu_list = ",".join(str(i) for i in range(cores))
+        out = subprocess.run(
+            ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
+             "--pinned-flagship", str(cores), bdir],
+            capture_output=True, text=True, timeout=1800,
+        )
+        for line in out.stdout.strip().splitlines()[::-1]:
+            if line.startswith("PINNED_SEC="):
+                return float(line.split("=")[1])
+        raise RuntimeError(f"pinned run failed: {out.stdout[-500:]} {out.stderr[-500:]}")
+    spark = make_session(cores)
+    _, _, dt = flagship_steady(spark, bdir, iters=3)
+    spark.stop()
+    return dt
+
+
+def main():
+    if len(sys.argv) >= 4 and sys.argv[1] == "--pinned-flagship":
+        cores, bdir = int(sys.argv[2]), sys.argv[3]
+        spark = make_session(cores)
+        _, _, dt = flagship_steady(spark, bdir, iters=3)
+        spark.stop()
+        print(f"PINNED_SEC={dt:.4f}")
+        return
+    _bench_main()
+
+
+def _bench_main():
+    label = _sf_label()
+    sdir = synth.ensure(label)
+
+    bench_label = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "sfbench")
+    bdir = synth.ensure(bench_label)
+    result = {"metric": "headline_queries_wall", "unit": "sec", "sf": label, "cpus": CPUS}
+
+    spark = make_session(CPUS)
+    t0 = time.monotonic()
+    queries = run_queries(spark, sdir)
+    result["queries"] = queries
+    result["value"] = round(sum(queries.values()), 3)
+
+    # flagship throughput at full parallelism (bench scale: compute-bound)
+    rows, n_docs, dt_full = flagship_steady(spark, bdir)
+    result["flagship_rows"] = rows
+    result["flagship_docs"] = n_docs
+    result["flagship_docs_per_sec"] = round(n_docs / dt_full, 1)
+
+    spark.stop()
+    if DO_SCALING:
+        # north-rule scaling evidence, sandbox form: same job on an N-core
+        # and a 4N-core "cluster". Each level runs in a fresh process PINNED
+        # to exactly that many CPUs (taskset), so JVM task threads AND python
+        # UDF workers share the budget — a truthful cluster-size simulation.
+        # N=2 because this sandbox kernel stops scaling JVM threads beyond
+        # ~8-16 regardless of workload (see BENCH/BASELINE.md).
+        n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        n_high = 4 * n_low
+        dt_low = _pinned_flagship(n_low, bdir)
+        dt_high = _pinned_flagship(n_high, bdir)
+        tp_low, tp_high = n_docs / dt_low, n_docs / dt_high
+        result["scaling"] = {
+            f"local[{n_low}]_docs_per_sec": round(tp_low, 1),
+            f"local[{n_high}]_docs_per_sec": round(tp_high, 1),
+            "factor": 4,
+            "efficiency": round(tp_high / (4 * tp_low), 3),
+            "method": "taskset-pinned fresh process per level; steady-state min of 3",
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

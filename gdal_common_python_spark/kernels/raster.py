@@ -165,6 +165,31 @@ def rasterize_mask(rings, win_origin_x, win_origin_y, px_x, px_y, res_x, res_y) 
     return inside.reshape(res_y, res_x).astype(np.uint8)
 
 
+def quantize_rings(rings, win_origin_x, win_origin_y, px_x, px_y) -> list[np.ndarray]:
+    """Ring vertices -> integer window-pixel coords via R1
+    (lib/conversionfeature.py:67-76), kept as float64 arrays for the PIP
+    kernel. Shared by full-window and sub-window rasterization."""
+    out = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        ix, iy = pixel_coordinate(r[:, 0], r[:, 1], win_origin_x, win_origin_y, px_x, px_y)
+        out.append(np.column_stack([ix, iy]).astype(np.float64))
+    return out
+
+
+def mask_subwindow(qrings_edges: np.ndarray, col0: int, col1: int, row0: int, row1: int) -> np.ndarray:
+    """Pixel-center even-odd mask for window-local pixel columns
+    [col0, col1) x rows [row0, row1) against pre-quantized ring edges.
+    Lets the distributed zonal kernel evaluate only the slice of the window
+    that falls on one tile (no full-window materialization per tile)."""
+    w, h = col1 - col0, row1 - row0
+    if w <= 0 or h <= 0:
+        return np.zeros((max(h, 0), max(w, 0)), dtype=bool)
+    cols, rows = np.meshgrid(np.arange(col0, col1), np.arange(row0, row1))
+    inside = points_in_rings(cols.ravel() + 0.5, rows.ravel() + 0.5, qrings_edges)
+    return inside.reshape(h, w)
+
+
 def masked_values(pixels: np.ndarray, mask: np.ndarray, ignore_values=None) -> np.ndarray:
     """R4: keep pixels where mask>0, excluding ignored values
     (lib/extract.py:120-131). `ignore_values` is a list or a vectorized

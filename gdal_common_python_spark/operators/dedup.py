@@ -1,0 +1,147 @@
+"""Deduplication suite for large-scale document corpora — all JVM-side.
+
+Beyond the reference's surface (it has no text ops), these are the standard
+training-data pipeline operators, built to stay inside whole-stage codegen:
+
+- exact: hash-groupBy on md5(text);
+- MinHash: k signatures = min over shingles of md5(seed || shingle) — md5 is
+  identical in Spark and DuckDB, so the driver oracle reproduces signatures
+  bit-for-bit with portable SQL (no engine-specific hash);
+- LSH banding: band key = md5 of a signature slice; candidate pairs share a
+  band bucket (the classic shingle -> minhash -> band -> bucket-join);
+- SimHash: 60-bit majority-vote fingerprint from md5(token) bits;
+- n-gram Jaccard: exact verification on candidate pairs via shingle-set
+  intersection/union sizes.
+
+At 100 TB these shapes hold: everything is a groupBy/join on a hash key
+(uniform by construction — no skew), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_count: int = 2
+) -> DataFrame:
+    """Exact dedup groups: (text_hash, n_docs, keep_id). min_count=2 keeps
+    only true duplicate groups; 1 profiles every group."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") >= min_count)
+    )
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Word n-gram shingles as a distinct array column (native HOFs)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(k: int = 16, shingle_col: str = "shingles"):
+    """Array of k min-md5 values (strings) over the shingle set."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(F.col(shingle_col), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def minhash_docs(docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", minhash_signature(k))
+    )
+
+
+def lsh_candidate_pairs(signed: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+    """(a_id, b_id, est_jaccard) for pairs sharing >=1 LSH band bucket.
+    est_jaccard = fraction of equal minhash components."""
+    banded = signed.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat_ws("|", F.slice("sig", b * rows + 1, rows))).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = banded.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bkey")
+    b = banded.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bkey")
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("a_sig", "b_sig", lambda x, y: x == y), lambda e: e))
+        / F.size("a_sig")
+    )
+    return pairs.select("a_id", "b_id", est.alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given (a_id, b_id) pairs."""
+    sh = docs.select(F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
+        .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+    return j.select("a_id", "b_id", (inter / union).alias("jaccard"))
+
+
+def simhash_docs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per token, md5-derived bit vector; per document,
+    the sign of the per-bit sum. Expressed with native HOFs (one aggregate
+    over the token array — no explode blow-up)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # per-token bit contribution at bit b: nibble arithmetic on md5 hex so
+    # the DuckDB oracle can reproduce it with the same strpos/floor formula
+    def tok_bits(t):
+        h = F.md5(t)
+
+        def bit(b):
+            nib = F.conv(F.substr(h, (F.floor(b / 4) + 1).cast("int"), F.lit(1)), 16, 10).cast("int")
+            return F.floor(nib / F.pow(F.lit(2.0), F.lit(3) - (b % 4))) % 2
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda b: F.when(bit(b) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, v: a + v),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b.cast("double")).cast("long")).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))

@@ -1,0 +1,104 @@
+"""Dissolve aggregations (A2-A4, lib/dissolve.py) — SURVEY §2.4.
+
+Reference semantics:
+- ``dissolve.all`` (lib/dissolve.py:8-68): every polygon (multipolygons
+  exploded) unioned into one feature.
+- ``dissolve.single_part`` (lib/dissolve.py:71-162): polygons grouped into
+  connected components by pairwise ``Intersects``, one output feature per
+  component with a FEAT_COUNT field.
+- ``dissolve.on_field`` (lib/dissolve.py:165-302): group by field tuple(s),
+  union per group, optional single-part split, FEAT_COUNT per output row.
+
+Engine mapping: hash aggregation (groupBy + applyInPandas) instead of the
+reference's O(groups*rows) linear scans. The per-group kernel computes
+connected components with the exact ``polygon_intersects`` kernel (bbox
+prefilter first). Output geometry is the component's ring collection
+(multipolygon, no overlap splitting — same caveat as OGR Layer.Union,
+lib/analysis.py:192); parity checks pin FEAT_COUNT, component counts and
+area sums, not overlap-resolved vertices (SURVEY §2.5 parity note).
+
+Scale note: per-group CC is quadratic in group size — right for dimension-
+scale inputs (the reference's use case). For web-scale component finding use
+the J2 self-join pair table + iterative min-id propagation instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..kernels import geom
+
+
+def _components(ringsets: list[list[np.ndarray]]) -> list[int]:
+    """Union-find over pairwise intersects (bbox prefilter)."""
+    n = len(ringsets)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    boxes = [geom.rings_bbox(r) for r in ringsets]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if find(i) == find(j):
+                continue
+            bi, bj = boxes[i], boxes[j]
+            if bi[2] < bj[0] or bj[2] < bi[0] or bi[3] < bj[1] or bj[3] < bi[1]:
+                continue
+            if geom.polygon_intersects(ringsets[i], ringsets[j]):
+                parent[find(i)] = find(j)
+    return [find(i) for i in range(n)]
+
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("component", T.IntegerType()),
+        T.StructField("feat_count", T.LongType()),
+        T.StructField("total_area", T.DoubleType()),
+        T.StructField("rings", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))),
+    ]
+)
+
+
+def dissolve(
+    zones: DataFrame,
+    on_fields: list[str] | None = None,
+    single_part: bool = False,
+) -> DataFrame:
+    """A2 (on_fields=None, single_part=False), A3 (None, True),
+    A4 (fields, either). Output: group_key, component, feat_count,
+    total_area (sum of member signed areas), rings."""
+    if on_fields:
+        keyed = zones.withColumn("group_key", F.concat_ws("", *on_fields))
+    else:
+        keyed = zones.withColumn("group_key", F.lit(""))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["group_key"].iloc[0]
+        ringsets = [geom.rings_from_cell(r) for r in pdf["rings"]]
+        if single_part:
+            comp = _components(ringsets)
+        else:
+            comp = [0] * len(ringsets)
+        out = []
+        for c in sorted(set(comp)):
+            members = [i for i, cc in enumerate(comp) if cc == c]
+            rings = [r for i in members for r in ringsets[i]]
+            out.append(
+                dict(
+                    group_key=key,
+                    component=int(c),
+                    feat_count=len(members),
+                    total_area=float(sum(geom.polygon_area(ringsets[i]) for i in members)),
+                    rings=[r.tolist() for r in rings],
+                )
+            )
+        return pd.DataFrame(out)
+
+    return keyed.select("group_key", "rings").groupBy("group_key").applyInPandas(kernel, _SCHEMA)

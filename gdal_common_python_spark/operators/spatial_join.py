@@ -1,0 +1,345 @@
+"""Cell-partitioned spatial join (J2, SURVEY §2.3) — the engine's core.
+
+Reference semantics: ``join.intersect`` (lib/join.py:5-60) tests every
+(input, join) pair with OGR ``Intersects`` in an O(n*m) nested loop, auto-
+reprojecting the join side when CRS differs (lib/_rectifyinputs.py:18-28),
+and emits a one-to-many result. This engine re-expresses it Spark-first:
+
+    documents --posexplode(spans)--> geo spans --parse (native regexp for
+    points / Arrow UDF for polygons)--> covering cells  ==equi-join on cell==
+    zones exploded by bbox cell cover --> dropDuplicates(pair) --> exact
+    PIP / intersects refinement (Arrow batch kernel) --> (doc_id, offset,
+    zone_id) rows
+
+Physical strategy (SURVEY §4):
+- zone side small  -> ``broadcast()`` hash join (no shuffle of the doc side);
+- zone side large  -> sort-merge on cell with OPTIONAL hot-cell salting:
+  a sampled cell histogram finds heavy cells, the zone side is replicated
+  ``n_salt`` ways for those cells and the point side scatters with
+  ``pmod(xxhash64(doc_id), n_salt)`` — bounding any single reducer's share
+  of a hot cell. AQE skew-join stays on as the backstop.
+- Cell resolution is picked from the zone bbox-width distribution
+  (kernels.cells.pick_resolution).
+
+Correctness never depends on cells: every candidate pair is refined by the
+exact kernel (kernels.geom), and the refinement formula is identical to the
+DuckDB oracle SQL the driver runs.
+
+Span-sequence invariant: this operator only ever *reads* ``spans`` through
+``posexplode`` into a derived table keyed by (doc_id, offset); the documents
+spine is never rewritten (SURVEY §7 hard-part 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..kernels import cells as cellk, geom, proj
+
+POINT_RX = r"POINT\(([-+0-9.eE]+) ([-+0-9.eE]+)\)"
+
+_RES_SHIFT, _IX_SHIFT = 58, 29
+
+
+def cell_expr(lon_col, lat_col, res: int):
+    """Native (JVM codegen) cell encoding — mirrors kernels.cells.encode."""
+    n = 1 << res
+    ix = F.least(
+        F.greatest(F.floor((lon_col + F.lit(180.0)) / F.lit(360.0 / n)), F.lit(0)),
+        F.lit(n - 1),
+    )
+    iy = F.least(
+        F.greatest(F.floor((lat_col + F.lit(90.0)) / F.lit(180.0 / n)), F.lit(0)),
+        F.lit(n - 1),
+    )
+    return (
+        F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+        + ix.cast("long") * F.lit(1 << _IX_SHIFT).cast("long")
+        + iy.cast("long")
+    )
+
+
+def geo_spans(docs: DataFrame, points_only: bool = False) -> DataFrame:
+    """documents -> (doc_id, offset, wkt) for kind='geo' spans.
+
+    Pure native plan: posexplode + filters push column pruning down to the
+    parquet scan (only doc_id and spans are read).
+    """
+    out = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "geo")
+        .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.text").alias("wkt"))
+    )
+    if points_only:
+        out = out.filter(F.col("wkt").startswith("POINT"))
+    return out
+
+
+def geo_points(docs: DataFrame) -> DataFrame:
+    """(doc_id, offset, x, y) for POINT geo spans — fully JVM-side parse."""
+    return geo_spans(docs, points_only=True).select(
+        "doc_id",
+        "offset",
+        F.regexp_extract("wkt", POINT_RX, 1).cast("double").alias("x"),
+        F.regexp_extract("wkt", POINT_RX, 2).cast("double").alias("y"),
+    )
+
+
+def rectified_zone_rings(zones_pdf: pd.DataFrame, to_srid: int = 4326) -> dict:
+    """{zone_id: rings in `to_srid`} — the V2 auto-rectify rule applied to the
+    (smaller) zone side, like the reference reprojects the join side
+    (lib/_rectifyinputs.py:22-28) but lazily and without temp files.
+
+    When the table carries an ingest-time ``rings4326`` column (the
+    production layout: one transform at write time instead of per query),
+    that is used verbatim — bit-identical to what the oracle reads."""
+    out = {}
+    if to_srid == 4326 and "rings4326" in zones_pdf.columns:
+        for zid, rings in zip(zones_pdf["zone_id"], zones_pdf["rings4326"]):
+            out[int(zid)] = geom.rings_from_cell(rings)
+        return out
+    for zid, srid, rings in zip(zones_pdf["zone_id"], zones_pdf["srid"], zones_pdf["rings"]):
+        r = geom.rings_from_cell(rings)
+        out[int(zid)] = proj.transform_rings(r, int(srid), to_srid)
+    return out
+
+
+def zone_cells(spark: SparkSession, zones: DataFrame, res: int, to_srid: int = 4326) -> DataFrame:
+    """Explode zones by bbox cell cover at `res` -> (zone_id, cell).
+
+    Native plan: rectify bbox corners (only 3857 needs the mercator inverse,
+    done with built-in math functions — no UDF), then a 2-D sequence explode.
+    """
+    if "bbox4326" in zones.columns:
+        # ingest-time rectified bbox: no runtime transform at all
+        z = zones.select(
+            "zone_id",
+            F.col("bbox4326.xmin").alias("xmin"),
+            F.col("bbox4326.ymin").alias("ymin"),
+            F.col("bbox4326.xmax").alias("xmax"),
+            F.col("bbox4326.ymax").alias("ymax"),
+        )
+    else:
+        inv_x = F.degrees(F.col("bbox.xmin") / F.lit(proj.R_MERC))
+        inv_x2 = F.degrees(F.col("bbox.xmax") / F.lit(proj.R_MERC))
+        inv_y = F.degrees(
+            F.atan(F.exp(F.col("bbox.ymin") / F.lit(proj.R_MERC))) * 2 - F.lit(float(np.pi / 2))
+        )
+        inv_y2 = F.degrees(
+            F.atan(F.exp(F.col("bbox.ymax") / F.lit(proj.R_MERC))) * 2 - F.lit(float(np.pi / 2))
+        )
+        is_merc = F.col("srid") == 3857
+        z = zones.select(
+            "zone_id",
+            F.when(is_merc, inv_x).otherwise(F.col("bbox.xmin")).alias("xmin"),
+            F.when(is_merc, inv_y).otherwise(F.col("bbox.ymin")).alias("ymin"),
+            F.when(is_merc, inv_x2).otherwise(F.col("bbox.xmax")).alias("xmax"),
+            F.when(is_merc, inv_y2).otherwise(F.col("bbox.ymax")).alias("ymax"),
+        )
+    n = 1 << res
+    w, h = 360.0 / n, 180.0 / n
+
+    def idx(col, lo, size, limit):
+        return F.least(F.greatest(F.floor((col + F.lit(lo)) / F.lit(size)), F.lit(0)), F.lit(limit - 1))
+
+    z = z.select(
+        "zone_id",
+        idx(F.col("xmin"), 180.0, w, n).alias("ix0"),
+        idx(F.col("xmax"), 180.0, w, n).alias("ix1"),
+        idx(F.col("ymin"), 90.0, h, n).alias("iy0"),
+        idx(F.col("ymax"), 90.0, h, n).alias("iy1"),
+    )
+    return (
+        z.select("zone_id", F.explode(F.sequence("ix0", "ix1")).alias("ix"), "iy0", "iy1")
+        .select("zone_id", "ix", F.explode(F.sequence("iy0", "iy1")).alias("iy"))
+        .select(
+            "zone_id",
+            (
+                F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+                + F.col("ix").cast("long") * F.lit(1 << _IX_SHIFT).cast("long")
+                + F.col("iy").cast("long")
+            ).alias("cell"),
+        )
+    )
+
+
+def pick_join_resolution(zones: DataFrame) -> int:
+    """Sample zone bbox widths (in degrees, mercator-corrected) and pick the
+    join resolution (SURVEY §4 custom decision 1)."""
+    sample = zones.select("bbox", "srid").limit(2000).collect()
+    widths = []
+    for r in sample:
+        wdeg = r.bbox.xmax - r.bbox.xmin
+        if r.srid == 3857:
+            wdeg = np.degrees(wdeg / proj.R_MERC)
+        widths.append(wdeg)
+    return cellk.pick_resolution(np.asarray(widths or [1.0]))
+
+
+def hot_cells(points_with_cell: DataFrame, threshold: int, sample_frac: float = 0.02) -> list[int]:
+    """Estimate heavy cells from a sample: cells whose extrapolated count
+    exceeds `threshold` (SURVEY §4: explicit salting for hot cells)."""
+    est = (
+        points_with_cell.sample(fraction=sample_frac, seed=7)
+        .groupBy("cell")
+        .count()
+        .filter(F.col("count") * (1.0 / sample_frac) > threshold)
+        .select("cell")
+        .collect()
+    )
+    return [r.cell for r in est]
+
+
+def spatial_join_points(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    res: int | None = None,
+    strategy: str = "auto",
+    n_salt: int = 8,
+    salt_threshold: int = 2_000_000,
+    broadcast_zone_limit: int = 2_000_000,
+) -> DataFrame:
+    """Point-in-polygon join: geo POINT spans x zones -> (doc_id, offset, zone_id).
+
+    `strategy`: 'broadcast' | 'sortmerge' | 'auto' (auto picks broadcast when
+    the exploded zone-cell side is comfortably under `broadcast_zone_limit`
+    rows, mirroring what you'd do cluster-side with real size stats).
+    """
+    pts = geo_points(docs)
+    if res is None:
+        res = pick_join_resolution(zones)
+    zc = zone_cells(spark, zones, res)
+
+    # refinement payload: rectified edges per zone, shipped once per executor
+    zcols = ["zone_id", "srid", "rings"] + (["rings4326"] if "rings4326" in zones.columns else [])
+    zones_pdf = zones.select(*zcols).toPandas()
+    rect = rectified_zone_rings(zones_pdf)
+    edges = {zid: geom.rings_to_edges(rings) for zid, rings in rect.items()}
+    bc_edges = spark.sparkContext.broadcast(edges)
+
+    pts = pts.withColumn("cell", cell_expr(F.col("x"), F.col("y"), res))
+
+    if strategy == "auto":
+        n_zone_cells = zc.count()
+        strategy = "broadcast" if n_zone_cells <= broadcast_zone_limit else "sortmerge"
+
+    if strategy == "broadcast":
+        cand = pts.join(F.broadcast(zc), "cell")
+    else:
+        hot = hot_cells(pts, salt_threshold)
+        if hot:
+            hot_arr = F.array(*[F.lit(c) for c in hot])
+            salts = spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+            zc_salted = zc.withColumn(
+                "is_hot", F.array_contains(hot_arr, F.col("cell"))
+            ).join(F.broadcast(salts), how="cross").filter(
+                F.col("is_hot") | (F.col("salt") == 0)
+            )
+            pts_salted = pts.withColumn(
+                "salt",
+                F.when(
+                    F.array_contains(hot_arr, F.col("cell")),
+                    F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            cand = pts_salted.join(zc_salted, ["cell", "salt"])
+        else:
+            cand = pts.join(zc, "cell")
+
+    cand = cand.select("doc_id", "offset", "x", "y", "zone_id")
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(zone_id: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        ed = bc_edges.value
+        out = np.zeros(len(zone_id), dtype=bool)
+        zi = zone_id.to_numpy()
+        xs = x.to_numpy(dtype=np.float64)
+        ys = y.to_numpy(dtype=np.float64)
+        # sort once, process contiguous zone runs: O(n log n) instead of
+        # O(n_zones * batch) boolean masking
+        order = np.argsort(zi, kind="stable")
+        zs = zi[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(zs)) + 1, [len(zs)]])
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            e = ed.get(int(zs[s0]))
+            if e is not None and len(e):
+                idx = order[s0:s1]
+                out[idx] = geom.points_in_rings(xs[idx], ys[idx], e)
+        return pd.Series(out)
+
+    return (
+        cand.withColumn("hit", pip("zone_id", "x", "y"))
+        .filter(F.col("hit"))
+        .select("doc_id", "offset", "zone_id")
+    )
+
+
+def spatial_join_geoms(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    res: int | None = None,
+    wkt_prefix: str | None = None,
+) -> DataFrame:
+    """General intersect join (points AND polygons from geo spans) — the full
+    J2 semantics (lib/join.py:5-60): one row per intersecting
+    (doc span, zone) pair. Polygon spans are parsed + bbox-covered in an
+    Arrow UDF, candidates equi-joined on cell, then refined with the exact
+    ``polygon_intersects`` kernel."""
+    spans = geo_spans(docs)
+    if wkt_prefix:
+        spans = spans.filter(F.col("wkt").startswith(wkt_prefix))
+    if res is None:
+        res = pick_join_resolution(zones)
+    zc = zone_cells(spark, zones, res)
+
+    zcols = ["zone_id", "srid", "rings"] + (["rings4326"] if "rings4326" in zones.columns else [])
+    zones_pdf = zones.select(*zcols).toPandas()
+    rect = rectified_zone_rings(zones_pdf)
+    bc_rings = spark.sparkContext.broadcast(
+        {zid: [r.tolist() for r in rings] for zid, rings in rect.items()}
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cover(wkt: pd.Series) -> pd.Series:
+        out = []
+        for w in wkt:
+            _, rings = geom.parse_wkt(w)
+            xmin, ymin, xmax, ymax = geom.rings_bbox(rings)
+            out.append(cellk.cover_bbox(xmin, ymin, xmax, ymax, res).tolist())
+        return pd.Series(out)
+
+    cand = (
+        spans.withColumn("cell", F.explode(cover("wkt")))
+        .join(F.broadcast(zc), "cell")
+        .dropDuplicates(["doc_id", "offset", "zone_id"])
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def refine(zone_id: pd.Series, wkt: pd.Series) -> pd.Series:
+        zr = bc_rings.value
+        out = np.zeros(len(zone_id), dtype=bool)
+        for i, (z, w) in enumerate(zip(zone_id, wkt)):
+            rings = zr.get(int(z))
+            if rings is None:
+                continue
+            zrings = [np.asarray(r, dtype=np.float64) for r in rings]
+            kind, grings = geom.parse_wkt(w)
+            if kind == "point":
+                out[i] = bool(
+                    geom.points_in_rings(
+                        grings[0][:, 0], grings[0][:, 1], geom.rings_to_edges(zrings)
+                    )[0]
+                )
+            else:
+                out[i] = geom.polygon_intersects(grings, zrings)
+        return pd.Series(out)
+
+    return (
+        cand.withColumn("hit", refine("zone_id", "wkt"))
+        .filter(F.col("hit"))
+        .select("doc_id", "offset", "zone_id")
+    )

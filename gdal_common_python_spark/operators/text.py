@@ -1,0 +1,87 @@
+"""Text analysis for document pipelines — all native Column expressions,
+formula-portable to the DuckDB oracle (regexp lengths, md5, arithmetic).
+
+- token_count: whitespace tokens + a BPE-ish subword estimate;
+- quality_score: length / punctuation / stopword-ratio composite;
+- lang_id: stopword-hit heuristic over small wordlists (deterministic
+  argmax with fixed tie order);
+- fingerprint: normalized-text md5 prefix (document identity for dedup
+  pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_STOP = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens(text)))
+
+
+def subword_estimate(text: Column) -> Column:
+    """BPE-ish token estimate: word boundaries + one token per ~4 chars of
+    long words (the usual chars/4 heuristic, computed exactly)."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.greatest(F.ceil(F.length(t) / 4.0), F.lit(1).cast("long")),
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    arr = F.array(*[F.lit(w) for w in _STOP[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic argmax over per-language stopword hits; ties resolve in
+    fixed order en > es > de > fr; all-zero -> 'und'."""
+    hits = {lang: stopword_hits(text, lang) for lang in _STOP}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    for lang in reversed(list(_STOP)):  # earlier langs win ties: apply last
+        out = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(text: Column) -> Column:
+    """Composite in [0,1]: 0.4*alpha_ratio + 0.3*min(1, tokens/100)
+    + 0.3*(1 - punct_ratio). Pure arithmetic, oracle-portable."""
+    n = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+    tok_term = F.least(F.lit(1.0), token_count(text).cast("double") / 100.0)
+    return 0.4 * alpha_ratio + 0.3 * tok_term + 0.3 * (1.0 - punct_ratio)
+
+
+def fingerprint(text: Column, length: int = 16) -> Column:
+    """Identity fingerprint of normalized text (lower, collapsed spaces)."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.substring(F.md5(norm), 1, length)
+
+
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(t).alias("n_tokens"),
+        subword_estimate(t).alias("n_subwords"),
+        lang_id(t).alias("lang_guess"),
+        F.round(quality_score(t), 9).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )

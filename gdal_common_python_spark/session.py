@@ -26,9 +26,18 @@ def get_spark(app: str = "gdal_common_python_spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # this sandbox kernel (firecracker-style) degrades badly under
+        # concurrent GC threads: G1's background threads put the JVM at ~60%
+        # system time and local[N>8] anti-scales. SerialGC + fewer JIT
+        # threads restores near-linear task scaling (measured; BENCH notes).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JVM_OPTS", "-XX:+UseSerialGC -XX:CICompilerCount=2"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -33,15 +33,19 @@ import pyarrow.parquet as pq
 
 from .kernels import proj
 
-_SYNTH_VERSION = "1"
+_SYNTH_VERSION = "4"
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.path.join(REPO_ROOT, "data", "synth")
 
 SCALES = {
-    "sf0.001": dict(docs=1_000, zones=50, points=200),
-    "sf0.01": dict(docs=10_000, zones=200, points=500),
-    "sf0.1": dict(docs=200_000, zones=400, points=2_000),
+    "sf0.001": dict(docs=1_000, zones=50, points=200, shards=4),
+    "sf0.01": dict(docs=10_000, zones=200, points=500, shards=4),
+    "sf0.1": dict(docs=200_000, zones=400, points=2_000, shards=32),
+    # bench-only scales: enough rows that the flagship join is compute-bound,
+    # so the N-vs-4N scaling measurement reflects the engine, not job setup
+    "sf1": dict(docs=2_000_000, zones=400, points=2_000, shards=64),
+    "sfbench": dict(docs=20_000_000, zones=400, points=2_000, shards=64),
 }
 
 EXTENT = (-120.0, -80.0, 30.0, 45.0)  # xmin, xmax, ymin, ymax (WGS84)
@@ -83,7 +87,7 @@ def ensure(sf: str) -> str:
         return d
     os.makedirs(d, exist_ok=True)
     cfg = SCALES[sf]
-    _gen_documents(sf, cfg["docs"])
+    _gen_documents(sf, cfg["docs"], cfg["shards"])
     _gen_zones(sf, cfg["zones"])
     _gen_rasters(sf)
     _gen_near_points(sf, cfg["points"])
@@ -96,8 +100,37 @@ def _fmt(v: float) -> str:
     return repr(float(v))
 
 
-def _gen_documents(sf: str, n_docs: int) -> None:
-    rng = np.random.default_rng(42)
+def _gen_documents(sf: str, n_docs: int, shards: int = 4) -> None:
+    out_dir = table_path(sf, "documents_spans")
+    if os.path.isfile(out_dir):
+        os.remove(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        os.remove(os.path.join(out_dir, f))
+    per = (n_docs + shards - 1) // shards
+    jobs = []
+    start = 0
+    for i in range(shards):
+        cnt = min(per, n_docs - start)
+        if cnt <= 0:
+            break
+        jobs.append((out_dir, i, start, cnt))
+        start += cnt
+    if len(jobs) > 4:
+        import multiprocessing as mp
+
+        with mp.Pool(min(len(jobs), os.cpu_count() or 4)) as pool:
+            pool.map(_gen_doc_shard, jobs)
+    else:
+        for j in jobs:
+            _gen_doc_shard(j)
+
+
+def _gen_doc_shard(job) -> None:
+    """One deterministic shard: seeded by shard index (stable regardless of
+    worker scheduling)."""
+    out_dir, shard, start_doc, n_docs = job
+    rng = np.random.default_rng(42 + 7919 * shard)
     n_spans = rng.integers(1, 13, size=n_docs)
     total = int(n_spans.sum())
     u = rng.random(total)
@@ -130,23 +163,23 @@ def _gen_documents(sf: str, n_docs: int) -> None:
         elif k == "media":
             refs[i] = f"r{media_r[i]}/{media_b[i]}"
         else:
-            x, y, s = gx[i], gy[i], gsize[i]
+            x, y, sz = gx[i], gy[i], gsize[i]
             if gshape[i] < 0.85:
                 texts[i] = f"POINT({_fmt(x)} {_fmt(y)})"
             elif gshape[i] < 0.97:
                 texts[i] = (
-                    f"POLYGON(({_fmt(x)} {_fmt(y)}, {_fmt(x + s)} {_fmt(y)}, "
-                    f"{_fmt(x + s)} {_fmt(y + s)}, {_fmt(x)} {_fmt(y + s)}))"
+                    f"POLYGON(({_fmt(x)} {_fmt(y)}, {_fmt(x + sz)} {_fmt(y)}, "
+                    f"{_fmt(x + sz)} {_fmt(y + sz)}, {_fmt(x)} {_fmt(y + sz)}))"
                 )
             else:
-                x2, y2 = x + 2 * s, y + 2 * s
+                x2, y2 = x + 2 * sz, y + 2 * sz
                 part1 = (
-                    f"(({_fmt(x)} {_fmt(y)}, {_fmt(x + s)} {_fmt(y)}, "
-                    f"{_fmt(x + s)} {_fmt(y + s)}, {_fmt(x)} {_fmt(y + s)}))"
+                    f"(({_fmt(x)} {_fmt(y)}, {_fmt(x + sz)} {_fmt(y)}, "
+                    f"{_fmt(x + sz)} {_fmt(y + sz)}, {_fmt(x)} {_fmt(y + sz)}))"
                 )
                 part2 = (
-                    f"(({_fmt(x2)} {_fmt(y2)}, {_fmt(x2 + s)} {_fmt(y2)}, "
-                    f"{_fmt(x2 + s)} {_fmt(y2 + s)}, {_fmt(x2)} {_fmt(y2 + s)}))"
+                    f"(({_fmt(x2)} {_fmt(y2)}, {_fmt(x2 + sz)} {_fmt(y2)}, "
+                    f"{_fmt(x2 + sz)} {_fmt(y2 + sz)}, {_fmt(x2)} {_fmt(y2 + sz)}))"
                 )
                 texts[i] = f"MULTIPOLYGON({part1}, {part2})"
 
@@ -165,9 +198,9 @@ def _gen_documents(sf: str, n_docs: int) -> None:
     )
     list_offsets = pa.array(np.concatenate([[0], np.cumsum(n_spans)]).astype(np.int32))
     spans_col = pa.ListArray.from_arrays(list_offsets, span_struct)
-    doc_ids = pa.array([f"doc{i:08d}" for i in range(n_docs)], pa.string())
+    doc_ids = pa.array([f"doc{start_doc + i:08d}" for i in range(n_docs)], pa.string())
     tbl = pa.table({"doc_id": doc_ids, "spans": spans_col})
-    pq.write_table(tbl, table_path(sf, "documents_spans"))
+    pq.write_table(tbl, os.path.join(out_dir, f"part-{shard:04d}.parquet"))
 
 
 _CATEGORIES = [f"cat{i:02d}" for i in range(10)]
@@ -202,12 +235,23 @@ def _gen_zones(sf: str, n_zones: int) -> None:
         srid = 3857 if rng.random() < 0.20 else 4326
         if srid == 3857:
             rings = [np.column_stack(proj.lonlat_to_mercator(r[:, 0], r[:, 1])) for r in rings]
+        # ingest-time rectification: the 4326 view is computed ONCE here and
+        # stored, so engine and oracle read identical doubles (runtime
+        # reprojection of transcendentals is not bit-portable across libms)
+        rings4326 = proj.transform_rings(rings, srid, 4326)
         allpts = np.concatenate(rings)
         bbox = (
             float(allpts[:, 0].min()),
             float(allpts[:, 1].min()),
             float(allpts[:, 0].max()),
             float(allpts[:, 1].max()),
+        )
+        all4326 = np.concatenate(rings4326)
+        bbox4326 = (
+            float(all4326[:, 0].min()),
+            float(all4326[:, 1].min()),
+            float(all4326[:, 0].max()),
+            float(all4326[:, 1].max()),
         )
         zrows.append(
             dict(
@@ -217,12 +261,20 @@ def _gen_zones(sf: str, n_zones: int) -> None:
                 srid=srid,
                 rings=[r.tolist() for r in rings],
                 bbox=dict(xmin=bbox[0], ymin=bbox[1], xmax=bbox[2], ymax=bbox[3]),
+                rings4326=[r.tolist() for r in rings4326],
+                bbox4326=dict(
+                    xmin=bbox4326[0], ymin=bbox4326[1], xmax=bbox4326[2], ymax=bbox4326[3]
+                ),
             )
         )
-        for ri, r in enumerate(rings):
+        for ri, (r, r4) in enumerate(zip(rings, rings4326)):
             nxt = np.roll(r, -1, axis=0)
-            for (x1, y1), (x2, y2) in zip(r, nxt):
-                erows.append((zid, srid, ri, float(x1), float(y1), float(x2), float(y2)))
+            nxt4 = np.roll(r4, -1, axis=0)
+            for (x1, y1), (x2, y2), (ex1, ey1), (ex2, ey2) in zip(r, nxt, r4, nxt4):
+                erows.append(
+                    (zid, srid, ri, float(x1), float(y1), float(x2), float(y2),
+                     float(ex1), float(ey1), float(ex2), float(ey2))
+                )
 
     zschema = pa.schema(
         [
@@ -233,6 +285,13 @@ def _gen_zones(sf: str, n_zones: int) -> None:
             ("rings", pa.list_(pa.list_(pa.list_(pa.float64())))),
             (
                 "bbox",
+                pa.struct(
+                    [("xmin", pa.float64()), ("ymin", pa.float64()), ("xmax", pa.float64()), ("ymax", pa.float64())]
+                ),
+            ),
+            ("rings4326", pa.list_(pa.list_(pa.list_(pa.float64())))),
+            (
+                "bbox4326",
                 pa.struct(
                     [("xmin", pa.float64()), ("ymin", pa.float64()), ("xmax", pa.float64()), ("ymax", pa.float64())]
                 ),
@@ -259,6 +318,10 @@ def _gen_zones(sf: str, n_zones: int) -> None:
                 "y1": pa.array([r[4] for r in erows], pa.float64()),
                 "x2": pa.array([r[5] for r in erows], pa.float64()),
                 "y2": pa.array([r[6] for r in erows], pa.float64()),
+                "ex1": pa.array([r[7] for r in erows], pa.float64()),
+                "ey1": pa.array([r[8] for r in erows], pa.float64()),
+                "ex2": pa.array([r[9] for r in erows], pa.float64()),
+                "ey2": pa.array([r[10] for r in erows], pa.float64()),
             }
         ),
         table_path(sf, "zone_edges"),

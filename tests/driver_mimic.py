@@ -1,0 +1,94 @@
+"""Driver-mimic: run each queries() entry and its oracle_sql() at sf0.01,
+compare row multisets (column-name-sorted, rounded repr). Usage:
+    python3 tests/driver_mimic.py [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+from gdal_common_python_spark.session import get_spark
+
+TESTDATA = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                vals.append(repr(v))
+            else:
+                vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def main(names=None):
+    spark = get_spark(cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{TESTDATA}/{t}.parquet')")
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if names and name not in names:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, TESTDATA)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as ex:
+            results[name] = f"SPARK FAIL: {type(ex).__name__}: {str(ex)[:300]}"
+            continue
+        t1 = time.time()
+        if name not in osql:
+            results[name] = f"rows-only: {len(rows)} rows ({t1-t0:.1f}s)"
+            continue
+        try:
+            rel = con.sql(osql[name])
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception as ex:
+            results[name] = f"ORACLE FAIL: {type(ex).__name__}: {str(ex)[:300]}"
+            continue
+        if sorted(c.lower() for c in cols) != sorted(c.lower() for c in ocols):
+            results[name] = f"SCHEMA MISMATCH: spark={sorted(cols)} oracle={sorted(ocols)}"
+            continue
+        a, b = norm(rows, cols), norm(orows, ocols)
+        if a == b:
+            results[name] = f"OK: {len(rows)} rows ({t1-t0:.1f}s spark, {time.time()-t1:.1f}s oracle)"
+        else:
+            diff_a = [x for x in a if x not in set(b)][:3]
+            diff_b = [x for x in b if x not in set(a)][:3]
+            results[name] = (
+                f"VALUE MISMATCH: spark {len(a)} rows, oracle {len(b)} rows\n"
+                f"    spark-only: {diff_a}\n    oracle-only: {diff_b}"
+            )
+    print("\n=== RESULTS ===")
+    ok = 0
+    for name, r in results.items():
+        status = "PASS" if r.startswith("OK") or r.startswith("rows-only") else "FAIL"
+        ok += status == "PASS"
+        print(f"[{status}] {name}: {r}")
+    print(f"{ok}/{len(results)} pass")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(set(sys.argv[1:]) or None)

@@ -1,0 +1,191 @@
+"""Kernel unit tests against the golden fixtures (FIXTURES.md §5) and
+property checks. Spark-free."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gdal_common_python_spark.kernels import cells, geom, proj, raster as rk
+
+GOLD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+def _load(name):
+    with open(os.path.join(GOLD, name)) as fh:
+        return json.load(fh)
+
+
+class TestWindowSnap:
+    def test_golden(self):
+        for row in _load("window_snap.json"):
+            got = rk.window_snap(*row["case"])
+            exp = row["expect"]
+            if exp is None:
+                assert got is None, row
+            else:
+                assert got is not None, row
+                np.testing.assert_allclose(np.array(got, float), np.array(exp, float), rtol=1e-12)
+
+    def test_batch_matches_scalar(self):
+        rows = _load("window_snap.json")
+        for row in rows:
+            c = row["case"]
+            b = rk.window_snap_batch(np.array([c[:4]]), *c[4:])[0]
+            s = rk.window_snap(*c)
+            if s is None:
+                assert np.isnan(b).all()
+            else:
+                np.testing.assert_allclose(b, np.array(s, float), rtol=0, atol=0)
+
+
+class TestPixelCoord:
+    def test_golden(self):
+        for row in _load("pixel_coord.json"):
+            cx, cy, ox, oy, px, py = row["case"]
+            ix, iy = rk.pixel_coordinate([cx], [cy], ox, oy, px, py)
+            assert [int(ix[0]), int(iy[0])] == row["expect"], row
+
+
+class TestStats:
+    def test_golden(self):
+        for row in _load("stats.json"):
+            got = rk.stats(np.asarray(row["case"], dtype=np.float64))
+            for k, v in row["expect"].items():
+                assert got[k] == pytest.approx(v, rel=1e-9), (row["case"], k, got[k], v)
+
+    def test_hash_safe_close_to_reference(self):
+        from gdal_common_python_spark.operators.zonal import _stats_values
+
+        v = np.asarray([3.0, 7.0, 7.0, 11.0, 250.0, 0.0], dtype=np.float64)
+        a, b = _stats_values(v, True), _stats_values(v, False)
+        for k in a:
+            assert a[k] == pytest.approx(b[k], rel=1e-9)
+
+
+class TestRasterize:
+    def test_golden_masks(self):
+        for row in _load("rasterize.json"):
+            rings = [np.asarray(r, float) for r in row["rings"]]
+            ox, oy, psx, psy, rx, ry = row["grid"]
+            m = rk.rasterize_mask(rings, ox, oy, psx, psy, int(rx), int(ry))
+            assert m.tolist() == row["expect"], row["grid"]
+
+    def test_subwindow_equals_full(self):
+        rings = [np.array([[0.5, 0.5], [7.5, 0.5], [7.5, 7.5], [0.5, 7.5]], float)]
+        full = rk.rasterize_mask(rings, 0.0, 8.0, 1.0, -1.0, 8, 8)
+        q = rk.quantize_rings(rings, 0.0, 8.0, 1.0, -1.0)
+        e = geom.rings_to_edges(q)
+        sub = rk.mask_subwindow(e, 2, 6, 1, 5)
+        assert (full[1:5, 2:6].astype(bool) == sub).all()
+
+
+class TestGeom:
+    def test_parse_wkt(self):
+        k, r = geom.parse_wkt("POINT(-100.5 37.25)")
+        assert k == "point" and r[0][0, 0] == -100.5
+        k, r = geom.parse_wkt("POLYGON((0 0, 4 0, 4 4, 0 4), (1 1, 1 2, 2 2, 2 1))")
+        assert k == "polygon" and len(r) == 2
+        k, r = geom.parse_wkt("MULTIPOLYGON(((0 0, 1 0, 1 1)), ((5 5, 6 5, 6 6)))")
+        assert len(r) == 2
+
+    def test_pip_hole(self):
+        rings = [
+            np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float),
+            np.array([[1, 1], [1, 2], [2, 2], [2, 1]], float),
+        ]
+        e = geom.rings_to_edges(rings)
+        got = geom.points_in_rings(
+            np.array([0.5, 1.5, 3.5, 5.0]), np.array([0.5, 1.5, 3.5, 5.0]), e
+        )
+        assert got.tolist() == [True, False, True, False]
+
+    def test_area_perimeter(self):
+        rings = [
+            np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float),
+            np.array([[1, 1], [1, 2], [2, 2], [2, 1]], float),  # CW hole
+        ]
+        assert geom.polygon_area(rings) == pytest.approx(15.0)
+        assert geom.polygon_perimeter(rings) == pytest.approx(16.0 + 4.0)
+
+    def test_intersects_and_distance(self):
+        a = [np.array([[0, 0], [2, 0], [2, 2], [0, 2]], float)]
+        b = [np.array([[1, 1], [3, 1], [3, 3], [1, 3]], float)]
+        c = [np.array([[5, 5], [6, 5], [6, 6], [5, 6]], float)]
+        d = [np.array([[0.5, 0.5], [0.7, 0.5], [0.7, 0.7], [0.5, 0.7]], float)]
+        assert geom.polygon_intersects(a, b)
+        assert not geom.polygon_intersects(a, c)
+        assert geom.polygon_intersects(a, d)  # containment
+        assert geom.geom_distance("polygon", a, "polygon", c) == pytest.approx(np.sqrt(18))
+        assert geom.geom_distance("polygon", a, "polygon", b) == 0.0
+
+    def test_clip_convex(self):
+        sub = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)
+        clip = np.array([[2, -1], [6, -1], [6, 5], [2, 5]], float)
+        out = geom.clip_convex(sub, clip)
+        assert out is not None and geom.signed_area(out) == pytest.approx(8.0)
+        # disjoint clip -> None
+        assert geom.clip_convex(sub, np.array([[10, 10], [11, 10], [11, 11], [10, 11]], float)) is None
+
+    def test_buffer_point_area(self):
+        ring = geom.buffer_point(0.0, 0.0, 2.0, n=256)
+        assert geom.signed_area(ring) == pytest.approx(np.pi * 4, rel=1e-3)
+
+
+class TestCells:
+    def test_hierarchy_and_cover(self):
+        c = cells.encode([-100.0], [37.0], 9)[0]
+        assert cells.parent(np.array([c]), 8)[0] == cells.encode([-100.0], [37.0], 8)[0]
+        cov = cells.cover_bbox(-100.2, 36.9, -99.8, 37.3, 9)
+        assert c in cov
+        d = cells.disk(int(c), 1)
+        assert len(d) == 9 and c in d
+
+    def test_ring_min_distance_bound(self):
+        c = int(cells.encode([-100.0], [37.0], 9)[0])
+        b = cells.ring_min_distance(c, 1, -100.0, 37.0)
+        # any point outside the 3x3 disk is at least b away
+        res, ix, iy = cells.decode(np.int64(c))
+        w = 360.0 / (1 << 9)
+        assert 0 < b <= 1.5 * w
+
+
+class TestProj:
+    def test_roundtrips(self):
+        lon = np.array([-120.5, -100.0, -81.2])
+        lat = np.array([30.5, 37.0, 44.9])
+        for fwd, inv in [
+            (proj.lonlat_to_mercator, proj.mercator_to_lonlat),
+            (proj.lonlat_to_albers_ca, proj.albers_ca_to_lonlat),
+        ]:
+            x, y = fwd(lon, lat)
+            lo, la = inv(x, y)
+            np.testing.assert_allclose(lo, lon, atol=1e-7)
+            np.testing.assert_allclose(la, lat, atol=1e-7)
+
+    def test_transform_hub(self):
+        x, y = proj.transform([-100.0], [37.0], 4326, 3857)
+        lo, la = proj.transform(x, y, 3857, 4269)  # NAD83 ~ WGS84 passthrough
+        assert lo[0] == pytest.approx(-100.0, abs=1e-9)
+
+
+class TestDates:
+    def test_reference_leap_rule(self):
+        gold = _load("dates.json")
+        for row in gold["leap"]:
+            assert (row["year"] % 4 == 0) == row["leap_ref"]
+        table = [0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+        for row in gold["days_in_month"]:
+            m, y = row["month"], row["year"]
+            d = 0 if (m <= 0 or m > 12) else table[m] + (1 if m == 2 and y % 4 == 0 else 0)
+            assert d == row["days"]
+
+    def test_units_digits(self):
+        from gdal_common_python_spark.functions import units as U
+
+        # digit-for-digit from fields.py:367-405
+        assert U.UNIT_MULTIPLIER[U.LENGTH_FEET] == (False, 3.28084)
+        assert U.UNIT_MULTIPLIER[U.LENGTH_NMILE] == (False, 5.39957e-4)
+        assert U.UNIT_MULTIPLIER[U.AREA_ACRE] == (True, 2.47105e-4)
+        assert U.SRS_UNIT_FACTOR["feet"] == 0.092903

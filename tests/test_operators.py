@@ -1,0 +1,310 @@
+"""Operator-level tests vs pure-python oracles on synth sf0.001
+(SURVEY.md §5.2 item 2)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_common_python_spark.kernels import geom, proj, raster as rk
+from gdal_common_python_spark.operators import spatial_join as sj
+from gdal_common_python_spark.operators.dissolve import dissolve
+from gdal_common_python_spark.operators.equi_join import ManyMatchesError, attribute_join
+from gdal_common_python_spark.operators.knn import knn, near_table
+from gdal_common_python_spark.operators.mosaic import mosaic
+from gdal_common_python_spark.operators.overlay import buffer_points, clip, intersect_pairs
+from gdal_common_python_spark.operators.tile_assign import tile_assign
+from gdal_common_python_spark.operators.zonal import counts_wide, zonal_statistics
+
+
+@pytest.fixture(scope="module")
+def zone_oracle_rings(zones):
+    zp = zones.toPandas()
+    return {
+        int(z.zone_id): geom.rings_from_cell(z.rings4326) for _, z in zp.iterrows()
+    }
+
+
+def _pip_oracle(docs, zone_oracle_rings):
+    pdfp = sj.geo_points(docs).toPandas()
+    xy = pdfp[["x", "y"]].to_numpy()
+    out = set()
+    for zid, rings in zone_oracle_rings.items():
+        m = geom.points_in_rings(xy[:, 0], xy[:, 1], geom.rings_to_edges(rings))
+        for i in np.nonzero(m)[0]:
+            out.add((pdfp.doc_id[i], int(pdfp.offset[i]), zid))
+    return out
+
+
+class TestSpatialJoin:
+    def test_broadcast_and_salted_match_oracle(self, spark, docs, zones, zone_oracle_rings):
+        oracle = _pip_oracle(docs, zone_oracle_rings)
+        got_b = {
+            (r.doc_id, r.offset, r.zone_id)
+            for r in sj.spatial_join_points(spark, docs, zones).collect()
+        }
+        got_s = {
+            (r.doc_id, r.offset, r.zone_id)
+            for r in sj.spatial_join_points(
+                spark, docs, zones, strategy="sortmerge", salt_threshold=50
+            ).collect()
+        }
+        assert got_b == oracle
+        assert got_s == oracle
+
+    def test_geoms_join_matches_oracle(self, spark, docs, zones, zone_oracle_rings):
+        spans = sj.geo_spans(docs).toPandas()
+        oracle = set()
+        for zid, zrings in zone_oracle_rings.items():
+            ze = geom.rings_to_edges(zrings)
+            for _, s in spans.iterrows():
+                kind, gr = geom.parse_wkt(s.wkt)
+                if kind == "point":
+                    hit = bool(geom.points_in_rings(gr[0][:, 0], gr[0][:, 1], ze)[0])
+                else:
+                    hit = geom.polygon_intersects(gr, zrings)
+                if hit:
+                    oracle.add((s.doc_id, int(s.offset), zid))
+        got = {
+            (r.doc_id, r.offset, r.zone_id)
+            for r in sj.spatial_join_geoms(spark, docs, zones).collect()
+        }
+        assert got == oracle
+
+    def test_span_sequence_invariant(self, spark, docs, zones):
+        """Span-sequence invariant: joining derived tables back onto the
+        document spine leaves (kind, text, media_ref, order) untouched."""
+        result = sj.spatial_join_points(spark, docs, zones)
+        carried = docs.join(result.select("doc_id").distinct(), "doc_id", "left_semi")
+        rt = carried.select("doc_id", "spans").toPandas()
+        orig = docs.select("doc_id", "spans").toPandas().set_index("doc_id")
+        assert len(rt) > 0
+        for _, row in rt.iterrows():
+            a = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row.spans]
+            b = [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in orig.loc[row.doc_id, "spans"]
+            ]
+            assert a == b
+
+
+class TestTileAssignZonal:
+    def test_tile_assign_matches_kernel(self, zones, rasters):
+        ta = tile_assign(zones, rasters).toPandas()
+        zp = zones.toPandas()
+        rp = rasters.toPandas()
+        oracle = {}
+        for _, z in zp.iterrows():
+            bb = z.bbox4326
+            for _, r in rp.iterrows():
+                w = rk.window_snap(
+                    bb["xmin"], bb["ymin"], bb["xmax"], bb["ymax"],
+                    r.origin_x, r.origin_y, r.px_x, r.px_y, int(r.width), int(r.height),
+                )
+                if w is not None:
+                    oracle[(int(z.zone_id), r.raster_id, int(r.band))] = w
+        got = {
+            (int(t.zone_id), t.raster_id, int(t.band)): (
+                t.win_ox, t.win_oy, int(t.res_x), int(t.res_y), int(t.off_x), int(t.off_y)
+            )
+            for _, t in ta.iterrows()
+        }
+        assert set(got) == set(oracle)
+        for k in got:
+            assert tuple(map(float, got[k])) == tuple(map(float, oracle[k])), k
+
+    def test_zonal_matches_reference_loop(self, spark, zones, rasters, tiles, zone_oracle_rings):
+        rp = rasters.toPandas()
+        tp = tiles.toPandas()
+        full = {}
+        for (rid, band), g in tp.groupby(["raster_id", "band"]):
+            r = rp[(rp.raster_id == rid) & (rp.band == band)].iloc[0]
+            arr = np.zeros((int(r.height), int(r.width)))
+            for _, t in g.iterrows():
+                ty, tx = int(t.tile_y) * 32, int(t.tile_x) * 32
+                arr[ty : ty + int(t.tile_h), tx : tx + int(t.tile_w)] = np.asarray(
+                    t.pixels
+                ).reshape(int(t.tile_h), int(t.tile_w))
+            full[(rid, int(band))] = (r, arr)
+        ostats, ocounts = {}, {}
+        for zid, rings in zone_oracle_rings.items():
+            xmin, ymin, xmax, ymax = geom.rings_bbox(rings)
+            pool = []
+            for (rid, band), (r, arr) in full.items():
+                w = rk.window_snap(
+                    xmin, ymin, xmax, ymax, r.origin_x, r.origin_y, r.px_x, r.px_y,
+                    int(r.width), int(r.height),
+                )
+                if w is None:
+                    ocounts[(zid, rid, band)] = 0
+                    continue
+                win_ox, win_oy, rx, ry, ox_, oy_ = w
+                m = rk.rasterize_mask(rings, win_ox, win_oy, r.px_x, r.px_y, rx, ry)
+                vals = rk.masked_values(arr[oy_ : oy_ + ry, ox_ : ox_ + rx], m, [-9999.0])
+                ocounts[(zid, rid, band)] = len(vals)
+                pool.append(vals)
+            v = np.concatenate(pool) if pool else np.array([])
+            ostats[zid] = rk.stats(v)
+            ostats[zid]["count_total"] = len(v)
+
+        st, ct = zonal_statistics(spark, zones, rasters, tiles)
+        stp = st.toPandas().set_index("zone_id")
+        for zid, o in ostats.items():
+            m = stp.loc[zid]
+            assert int(m["count_total"]) == o["count_total"]
+            for k in ["min", "max", "median", "perc90"]:
+                assert m[k] == o[k], (zid, k)
+            for k in ["mean", "var", "stdev"]:
+                assert m[k] == pytest.approx(o[k], rel=1e-9)
+        cm = {
+            (int(r.zone_id), r.raster_id, int(r.band)): int(r.pixel_count)
+            for _, r in ct.toPandas().iterrows()
+        }
+        for k, v in ocounts.items():
+            assert cm.get(k, 0) == v
+
+        wide = counts_wide(ct, rasters).toPandas().set_index("zone_id")
+        assert set(wide.columns) >= {"count_total", "count_1", "count_5"}
+        for zid, o in ostats.items():
+            assert int(wide.loc[zid, "count_total"]) == o["count_total"]
+
+
+class TestKnnNear:
+    def test_knn_matches_bruteforce(self, spark, near_points):
+        pts = near_points.toPandas()
+        xy = pts[["x", "y"]].to_numpy()
+        d = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2))
+        np.fill_diagonal(d, np.inf)
+        oracle = set()
+        ids = pts.point_id.to_numpy()
+        for i in range(len(pts)):
+            order = sorted(range(len(pts)), key=lambda j: (d[i, j], ids[j]))[:5]
+            for rank, j in enumerate(order, 1):
+                oracle.add((int(ids[i]), rank, int(ids[j])))
+        got = {
+            (r.from_id, r["rank"], r.to_id)
+            for r in knn(spark, near_points, k=5).collect()
+        }
+        assert got == oracle
+
+    def test_near_table_radius(self, spark, near_points):
+        got = near_table(near_points, radius=0.5).collect()
+        pts = near_points.toPandas()
+        xy = pts[["x", "y"]].to_numpy()
+        d = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2))
+        ids = pts.point_id.to_numpy()
+        oracle = {
+            (int(ids[i]), int(ids[j]))
+            for i in range(len(pts))
+            for j in range(len(pts))
+            if i != j and d[i, j] <= 0.5
+        }
+        assert {(r.from_id, r.to_id) for r in got} == oracle
+
+
+class TestDissolveOverlayMosaic:
+    def test_dissolve_counts(self, spark, zones):
+        out = dissolve(zones, on_fields=["category"]).toPandas()
+        zp = zones.toPandas()
+        exp = zp.groupby("category").size().to_dict()
+        got = dict(zip(out.group_key, out.feat_count))
+        assert got == exp
+
+    def test_single_part_components(self, spark, zones):
+        z4326 = zones.select(
+            "zone_id", "category", F.lit(4326).alias("srid"), F.col("rings4326").alias("rings")
+        )
+        out = dissolve(z4326, single_part=True).toPandas()
+        # oracle: union-find over exact pairwise intersects
+        zp = zones.toPandas()
+        ringsets = [geom.rings_from_cell(r) for r in zp.rings4326]
+        n = len(ringsets)
+        parent = list(range(n))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if find(i) != find(j) and geom.polygon_intersects(ringsets[i], ringsets[j]):
+                    parent[find(i)] = find(j)
+        n_comp = len({find(i) for i in range(n)})
+        assert len(out) == n_comp
+        assert out.feat_count.sum() == n
+
+    def test_clip_rect_area(self, spark):
+        import pandas as pd
+
+        def mk(rows):
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    [
+                        dict(
+                            zone_id=i,
+                            rings=[[[x0, y0], [x1, y0], [x1, y1], [x0, y1]]],
+                            bbox=dict(xmin=x0, ymin=y0, xmax=x1, ymax=y1),
+                        )
+                        for i, (x0, y0, x1, y1) in enumerate(rows)
+                    ]
+                )
+            )
+
+        left = mk([(0.0, 0.0, 4.0, 4.0)])
+        right = mk([(2.0, 1.0, 6.0, 3.0)])
+        out = clip(spark, left, right).collect()
+        assert len(out) == 1 and out[0].area == pytest.approx(4.0)
+        pairs = intersect_pairs(spark, left, right).collect()
+        assert [(p.l_id, p.r_id) for p in pairs] == [(0, 0)]
+
+    def test_buffer_points(self, spark, near_points):
+        out = buffer_points(near_points.limit(3), dist=0.1, n=64).collect()
+        for r in out:
+            ring = np.asarray([[p[0], p[1]] for p in r.rings[0]])
+            assert geom.signed_area(ring) == pytest.approx(np.pi * 0.01, rel=1e-2)
+
+    def test_mosaic_later_wins_except_nodata(self, spark, tiles, rasters):
+        m = mosaic(tiles, raster_ids=["r0", "r1", "r2"], band=1).toPandas()
+        tp = tiles.toPandas()
+        sel = tp[(tp.band == 1) & (tp.raster_id.isin(["r0", "r1", "r2"]))]
+        for _, row in m.iterrows():
+            g = sel[(sel.tile_x == row.tile_x) & (sel.tile_y == row.tile_y)].sort_values(
+                "input_rank"
+            )
+            exp = np.full(len(row.pixels), -9999.0)
+            for _, t in g.iterrows():
+                px = np.asarray(t.pixels)
+                exp = np.where(px != -9999.0, px, exp)
+            np.testing.assert_array_equal(np.asarray(row.pixels), exp)
+
+    def test_mosaic_rejects_mixed_grids(self, spark, tiles):
+        with pytest.raises(ValueError):
+            mosaic(tiles, raster_ids=["r0", "r3"], band=1)
+
+
+class TestEquiJoin:
+    def test_error_if_many(self, spark):
+        import pandas as pd
+
+        left = spark.createDataFrame(pd.DataFrame(dict(k=[1, 2, 3], v=["a", "b", "c"])))
+        right = spark.createDataFrame(pd.DataFrame(dict(kk=[1, 1, 2], w=["x", "y", "z"])))
+        with pytest.raises(ManyMatchesError):
+            attribute_join(left, right, "k", "kk", ["w"], error_if_many=True)
+        out = attribute_join(left, right, "k", "kk", ["w"]).toPandas().set_index("k")
+        assert out.loc[1, "w"] == "y"  # last match wins (deterministic order)
+        assert out.loc[3].isna()["w"]  # left outer: unmatched kept with null
+
+
+class TestReproject:
+    def test_roundtrip_tolerance(self, spark, zones):
+        from gdal_common_python_spark.operators.reproject import reproject
+
+        merc = reproject(zones.limit(20), 3857)
+        back = reproject(merc, 4326).toPandas().set_index("zone_id")
+        orig = zones.limit(20).toPandas().set_index("zone_id")
+        for zid in back.index:
+            a = geom.rings_from_cell(back.loc[zid, "rings"])
+            b = geom.rings_from_cell(orig.loc[zid, "rings4326"])
+            for ra, rb in zip(a, b):
+                np.testing.assert_allclose(ra, rb, atol=1e-7)

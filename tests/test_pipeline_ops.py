@@ -1,0 +1,136 @@
+"""Training-data pipeline operators: dedup recall, ANN recall, text, media,
+sources (tested on synth + in-memory data; the driver gate covers exactness
+vs DuckDB)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_common_python_spark.operators import dedup, multimodal, similarity, text as text_ops
+from gdal_common_python_spark.sources.catalog import IcebergLayoutTable, guess_format
+from gdal_common_python_spark.sources.geojson import to_feature_collection
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "the quick brown fox jumps over the lazy dog"),  # exact dup
+        ("d3", "the quick brown fox jumped over the lazy dog"),  # near dup
+        ("d4", "el rapido zorro marron salta sobre el perro perezoso que es muy lento"),
+        ("d5", "completely different content about distributed query engines"),
+        ("d6", ""),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+class TestDedup:
+    def test_exact(self, texts):
+        out = dedup.exact_duplicates(texts).collect()
+        assert len(out) == 1 and out[0].n_docs == 2 and out[0].keep_id == "d1"
+
+    def test_minhash_lsh_finds_near_dup(self, texts):
+        signed = dedup.minhash_docs(texts, k=16, n=3)
+        pairs = dedup.lsh_candidate_pairs(signed, bands=8, rows=2).collect()
+        got = {(p.a_id, p.b_id) for p in pairs}
+        assert ("d1", "d2") in got  # exact dup always collides
+        est = {(p.a_id, p.b_id): p.est_jaccard for p in pairs}
+        assert est[("d1", "d2")] == 1.0
+
+    def test_ngram_jaccard(self, texts):
+        pairs = texts.sparkSession.createDataFrame(
+            pd.DataFrame([("d1", "d2"), ("d1", "d3"), ("d1", "d5")], columns=["a_id", "b_id"])
+        )
+        out = {(r.a_id, r.b_id): r.jaccard for r in dedup.ngram_jaccard_pairs(texts, pairs).collect()}
+        assert out[("d1", "d2")] == 1.0
+        assert 0.0 < out[("d1", "d3")] < 1.0
+        assert out[("d1", "d5")] == 0.0
+
+    def test_simhash_similarity_order(self, texts):
+        out = {r.doc_id: r.simhash for r in dedup.simhash_docs(texts, bits=32).collect()}
+        def ham(a, b):
+            return bin(a ^ b).count("1")
+        assert ham(out["d1"], out["d2"]) == 0
+        assert ham(out["d1"], out["d3"]) < ham(out["d1"], out["d5"])
+
+
+class TestSimilarity:
+    def test_lsh_recall_vs_bruteforce(self, spark):
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(8, 16))
+        rows = []
+        for i in range(80):
+            v = base[i % 8] + rng.normal(scale=0.05, size=16)
+            rows.append((i, v.astype(np.float32).tolist()))
+        emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+        exact = {
+            (r.vec_id, r.neighbor_id) for r in similarity.cosine_topk(emb, k=3).collect()
+        }
+        approx = {
+            (r.vec_id, r.neighbor_id)
+            for r in similarity.lsh_topk(emb, k=3, n_planes=4, dim=16).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall > 0.8, recall
+
+
+class TestText:
+    def test_profile_basics(self, texts):
+        out = {r.doc_id: r for r in text_ops.text_profile(texts).collect()}
+        assert out["d1"].n_tokens == 9
+        assert out["d6"].n_tokens == 0
+        assert out["d1"].lang_guess == "en"
+        assert out["d4"].lang_guess == "es"
+        assert 0.0 <= out["d1"].quality <= 1.0
+        assert out["d1"].fp == out["d2"].fp != out["d3"].fp
+
+
+class TestMultimodal:
+    def test_media_features_plumbing(self, docs):
+        out = multimodal.extract_media_features(docs)
+        rows = out.collect()
+        spans = multimodal.media_spans(docs).count()
+        assert len(rows) == spans > 0
+        r = rows[0]
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert r.media_ref == f"{r.raster_id}/{r.band}"
+        assert 64 <= r.width < 256
+
+
+class TestSources:
+    def test_guess_format(self):
+        assert guess_format("a/b.parquet") == "parquet"
+        assert guess_format("a/b.geojson") == "json"
+        assert guess_format("warehouse/zones") == "iceberg_layout"
+
+    def test_iceberg_layout_snapshots(self, spark, zones, tmp_path):
+        t = IcebergLayoutTable(str(tmp_path / "ztab"))
+        t.append(zones.limit(10).select("zone_id", "name"))
+        assert t.read(spark).count() == 10
+        t.append(zones.limit(5).select("zone_id", "name"))
+        assert t.read(spark).count() == 15
+        t.overwrite(zones.limit(3).select("zone_id", "name"))
+        assert t.read(spark).count() == 3
+
+    def test_geojson(self, zones):
+        import json
+
+        s = to_feature_collection(zones.limit(2))
+        obj = json.loads(s)
+        assert obj["type"] == "FeatureCollection" and len(obj["features"]) == 2
+        assert obj["features"][0]["geometry"]["type"] == "Polygon"
+
+
+class TestMeasures:
+    def test_calc_geometry(self, spark, zones):
+        from gdal_common_python_spark.functions import units as U
+        from gdal_common_python_spark.functions.measures import calc_geometry
+        from gdal_common_python_spark.operators.reproject import reproject
+
+        merc = reproject(zones.limit(5), 3857)
+        out = calc_geometry(merc, "area_km2", U.AREA_SQ_KILOMETER, 3857).collect()
+        for r in out:
+            assert r.area_km2 > 0
+        with pytest.raises(ValueError):
+            calc_geometry(zones, "x", U.AREA_SQ_METER, 4326)
