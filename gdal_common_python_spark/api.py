@@ -1,0 +1,161 @@
+"""Reference-shaped API facade — one entry per reference function.
+
+A user of ``lindseysim/gdal-common-python`` can find every operation they
+call today under the same name here, re-expressed over DataFrames. Each
+docstring cites the reference implementation (file:line) it replaces; the
+SURVEY.md §2 inventory IDs are noted for the coverage audit.
+
+Layer/feature handles become DataFrames; datasource paths go through
+``sources.catalog``; per-row callbacks become vectorized expressions or
+Arrow kernels (the reference's callback sites are listed in SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+from .functions import dates as _dates, measures as _measures
+from .kernels import geom as _geom
+from .operators import (
+    dissolve as _dissolve,
+    equi_join as _equi_join,
+    knn as _knn,
+    mosaic as _mosaic,
+    overlay as _overlay,
+    reproject as _reproject,
+    spatial_join as _spatial_join,
+    zonal as _zonal,
+)
+from .sources import catalog as _catalog, geojson as _geojson
+
+# ----------------------------------------------------------- features.py
+
+
+def get_datasource(spark: SparkSession, path_or_name: str) -> DataFrame:
+    """S1/S2 — features.get_datasource (features.py:64-76) + driver guessing
+    (features.py:27-57): format registry + load."""
+    return _catalog.load(spark, path_or_name)
+
+
+def count(df: DataFrame) -> int:
+    """S5/A1 — features.count (features.py:167-179)."""
+    return df.count()
+
+
+def copy_datasource_as_empty(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """S4 — features.copy_datasource_as_empty (features.py:97-135): clone
+    schema, zero rows."""
+    return spark.createDataFrame([], df.schema)
+
+
+def get_extent(df: DataFrame) -> DataFrame:
+    """P11 — features.get_extent (features.py:79-94): per-feature envelope
+    (the precomputed bbox column, or derived from rings)."""
+    if "bbox" in df.columns:
+        return df.select("zone_id", "bbox")
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("xmin", T.DoubleType()),
+                T.StructField("ymin", T.DoubleType()),
+                T.StructField("xmax", T.DoubleType()),
+                T.StructField("ymax", T.DoubleType()),
+            ]
+        )
+    )
+    def bb(rings: pd.Series) -> pd.DataFrame:
+        rows = []
+        for rr in rings:
+            xmin, ymin, xmax, ymax = _geom.rings_bbox(_geom.rings_from_cell(rr))
+            rows.append(dict(xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax))
+        return pd.DataFrame(rows)
+
+    return df.withColumn("bbox", bb("rings"))
+
+
+def make_valid(df: DataFrame, rings_col: str = "rings") -> DataFrame:
+    """P10 — features.make_valid (features.py:204-223): normalize rings
+    (drop closing vertex, drop degenerate rings)."""
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))))
+    def norm(rings: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [r.tolist() for r in _geom.normalize_rings(_geom.rings_from_cell(rr))]
+                for rr in rings
+            ]
+        )
+
+    return df.withColumn(rings_col, norm(rings_col))
+
+
+# ------------------------------------------------------------- fields.py
+
+
+def values(df: DataFrame, fields: list[str]) -> list[dict]:
+    """P2 — fields.values (fields.py:158-201): materialize selected columns
+    (driver-side, small results only — the reference always materialized)."""
+    return [r.asDict() for r in df.select(*fields).collect()]
+
+
+def calculate(df: DataFrame, on_field: str, use_fields: list[str], batch_fn) -> DataFrame:
+    """P6 — fields.calculate (fields.py:312-343). The reference's per-row
+    ``calc_callback(i, feat, values)`` becomes a VECTORIZED batch function
+    ``batch_fn(*pandas_series) -> pandas_series`` (SURVEY §2.9): the central
+    no-per-row-Python replacement."""
+    udf = F.pandas_udf(T.DoubleType())(batch_fn)
+    return df.withColumn(on_field, udf(*[F.col(c) for c in use_fields]))
+
+
+calc_geometry = _measures.calc_geometry  # P7/M1/M2 — fields.calc_geometry (fields.py:346-423)
+
+join = _equi_join.attribute_join  # J1 — fields.join (fields.py:426-497)
+
+
+# ----------------------------------------------------------- lib/extract.py
+
+
+def extract_features(df: DataFrame, predicate: Column) -> DataFrame:
+    """P8/P9 — extract.features / features_with_callback
+    (lib/extract.py:8-76): the validation callback becomes a Column
+    predicate (Catalyst pushes it to the scan)."""
+    return df.filter(predicate)
+
+
+# -------------------------------------------------------------- lib/*.py
+
+intersect = _spatial_join.spatial_join_geoms  # J2 — join.intersect (lib/join.py:5-60)
+near_table = _knn.near_table  # J3 — analysis.near_table (lib/analysis.py:241-322)
+knn = _knn.knn  # J3 scale path — kNN via cell-disk + re-rank
+
+buffer = _overlay.buffer_points  # G1 — analysis.buffer (lib/analysis.py:8-51)
+clip = _overlay.clip  # G2 — analysis.clip (lib/analysis.py:54-76)
+erase = _overlay.erase  # G3 — analysis.erase (lib/analysis.py:79-102)
+identity = _overlay.identity  # G4 — analysis.identity (lib/analysis.py:105-131)
+intersection = _overlay.intersection  # G5 — analysis.intersection (lib/analysis.py:134-160)
+symmetrical_difference = _overlay.symmetric_difference  # G6 (lib/analysis.py:163-186)
+union = _overlay.union_layers  # G7 — analysis.union (lib/analysis.py:189-212)
+update = _overlay.update  # G8 — analysis.update (lib/analysis.py:215-238)
+
+dissolve = _dissolve.dissolve  # A2/A3/A4 — dissolve.all/single_part/on_field (lib/dissolve.py)
+zonal_statistics = _zonal.zonal_statistics  # A5/A6 — zonal.statistics (lib/zonal.py:11-172)
+mosaic_rasters = _mosaic.mosaic  # R8/S10 — mosaic.rasters (lib/mosaic.py:6-40)
+reproject = _reproject.reproject  # V1 — reproject.reproject_features (lib/reproject.py:9-48)
+rectify = _reproject.rectify  # V2 — _rectifyinputs (lib/_rectifyinputs.py:7-56)
+
+to_geojson = _geojson.to_feature_collection  # S9 — conversion.feature.to_geojson
+
+# ---------------------------------------------------------------- date.py
+
+day_of_year = _dates.day_of_year  # D1 (date.py:8-14)
+add_years = _dates.add_years  # D2 (date.py:17-23)
+add_days = _dates.add_days  # D3 (date.py:26-32)
+add_hours = _dates.add_hours  # D3 (date.py:35-41)
+add_minutes = _dates.add_minutes  # D3 (date.py:44-50)
+add_seconds = _dates.add_seconds  # D3 (date.py:53-59)
+is_leap_year = _dates.is_leap_year_ref  # D4 — reference rule (date.py:62-68)
+days_in_month = _dates.days_in_month_ref  # D5 (date.py:71-83)
+get_month_name = _dates.month_name  # D6 (date.py:86-94)
+get_month_abbreviation = _dates.month_abbreviation  # D6 (date.py:97-105)

@@ -271,6 +271,66 @@ def buffer_point(x: float, y: float, dist: float, n: int = 32) -> np.ndarray:
     return np.column_stack([x + dist * np.cos(th), y + dist * np.sin(th)])
 
 
+def is_convex(ring: np.ndarray) -> bool:
+    """True iff the (open, CCW or CW) ring is convex: all consecutive-edge
+    cross products share a sign (zeros allowed for collinear vertices)."""
+    r = np.asarray(ring, dtype=np.float64)
+    a = np.roll(r, -1, axis=0) - r
+    b = np.roll(a, -1, axis=0)
+    cr = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    return bool((cr >= -1e-12).all() or (cr <= 1e-12).all())
+
+
+def clip_halfplanes(subject: np.ndarray, lines: np.ndarray) -> np.ndarray | None:
+    """Clip a ring by an intersection of half-planes (keep LEFT of each
+    directed line (x1,y1)->(x2,y2)). Sutherland-Hodgman core shared by
+    clip_convex and the difference decomposition."""
+    out = np.asarray(subject, dtype=np.float64)
+    for cx1, cy1, cx2, cy2 in np.asarray(lines, dtype=np.float64):
+        if len(out) == 0:
+            return None
+        prev = out
+        keep = _orient(cx1, cy1, cx2, cy2, prev[:, 0], prev[:, 1]) >= 0
+        res = []
+        for j in range(len(prev)):
+            k = (j + 1) % len(prev)
+            if keep[j]:
+                res.append(prev[j])
+            if keep[j] != keep[k]:
+                x1, y1 = prev[j]
+                x2, y2 = prev[k]
+                den = (cx2 - cx1) * (y2 - y1) - (cy2 - cy1) * (x2 - x1)
+                if den != 0.0:
+                    t = -((cx2 - cx1) * (y1 - cy1) - (cy2 - cy1) * (x1 - cx1)) / den
+                    res.append(np.array([x1 + t * (x2 - x1), y1 + t * (y2 - y1)]))
+        out = np.asarray(res) if res else np.empty((0, 2))
+    return out if len(out) >= 3 else None
+
+
+def difference_convex(subject: np.ndarray, clip_ring: np.ndarray) -> list[np.ndarray]:
+    """subject \\ convex CCW clip ring, as a list of disjoint pieces.
+
+    Standard half-plane decomposition: with clip edges e_1..e_k,
+    subject \\ C = union over i of (subject RIGHT of e_i AND LEFT of
+    e_1..e_{i-1}) — each piece is one half-plane-sequence clip. Exact for
+    the fixture classes (convex erase layers); the erase/identity/symdiff
+    overlays build on this (lib/analysis.py:100,126,184 analogs)."""
+    clip = np.asarray(clip_ring, dtype=np.float64)
+    k = len(clip)
+    edges = [(clip[i], clip[(i + 1) % k]) for i in range(k)]
+    pieces = []
+    for i in range(k):
+        (a, b) = edges[i]
+        lines = [np.array([b[0], b[1], a[0], a[1]])]  # RIGHT of e_i = left of reversed
+        for j in range(i):
+            (aj, bj) = edges[j]
+            lines.append(np.array([aj[0], aj[1], bj[0], bj[1]]))
+        piece = clip_halfplanes(subject, np.asarray(lines))
+        if piece is not None and abs(signed_area(piece)) > 1e-12:
+            pieces.append(piece)
+    return pieces
+
+
 def clip_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None:
     """Sutherland–Hodgman clip of an arbitrary ring by a CONVEX CCW ring.
 

@@ -64,7 +64,7 @@ def _clip_rings(subject: list[np.ndarray], clip: list[np.ndarray]) -> list[np.nd
     outer clip ring. Holes in the clip side are unsupported (raise)."""
     out = []
     for c in clip:
-        if geom.signed_area(c) < 0:
+        if geom.signed_area(c) < 0 or not geom.is_convex(c):
             raise NotImplementedError("concave/hole clip rings unsupported")
         for s in subject:
             res = geom.clip_convex(s, c)
@@ -113,6 +113,99 @@ def clip(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
 def intersection(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
     """G5 (lib/analysis.py:134-160): same geometry as clip, both attr ids."""
     return clip(spark, left, right)
+
+
+_ERASE_SCHEMA = T.StructType(
+    [
+        T.StructField("l_id", T.LongType()),
+        T.StructField("rings", _RINGS_T),
+        T.StructField("area", T.DoubleType()),
+    ]
+)
+
+
+def erase(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
+    """G3 (lib/analysis.py:79-102): left geometry minus all overlapping right
+    geometry; rows with no candidates pass through (anti-join union).
+    Right-side rings must be convex outers (half-plane decomposition);
+    right-side holes are ignored — fixture scope, SURVEY §2.5 parity note."""
+    cand = _pair_candidates(spark, left, right)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        subj = geom.rings_from_cell(pdf["l_rings"].iloc[0])
+        pieces = list(subj)
+        for rr in pdf["r_rings"]:
+            for clip_ring in geom.rings_from_cell(rr):
+                if geom.signed_area(clip_ring) <= 0:
+                    continue  # skip holes on the erase side
+                if not geom.is_convex(clip_ring):
+                    raise NotImplementedError("concave erase rings unsupported")
+                pieces = [q for p in pieces for q in geom.difference_convex(p, clip_ring)]
+        if not pieces:
+            return pd.DataFrame(columns=["l_id", "rings", "area"])
+        return pd.DataFrame(
+            [
+                dict(
+                    l_id=int(key[0]),
+                    rings=[p.tolist() for p in pieces],
+                    area=float(sum(geom.signed_area(p) for p in pieces)),
+                )
+            ]
+        )
+
+    erased = cand.groupBy("l_id").applyInPandas(kernel, _ERASE_SCHEMA)
+
+    @F.pandas_udf(T.DoubleType())
+    def area_of(rings: pd.Series) -> pd.Series:
+        return pd.Series(
+            [geom.polygon_area(geom.rings_from_cell(r)) for r in rings]
+        )
+
+    untouched = (
+        left.join(cand.select("l_id").distinct(), left["zone_id"] == F.col("l_id"), "left_anti")
+        .select(F.col("zone_id").alias("l_id"), "rings")
+        .withColumn("area", area_of("rings"))
+    )
+    return erased.unionByName(untouched)
+
+
+def identity(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
+    """G4 (lib/analysis.py:105-131): intersection pieces carry both ids;
+    the un-overlapped remainder keeps left id with null r_id."""
+    inter = clip(spark, left, right)
+    rest = erase(spark, left, right).withColumn("r_id", F.lit(None).cast("long"))
+    return inter.select("l_id", "r_id", "rings", "area").unionByName(
+        rest.select("l_id", "r_id", "rings", "area")
+    )
+
+
+def symmetric_difference(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
+    """G6 (lib/analysis.py:163-186): erase both directions, union."""
+    a = erase(spark, left, right).withColumn("side", F.lit("left"))
+    b = erase(spark, right, left).withColumn("side", F.lit("right"))
+    return a.unionByName(b)
+
+
+def union_layers(left: DataFrame, right: DataFrame) -> DataFrame:
+    """G7 (lib/analysis.py:189-212): relational union of the two layers —
+    the reference's Union does NOT create intersection splits
+    (lib/analysis.py:192 docstring), so this is unionByName."""
+    cols = [c for c in left.columns if c in right.columns]
+    return left.select(*cols).unionByName(right.select(*cols))
+
+
+def update(spark: SparkSession, base: DataFrame, upd: DataFrame) -> DataFrame:
+    """G8 (lib/analysis.py:215-238): erase(base, upd) + upd features."""
+
+    @F.pandas_udf(T.DoubleType())
+    def area_of(rings: pd.Series) -> pd.Series:
+        return pd.Series([geom.polygon_area(geom.rings_from_cell(r)) for r in rings])
+
+    kept = erase(spark, base, upd)
+    incoming = upd.select(F.col("zone_id").alias("l_id"), "rings").withColumn(
+        "area", area_of("rings")
+    )
+    return kept.unionByName(incoming)
 
 
 def buffer_points(points: DataFrame, dist: float, n: int = 32) -> DataFrame:
