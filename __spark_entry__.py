@@ -77,6 +77,19 @@ def q_spatial_join_pip(spark, sf_dir):
     )
 
 
+def q_spatial_join_pip_salted(spark, sf_dir):
+    """Same join, forced sort-merge + hot-cell salting physical path — must
+    produce byte-identical rows (same oracle as spatial_join_pip)."""
+    return sj.spatial_join_points(
+        spark,
+        _synth(spark, sf_dir, "documents_spans"),
+        _synth(spark, sf_dir, "zones"),
+        strategy="sortmerge",
+        salt_threshold=500,
+        n_salt=8,
+    )
+
+
 def q_spatial_join_polygons(spark, sf_dir):
     return sj.spatial_join_geoms(
         spark,
@@ -285,6 +298,7 @@ def q_orders_by_segment(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_pip": q_spatial_join_pip,
+        "spatial_join_pip_salted": q_spatial_join_pip_salted,
         "spatial_join_polygons": q_spatial_join_polygons,
         "tile_assignment": q_tile_assignment,
         "zonal_counts": q_zonal_counts,
@@ -789,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
     synth.ensure("sf0.01")  # the oracle reads the synth parquet directly
     return {
         "spatial_join_pip": _SQL_SPATIAL_JOIN_PIP,
+        "spatial_join_pip_salted": _SQL_SPATIAL_JOIN_PIP,
         "tile_assignment": _SQL_TILE_ASSIGNMENT,
         "knn": _SQL_KNN,
         "near_table": _SQL_NEAR,

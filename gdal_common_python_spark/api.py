@@ -19,6 +19,7 @@ from .functions import dates as _dates, measures as _measures
 from .kernels import geom as _geom
 from .operators import (
     dissolve as _dissolve,
+    resample as _resample,
     equi_join as _equi_join,
     knn as _knn,
     mosaic as _mosaic,
@@ -143,6 +144,7 @@ dissolve = _dissolve.dissolve  # A2/A3/A4 — dissolve.all/single_part/on_field 
 zonal_statistics = _zonal.zonal_statistics  # A5/A6 — zonal.statistics (lib/zonal.py:11-172)
 mosaic_rasters = _mosaic.mosaic  # R8/S10 — mosaic.rasters (lib/mosaic.py:6-40)
 reproject = _reproject.reproject  # V1 — reproject.reproject_features (lib/reproject.py:9-48)
+resample_raster = _resample.resample_nearest  # R7 — reproject.reproject_raster (lib/reproject.py:51-127; reference impl buggy, semantics ours)
 rectify = _reproject.rectify  # V2 — _rectifyinputs (lib/_rectifyinputs.py:7-56)
 
 to_geojson = _geojson.to_feature_collection  # S9 — conversion.feature.to_geojson

@@ -1,0 +1,40 @@
+"""Build the --py-files artifact: dist/gdal_common_python_spark.zip.
+
+Usage:
+    python3 scripts/package.py
+    spark-submit --py-files dist/gdal_common_python_spark.zip your_job.py
+
+The zip contains the package only (no tests/data); deterministic entries
+(sorted, zeroed timestamps) so repeated builds are byte-identical.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "gdal_common_python_spark"
+OUT = os.path.join(ROOT, "dist", f"{PKG}.zip")
+
+
+def build() -> str:
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    entries = []
+    for dirpath, dirnames, filenames in os.walk(os.path.join(ROOT, PKG)):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        for f in sorted(filenames):
+            if f.endswith(".py"):
+                full = os.path.join(dirpath, f)
+                entries.append((os.path.relpath(full, ROOT), full))
+    with zipfile.ZipFile(OUT, "w", zipfile.ZIP_DEFLATED) as z:
+        for arc, full in sorted(entries):
+            info = zipfile.ZipInfo(arc, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            with open(full, "rb") as fh:
+                z.writestr(info, fh.read())
+    return OUT
+
+
+if __name__ == "__main__":
+    print(build())

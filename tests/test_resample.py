@@ -1,0 +1,55 @@
+"""R7 resample vs a full-raster numpy oracle (engine-defined semantics:
+target pixel center -> source index via R1 truncation; OOB -> nodata)."""
+
+import numpy as np
+
+from gdal_common_python_spark.operators.resample import resample_nearest
+
+
+def test_resample_nearest_matches_oracle(spark, tiles, rasters):
+    rp = rasters.toPandas()
+    tgt = rp[rp.raster_id == "r3"].iloc[0]
+    target = dict(
+        origin_x=tgt.origin_x, origin_y=tgt.origin_y, px_x=tgt.px_x, px_y=tgt.px_y,
+        width=int(tgt.width), height=int(tgt.height),
+    )
+    out = resample_nearest(spark, tiles, "r0", 1, target).toPandas()
+
+    src = rp[(rp.raster_id == "r0") & (rp.band == 1)].iloc[0]
+    tp = tiles.filter("raster_id='r0' AND band=1").toPandas()
+    full = np.zeros((int(src.height), int(src.width)))
+    for _, t in tp.iterrows():
+        full[t.tile_y * 32 : t.tile_y * 32 + t.tile_h, t.tile_x * 32 : t.tile_x * 32 + t.tile_w] = (
+            np.asarray(t.pixels).reshape(t.tile_h, t.tile_w)
+        )
+    cx = tgt.origin_x + (np.arange(int(tgt.width)) + 0.5) * tgt.px_x
+    cy = tgt.origin_y + (np.arange(int(tgt.height)) + 0.5) * tgt.px_y
+    sx = np.trunc((cx - src.origin_x) / src.px_x).astype(int)
+    sy = np.trunc((cy - src.origin_y) / src.px_y).astype(int)
+    exp = np.full((int(tgt.height), int(tgt.width)), -9999.0)
+    okx = (sx >= 0) & (sx < int(src.width))
+    oky = (sy >= 0) & (sy < int(src.height))
+    exp[np.ix_(np.where(oky)[0], np.where(okx)[0])] = full[np.ix_(sy[oky], sx[okx])]
+
+    got = np.full_like(exp, np.nan)
+    for _, t in out.iterrows():
+        got[t.tile_y * 32 : t.tile_y * 32 + t.tile_h, t.tile_x * 32 : t.tile_x * 32 + t.tile_w] = (
+            np.asarray(t.pixels).reshape(t.tile_h, t.tile_w)
+        )
+    assert (got == exp).all()
+
+
+def test_resample_identity_grid(spark, tiles, rasters):
+    """Resampling onto the SAME grid reproduces the raster exactly."""
+    rp = rasters.toPandas()
+    src = rp[(rp.raster_id == "r0") & (rp.band == 1)].iloc[0]
+    target = dict(
+        origin_x=src.origin_x, origin_y=src.origin_y, px_x=src.px_x, px_y=src.px_y,
+        width=int(src.width), height=int(src.height),
+    )
+    out = resample_nearest(spark, tiles, "r0", 1, target).toPandas()
+    tp = tiles.filter("raster_id='r0' AND band=1").toPandas()
+    orig = {(int(t.tile_x), int(t.tile_y)): np.asarray(t.pixels) for _, t in tp.iterrows()}
+    assert len(out) == len(orig)
+    for _, t in out.iterrows():
+        np.testing.assert_array_equal(np.asarray(t.pixels), orig[(int(t.tile_x), int(t.tile_y))])
