@@ -168,6 +168,25 @@ def q_dissolve_components(spark, sf_dir):
     )
 
 
+def q_dissolve_components_scalable(spark, sf_dir):
+    """Same A3 result via the scale path: J2 self-join pair table +
+    iterative min-label propagation (no per-group quadratic kernel).
+    Shares the recursive-CTE oracle with dissolve_components."""
+    from gdal_common_python_spark.operators.dissolve import connected_components
+
+    zones = _synth(spark, sf_dir, "zones").select(
+        "zone_id", "category", F.col("rings4326").alias("rings"), "bbox4326"
+    ).withColumn("bbox", F.col("bbox4326")).drop("bbox4326")
+    comp = connected_components(spark, zones, group_col="category")
+    # dissolve groups by category first: relabel components per category by
+    # joining category back and counting distinct (category, component)
+    withcat = comp.join(_synth(spark, sf_dir, "zones").select("zone_id", "category"), "zone_id")
+    return withcat.groupBy("category").agg(
+        F.countDistinct("component").alias("n_components"),
+        F.count("*").alias("feat_count"),
+    )
+
+
 def q_mosaic(spark, sf_dir):
     tiles = _synth(spark, sf_dir, "raster_tiles")
     m = mosaic_ops.mosaic(tiles, raster_ids=["r0", "r1", "r2"], band=1)
@@ -307,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_table": q_near_table,
         "dissolve_category": q_dissolve_category,
         "dissolve_components": q_dissolve_components,
+        "dissolve_components_scalable": q_dissolve_components_scalable,
         "mosaic": q_mosaic,
         "media_metadata": q_media_metadata,
         "span_invariant": q_span_invariant,
@@ -523,10 +543,12 @@ _SQL_SHINGLES = """
   WHERE len(toks) > 0
 """
 
+# component 4i+r = min over shingles of the r-th 8-hex slice of
+# md5(i || ':' || shingle) — mirrors operators.dedup.minhash_signature
 _SQL_MINHASH_SIGNED = (
     "  SELECT doc_id, ["
     + ", ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5(concat('{j}:', s))), 'min')"
+        f"list_aggregate(list_transform(shingles, s -> substr(md5(concat('{j // 4}:', s)), {1 + 8 * (j % 4)}, 8)), 'min')"
         for j in range(16)
     )
     + f"] AS sig FROM ({_SQL_SHINGLES}) WHERE len(shingles) > 0"
@@ -809,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         "near_table": _SQL_NEAR,
         "dissolve_category": _SQL_DISSOLVE_CATEGORY,
         "dissolve_components": _SQL_DISSOLVE_COMPONENTS,
+        "dissolve_components_scalable": _SQL_DISSOLVE_COMPONENTS,
         "mosaic": _SQL_MOSAIC,
         "media_metadata": _SQL_MEDIA_METADATA,
         "span_invariant": _SQL_SPAN_INVARIANT,

@@ -156,8 +156,14 @@ def _bench_main():
         # ~8-16 regardless of workload (see BENCH/BASELINE.md).
         n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         n_high = 4 * n_low
-        dt_low = _pinned_flagship(n_low, bdir)
-        dt_high = _pinned_flagship(n_high, bdir)
+        # the host is noisy: interleave the two levels and take per-level
+        # minima so a slow patch hits both levels, not just one
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        lows, highs = [], []
+        for _ in range(reps):
+            lows.append(_pinned_flagship(n_low, bdir))
+            highs.append(_pinned_flagship(n_high, bdir))
+        dt_low, dt_high = min(lows), min(highs)
         tp_low, tp_high = n_docs / dt_low, n_docs / dt_high
         result["scaling"] = {
             f"local[{n_low}]_docs_per_sec": round(tp_low, 1),

@@ -316,6 +316,13 @@ def difference_convex(subject: np.ndarray, clip_ring: np.ndarray) -> list[np.nda
     the fixture classes (convex erase layers); the erase/identity/symdiff
     overlays build on this (lib/analysis.py:100,126,184 analogs)."""
     clip = np.asarray(clip_ring, dtype=np.float64)
+    # drop zero-length edges (consecutive duplicate vertices): a degenerate
+    # half-plane keeps everything and would double-count pieces
+    nxt = np.roll(clip, -1, axis=0)
+    keep = ~np.all(clip == nxt, axis=1)
+    clip = clip[keep]
+    if len(clip) < 3:
+        return [np.asarray(subject, dtype=np.float64)]
     k = len(clip)
     edges = [(clip[i], clip[(i + 1) % k]) for i in range(k)]
     pieces = []

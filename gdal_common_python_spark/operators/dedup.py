@@ -46,22 +46,40 @@ def shingles_col(text_col: str = "text", n: int = 3):
 
 
 def minhash_signature(k: int = 16, shingle_col: str = "shingles"):
-    """Array of k min-md5 values (strings) over the shingle set."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(F.col(shingle_col), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
-            )
-            for j in range(k)
-        ]
-    )
+    """Array of k min-hash values (strings) over the shingle set.
+
+    Component 4i+r is the min over shingles of the r-th 8-hex slice of
+    md5(i || ':' || shingle) — one md5 yields four independent 32-bit
+    component hashes, so k=16 costs 4 md5 passes instead of 16 (the md5 is
+    the dominant cost at corpus scale). The DuckDB oracle mirrors the same
+    slicing, so signatures stay bit-identical."""
+    assert k % 4 == 0
+
+    def slicer(r):
+        # NB: a two-parameter lambda would be treated by Spark as an
+        # (element, index) HOF lambda — capture r via a closure factory
+        return lambda h: F.substring(h, 1 + 8 * r, 8)
+
+    comps = []
+    for i in range(k // 4):
+        for r in range(4):
+            comps.append(F.array_min(F.transform(F.col(f"__mh{i}"), slicer(r))))
+    return F.array(*comps)
 
 
 def minhash_docs(docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .withColumn("sig", minhash_signature(k))
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    # materialize each md5 pass once as its own column (explicit reuse
+    # across the 4 slice-mins — don't rely on CSE through HOF lambdas)
+    def hasher(i):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    for i in range(k // 4):
+        out = out.withColumn(f"__mh{i}", F.transform(F.col("shingles"), hasher(i)))
+    return out.withColumn("sig", minhash_signature(k)).drop(
+        *[f"__mh{i}" for i in range(k // 4)]
     )
 
 

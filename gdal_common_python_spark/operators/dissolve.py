@@ -66,6 +66,63 @@ _SCHEMA = T.StructType(
 )
 
 
+def connected_components(
+    spark, zones: DataFrame, group_col: str | None = None, max_iters: int = 50
+) -> DataFrame:
+    """Scale path for single-part dissolve (SURVEY §2.4 A3): connected
+    components over the exact pairwise-intersects table via iterative
+    min-label propagation — each iteration is one join + one aggregation,
+    converging in O(log(diameter)) rounds, instead of the per-group
+    quadratic kernel. Returns (zone_id, component).
+
+    The pair table comes from the overlay candidate machinery (bbox
+    prefilter + exact kernel), i.e. the J2 self-join — at web scale swap the
+    bbox broadcast for the cell-partitioned join; semantics are unchanged.
+    """
+    from pyspark.sql import functions as FF
+
+    from .overlay import intersect_pairs
+
+    pairs = intersect_pairs(spark, zones, zones).filter(FF.col("l_id") != FF.col("r_id"))
+    if group_col is not None:
+        # dissolve groups first (lib/dissolve.py:165): only same-group pairs merge
+        g = zones.select(FF.col("zone_id"), FF.col(group_col).alias("__g"))
+        pairs = (
+            pairs.join(g.withColumnRenamed("zone_id", "l_id").withColumnRenamed("__g", "__gl"), "l_id")
+            .join(g.withColumnRenamed("zone_id", "r_id").withColumnRenamed("__g", "__gr"), "r_id")
+            .filter(FF.col("__gl") == FF.col("__gr"))
+            .select("l_id", "r_id")
+        )
+    sym = pairs.unionByName(
+        pairs.select(FF.col("r_id").alias("l_id"), FF.col("l_id").alias("r_id"))
+    ).distinct()
+    sym = sym.cache()
+    labels = zones.select(FF.col("zone_id"), FF.col("zone_id").alias("component"))
+    for _ in range(max_iters):
+        # each node adopts the min label among itself and its neighbours
+        neigh = (
+            sym.join(labels, sym["r_id"] == labels["zone_id"])
+            .select(FF.col("l_id").alias("zone_id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("zone_id")
+            .agg(FF.min("component").alias("component"))
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            labels.alias("a")
+            .join(new_labels.alias("b"), "zone_id")
+            .filter(FF.col("a.component") != FF.col("b.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def dissolve(
     zones: DataFrame,
     on_fields: list[str] | None = None,

@@ -49,15 +49,19 @@ def cosine_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str
 
 def _bucket(vec_col, n_planes: int, dim: int):
     """Deterministic hyperplane signs: plane p, component i has weight
-    (md5-derived in [-0.5, 0.5)). Bucket = bit-packed signs."""
+    md5-derived in [-0.5, 0.5) — computed driver-side with hashlib (no RNG,
+    reproducible anywhere) and embedded as literals, so the bucket
+    expression is a plain codegen'd dot product. Bucket = bit-packed signs."""
+    import hashlib
+
     def weight(p, i):
-        h = F.conv(F.substring(F.md5(F.lit(f"plane{p}:{i}")), 1, 8), 16, 10).cast("double")
-        return h / F.lit(float(16**8)) - 0.5
+        h = int(hashlib.md5(f"plane{p}:{i}".encode()).hexdigest()[:8], 16)
+        return float(h) / float(16**8) - 0.5
 
     def sign(p):
         proj = None
         for i in range(dim):
-            term = F.element_at(vec_col, i + 1) * weight(p, i)
+            term = F.element_at(vec_col, i + 1) * F.lit(weight(p, i))
             proj = term if proj is None else proj + term
         return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 
@@ -76,20 +80,48 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: exact re-rank within random-hyperplane buckets."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("bucket", _bucket(F.col("v"), n_planes, dim))
-    a = v.select(F.col("vec_id"), F.col("v").alias("va"), "bucket")
-    b = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("vec_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        pairs.withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "rank", "neighbor_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("neighbor_id", T.LongType()),
+        ]
     )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        # whole-bucket cosine matrix in numpy: one GEMM per bucket instead
+        # of interpreted per-pair HOF folds — the exact per-bucket re-rank
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(columns=["vec_id", "rank", "neighbor_id"])
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        C = (M @ M.T) / np.outer(norms, norms)
+        np.fill_diagonal(C, -np.inf)
+        kk = min(k, len(ids) - 1)
+        n = len(ids)
+        vec_col_out = np.repeat(ids, kk)
+        rank_col = np.tile(np.arange(1, kk + 1), n)
+        neigh = np.empty(n * kk, dtype=np.int64)
+        for i in range(n):
+            # deterministic tie-break (-cos, neighbor_id), vectorized:
+            # lexsort keys are last-key-primary
+            order = np.lexsort((ids, -C[i]))[:kk]
+            neigh[i * kk : (i + 1) * kk] = ids[order]
+        return pd.DataFrame(
+            {"vec_id": vec_col_out, "rank": rank_col.astype(np.int32), "neighbor_id": neigh}
+        )
+
+    return v.groupBy("bucket").applyInPandas(rerank, schema)

@@ -209,22 +209,34 @@ def spatial_join_points(
     rows, mirroring what you'd do cluster-side with real size stats).
     """
     pts = geo_points(docs)
-    if res is None:
-        res = pick_join_resolution(zones)
-    zc = zone_cells(spark, zones, res)
 
-    # refinement payload: rectified edges per zone, shipped once per executor
+    # ONE driver-side collect of the (small) zone side feeds everything:
+    # resolution pick, refinement edges, and the strategy estimate — no
+    # extra Spark jobs on the query path
     zcols = ["zone_id", "srid", "rings"] + (["rings4326"] if "rings4326" in zones.columns else [])
     zones_pdf = zones.select(*zcols).toPandas()
     rect = rectified_zone_rings(zones_pdf)
+    if res is None:
+        widths = np.asarray(
+            [geom.rings_bbox(r)[2] - geom.rings_bbox(r)[0] for r in rect.values()] or [1.0]
+        )
+        res = cellk.pick_resolution(widths)
     edges = {zid: geom.rings_to_edges(rings) for zid, rings in rect.items()}
     bc_edges = spark.sparkContext.broadcast(edges)
+    zc = zone_cells(spark, zones, res)
 
     pts = pts.withColumn("cell", cell_expr(F.col("x"), F.col("y"), res))
 
     if strategy == "auto":
-        n_zone_cells = zc.count()
-        strategy = "broadcast" if n_zone_cells <= broadcast_zone_limit else "sortmerge"
+        # estimate the exploded zone-cell count from the collected bboxes
+        # instead of running a count job
+        n = 1 << res
+        w, h = 360.0 / n, 180.0 / n
+        est = 0
+        for rings in rect.values():
+            xmin, ymin, xmax, ymax = geom.rings_bbox(rings)
+            est += max(1, int((xmax - xmin) / w) + 1) * max(1, int((ymax - ymin) / h) + 1)
+        strategy = "broadcast" if est <= broadcast_zone_limit else "sortmerge"
 
     if strategy == "broadcast":
         cand = pts.join(F.broadcast(zc), "cell")
@@ -292,13 +304,15 @@ def spatial_join_geoms(
     spans = geo_spans(docs)
     if wkt_prefix:
         spans = spans.filter(F.col("wkt").startswith(wkt_prefix))
-    if res is None:
-        res = pick_join_resolution(zones)
-    zc = zone_cells(spark, zones, res)
-
     zcols = ["zone_id", "srid", "rings"] + (["rings4326"] if "rings4326" in zones.columns else [])
     zones_pdf = zones.select(*zcols).toPandas()
     rect = rectified_zone_rings(zones_pdf)
+    if res is None:
+        widths = np.asarray(
+            [geom.rings_bbox(r)[2] - geom.rings_bbox(r)[0] for r in rect.values()] or [1.0]
+        )
+        res = cellk.pick_resolution(widths)
+    zc = zone_cells(spark, zones, res)
     bc_rings = spark.sparkContext.broadcast(
         {zid: [r.tolist() for r in rings] for zid, rings in rect.items()}
     )

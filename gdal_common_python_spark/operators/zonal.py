@@ -86,7 +86,9 @@ def window_tiles(zones: DataFrame, rasters: DataFrame, tiles: DataFrame, tile_si
     t = tiles.select(
         "raster_id", "band", "tile_x", "tile_y", "tile_w", "tile_h", "pixels"
     )
-    return w.join(t, ["raster_id", "band", "tile_x", "tile_y"])
+    # broadcast the WINDOW side (zones x raster entries — small) so the tile
+    # table, which is the 100TB-scale side, streams without a shuffle
+    return t.join(F.broadcast(w), ["raster_id", "band", "tile_x", "tile_y"])
 
 
 def zonal_statistics(

@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 from .kernels import proj
 
-_SYNTH_VERSION = "4"
+_SYNTH_VERSION = "5"
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.path.join(REPO_ROOT, "data", "synth")
@@ -45,7 +45,7 @@ SCALES = {
     # bench-only scales: enough rows that the flagship join is compute-bound,
     # so the N-vs-4N scaling measurement reflects the engine, not job setup
     "sf1": dict(docs=2_000_000, zones=400, points=2_000, shards=64),
-    "sfbench": dict(docs=20_000_000, zones=400, points=2_000, shards=64),
+    "sfbench": dict(docs=40_000_000, zones=400, points=2_000, shards=64),
 }
 
 EXTENT = (-120.0, -80.0, 30.0, 45.0)  # xmin, xmax, ymin, ymax (WGS84)

@@ -1,0 +1,93 @@
+"""Property-based kernel tests (SURVEY §5.2 item 4) — seeded hypothesis,
+Spark-free."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from gdal_common_python_spark.kernels import cells, geom, raster as rk
+
+coord = st.floats(min_value=-170.0, max_value=170.0, allow_nan=False, width=64)
+lat = st.floats(min_value=-80.0, max_value=80.0, allow_nan=False, width=64)
+
+
+@st.composite
+def convex_polygon(draw):
+    cx = draw(coord)
+    cy = draw(lat)
+    r = draw(st.floats(min_value=0.01, max_value=5.0))
+    n = draw(st.integers(min_value=3, max_value=12))
+    th = np.sort(np.array([draw(st.floats(0, 2 * np.pi)) for _ in range(n)]))
+    if len(np.unique(th)) < 3:
+        th = np.linspace(0, 2 * np.pi, 5)[:-1]
+    return np.column_stack([cx + r * np.cos(th), cy + r * np.sin(th)])
+
+
+@settings(max_examples=60, deadline=None)
+@given(poly=convex_polygon(), px=coord, py=lat)
+def test_pip_inside_bbox(poly, px, py):
+    """PIP hits are contained in the bbox prefilter (never the reverse)."""
+    e = geom.rings_to_edges([poly])
+    inside = bool(geom.points_in_rings(np.array([px]), np.array([py]), e)[0])
+    xmin, ymin, xmax, ymax = geom.rings_bbox([poly])
+    if inside:
+        assert xmin <= px <= xmax and ymin <= py <= ymax
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=convex_polygon(), b=convex_polygon())
+def test_intersects_symmetry(a, b):
+    assert geom.polygon_intersects([a], [b]) == geom.polygon_intersects([b], [a])
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=convex_polygon(), b=convex_polygon())
+def test_clip_area_bounds(a, b):
+    """area(A ∩ B) <= min(area A, area B); clip+difference reconstructs A."""
+    if not geom.is_convex(b) or geom.signed_area(b) <= 0:
+        return
+    inter = geom.clip_convex(a, b)
+    ia = abs(geom.signed_area(inter)) if inter is not None else 0.0
+    aa, ab = abs(geom.signed_area(a)), abs(geom.signed_area(b))
+    assert ia <= min(aa, ab) + 1e-6 * max(aa, ab, 1)
+    rest = sum(abs(geom.signed_area(p)) for p in geom.difference_convex(a, b))
+    assert abs((ia + rest) - aa) <= 1e-6 * max(aa, 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(lon=coord, lt=lat, res=st.integers(min_value=3, max_value=14))
+def test_cell_hierarchy(lon, lt, res):
+    c = cells.encode([lon], [lt], res)[0]
+    p = cells.parent(np.array([c]), res - 1)[0]
+    assert p == cells.encode([lon], [lt], res - 1)[0]
+    cov = cells.cover_bbox(lon - 0.1, lt - 0.1, lon + 0.1, lt + 0.1, res)
+    assert c in cov
+
+
+@settings(max_examples=40, deadline=None)
+@given(poly=convex_polygon())
+def test_mask_subset_of_window(poly):
+    """mask(pixels) ⊆ window: every masked pixel center is inside the
+    quantized polygon (definitional) and mask count <= window size."""
+    xmin, ymin, xmax, ymax = geom.rings_bbox([poly])
+    w = rk.window_snap(xmin, ymin, xmax, ymax, -180.0, 90.0, 0.25, -0.25, 1440, 720)
+    if w is None:
+        return
+    win_ox, win_oy, rx, ry, _, _ = w
+    if rx * ry > 20000:
+        return
+    m = rk.rasterize_mask([poly], win_ox, win_oy, 0.25, -0.25, rx, ry)
+    assert m.shape == (ry, rx)
+    assert m.sum() <= rx * ry
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), max_size=50))
+def test_stats_invariants(vals):
+    s = rk.stats(np.asarray(vals, dtype=np.float64))
+    if not vals:
+        assert all(v == 0 for v in s.values())
+        return
+    assert s["min"] <= s["median"] <= s["max"] or len(vals) == 1
+    assert s["min"] <= s["perc90"] <= s["max"]
+    assert s["var"] >= -1e-9
+    assert s["min"] <= s["mean"] <= s["max"] or abs(s["mean"]) < 1e-6
