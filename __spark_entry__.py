@@ -275,6 +275,9 @@ def q_text_profile(spark, sf_dir):
 
 
 def q_events_dates(spark, sf_dir):
+    # the driver owns the session; timestamp semantics must not depend on
+    # its timezone — force UTC (runtime-settable) like the oracle's naive ts
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
     ts = F.col("ts")
     return ev.select(
@@ -288,6 +291,7 @@ def q_events_dates(spark, sf_dir):
 
 
 def q_pricing_summary(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -295,8 +299,8 @@ def q_pricing_summary(spark, sf_dir):
             F.count("*").alias("n_rows"),
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
             F.countDistinct("l_orderkey").alias("n_orders"),
-            F.min("l_shipdate").alias("first_ship"),
-            F.max("l_shipdate").alias("last_ship"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("first_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("last_ship"),
         )
     )
 
@@ -673,8 +677,8 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
        sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
        count(DISTINCT l_orderkey) AS n_orders,
-       min(l_shipdate) AS first_ship,
-       max(l_shipdate) AS last_ship
+       strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS first_ship,
+       strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_ship
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
