@@ -101,6 +101,9 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 4, rows: int = 4) -> Dat
             )
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    # the self-join reads this twice — cache so the shingle+md5 pipeline
+    # runs once (cluster-side you would persist the signatures table)
+    banded = banded.cache()
     a = banded.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bkey")
     b = banded.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bkey")
     pairs = (

@@ -129,8 +129,48 @@ def knn(
         "from_id", "rank", "to_id", "distance"
     )
 
-    # fallback: exact brute force for the unresolved points (rare)
+    # ring expansion: unresolved points retry with a wider cell disk before
+    # the exact brute-force tail (SURVEY §7 hard-part 5: expand until the
+    # k-th candidate distance clears the disk's minimum exit distance)
     rest = a.join(F.broadcast(ok_ids), "from_id", "left_anti")
+    results = [done]
+    for ring in (4, 16):
+        if rest.isEmpty():
+            break
+        rc = rest.withColumn("cx", F.floor((F.col("ax") + 180.0) / w)).withColumn(
+            "cy", F.floor((F.col("ay") + 90.0) / h)
+        )
+        rc = rc.select("*", F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("dx"))
+        rc = rc.select("*", F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("dy"))
+        rc = rc.withColumn("jx", F.col("cx") + F.col("dx")).withColumn(
+            "jy", F.col("cy") + F.col("dy")
+        )
+        rcand = (
+            rc.join(bc, ["jx", "jy"])
+            .filter(F.col("from_id") != F.col("to_id"))
+            .withColumn("distance", _dist(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")))
+            .select("from_id", "ax", "ay", "to_id", "distance")
+        )
+        rranked = rcand.withColumn("rank", F.row_number().over(win)).filter(F.col("rank") <= k)
+        rbound = F.least(
+            F.col("ax") - ((cx - ring) * w - 180.0),
+            ((cx + ring + 1) * w - 180.0) - F.col("ax"),
+            F.col("ay") - ((cy - ring) * h - 90.0),
+            ((cy + ring + 1) * h - 90.0) - F.col("ay"),
+        )
+        rper = rranked.groupBy("from_id", "ax", "ay").agg(
+            F.count("*").alias("n_cand"), F.max("distance").alias("kth")
+        )
+        rok = rper.filter((F.col("n_cand") >= k) & (F.col("kth") <= rbound)).select("from_id")
+        results.append(
+            rranked.join(F.broadcast(rok), "from_id", "left_semi").select(
+                "from_id", "rank", "to_id", "distance"
+            )
+        )
+        rest = rest.join(F.broadcast(rok), "from_id", "left_anti")
+
+    # exact brute-force tail for whatever survives all rings (vanishingly
+    # few points — empty/edge regions)
     fb = (
         rest.crossJoin(b)
         .filter(F.col("from_id") != F.col("to_id"))
@@ -139,4 +179,8 @@ def knn(
         .filter(F.col("rank") <= k)
         .select("from_id", "rank", "to_id", "distance")
     )
-    return done.unionByName(fb)
+    results.append(fb)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
