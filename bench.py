@@ -19,7 +19,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F, types as T  # noqa: E402
+
 from gdal_common_python_spark import synth  # noqa: E402
+
+
+def _session_warmup(spark):
+    @F.pandas_udf(T.DoubleType())
+    def _warm(x: pd.Series) -> pd.Series:
+        return x * 1.0
+
+    spark.range(1000).select(_warm(F.col("id").cast("double"))).count()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -85,14 +96,7 @@ def run_queries(spark, sdir):
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)
     # so per-query numbers reflect steady operation, not the first-query tax
-    import pandas as _pd
-    from pyspark.sql import functions as _F, types as _T
-
-    @_F.pandas_udf(_T.DoubleType())
-    def _warm(x: _pd.Series) -> _pd.Series:
-        return x * 1.0
-
-    spark.range(1000).select(_warm(_F.col("id").cast("double"))).count()
+    _session_warmup(spark)
     times = {}
     for name in names:
         t0 = time.monotonic()
