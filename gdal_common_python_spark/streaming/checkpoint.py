@@ -101,6 +101,8 @@ def run_stage(
     output (all committed buckets). `max_buckets` caps how many incomplete
     buckets this invocation processes (used to exercise partial runs)."""
     data_dir = os.path.join(store.base, stage, "data")
+    if key_col not in input_df.columns:
+        raise ValueError(f"key column {key_col!r} not in input")
     bucketed = input_df.withColumn(
         BUCKET_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
     )
@@ -124,7 +126,13 @@ def run_stage(
             r[BUCKET_COL]: r["count"]
             for r in part.groupBy(BUCKET_COL).count().collect()
         }
-        out = transform(part.drop(BUCKET_COL)).withColumn(
+        transformed = transform(part.drop(BUCKET_COL))
+        if key_col not in transformed.columns:
+            raise ValueError(
+                f"transform must preserve the bucket key column {key_col!r} "
+                "(resume identity depends on it)"
+            )
+        out = transformed.withColumn(
             BUCKET_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
         )
         out = out.filter(F.col(BUCKET_COL).isin(todo))
