@@ -90,4 +90,7 @@ def test_stats_invariants(vals):
     assert s["min"] <= s["median"] <= s["max"] or len(vals) == 1
     assert s["min"] <= s["perc90"] <= s["max"]
     assert s["var"] >= -1e-9
-    assert s["min"] <= s["mean"] <= s["max"] or abs(s["mean"]) < 1e-6
+    # mean uses the reference's incremental val/n summation (lib/zonal.py:213-217),
+    # which can land a few ulps outside [min, max]; allow relative fp slack.
+    slack = 1e-9 * max(abs(s["min"]), abs(s["max"]), 1.0)
+    assert s["min"] - slack <= s["mean"] <= s["max"] + slack
