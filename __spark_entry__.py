@@ -264,6 +264,15 @@ def q_embedding_topk(spark, sf_dir):
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup over the synthesized planted-cluster table
+    (driver embeddings are uniform-random: max pairwise cos ~0.51, so a
+    threshold query there is vacuously empty)."""
+    label = _sf_label(sf_dir)
+    path = synth.ensure_embeddings(label)
+    return similarity.cosine_near_dup(spark.read.parquet(path), threshold=0.9)
+
+
 def q_embedding_ann_lsh(spark, sf_dir):
     """Scale-path ANN (bucketed LSH + exact re-rank) — rows-only check;
     recall vs brute force is pinned in tests."""
@@ -339,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "text_profile": q_text_profile,
         "events_dates": q_events_dates,
@@ -621,6 +631,16 @@ SELECT vec_id, rank, neighbor_id FROM (
 ) WHERE rank <= 5
 """
 
+_EMB_ND = f"read_parquet('{S01}/embeddings_nd.parquet')"
+
+_SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {_EMB_ND})
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.9
+"""
+
 _STOP_SQL = {
     "en": "['the','and','of','to','in','is','that','it','was','for']",
     "es": "['el','la','de','que','y','en','un','los','se','por']",
@@ -844,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "simhash": _SQL_SIMHASH,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
+        "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING_COSINE,
         "text_profile": _SQL_TEXT_PROFILE,
         "events_dates": _SQL_EVENTS_DATES,
         "pricing_summary": _SQL_PRICING,

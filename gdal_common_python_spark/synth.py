@@ -437,8 +437,45 @@ def _gen_near_points(sf: str, n: int) -> None:
     )
 
 
+def ensure_embeddings(sf: str) -> str:
+    """Embeddings table with PLANTED near-duplicate clusters (the driver's
+    embeddings.parquet is uniform-random — max pairwise cosine ~0.51 — so a
+    near-dup threshold query on it is vacuously empty). Generated lazily and
+    independently of the main VERSION gate so existing tables never churn.
+
+    Margin design (gate stability): planted copies are base + 0.15*noise
+    (cos ≈ 0.98 to their base and ≈ 0.96 to siblings); unplanted pairs in
+    64-dim stay |cos| <~ 0.55. Threshold 0.9 sits in a wide dead zone, so
+    Spark-vs-DuckDB ULP noise can never flip a pair across it."""
+    os.makedirs(sf_dir(sf), exist_ok=True)
+    path = table_path(sf, "embeddings_nd")
+    if os.path.exists(path):
+        return path
+    n = SCALES[sf]["points"]
+    dim = 64
+    rng = np.random.default_rng(515151)
+    base = rng.normal(0.0, 1.0, (n, dim))
+    # ~10% of rows become perturbed copies of an earlier "source" row
+    is_dup = rng.random(n) < 0.10
+    is_dup[0] = False
+    src = rng.integers(0, np.maximum(np.arange(n), 1))
+    noise = rng.normal(0.0, 1.0, (n, dim))
+    vecs = np.where(is_dup[:, None], base[src] + 0.15 * noise, base)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(vecs.astype(np.float32).tolist(), pa.list_(pa.float32())),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 if __name__ == "__main__":
     import sys
 
     for sf in sys.argv[1:] or list(SCALES):
         print(sf, "->", ensure(sf))
+        ensure_embeddings(sf)

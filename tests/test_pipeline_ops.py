@@ -74,6 +74,23 @@ class TestSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall > 0.8, recall
 
+    def test_near_dup_exact_and_lsh(self, spark):
+        from gdal_common_python_spark import synth
+
+        emb = spark.read.parquet(synth.ensure_embeddings("sf0.001"))
+        exact = similarity.cosine_near_dup(emb, threshold=0.9).collect()
+        assert len(exact) > 0
+        # planted copies sit well above the threshold; random pairs well below
+        assert all(r.cos > 0.93 for r in exact)
+        exact_pairs = {(r.a_id, r.b_id) for r in exact}
+        approx = {
+            (r.a_id, r.b_id)
+            for r in similarity.lsh_near_dup(emb, threshold=0.9, n_planes=6, n_tables=4).collect()
+        }
+        # OR-amplified LSH: no false positives (exact filter), high recall
+        assert approx <= exact_pairs
+        assert len(approx & exact_pairs) / len(exact_pairs) >= 0.9
+
 
 class TestText:
     def test_profile_basics(self, texts):
