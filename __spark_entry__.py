@@ -279,6 +279,12 @@ def q_embedding_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), k=5, n_planes=6)
 
 
+def q_embedding_ann_ivf(spark, sf_dir):
+    """Scale-path ANN (IVF coarse quantizer + probe re-rank) — rows-only
+    check; recall vs brute force is pinned in tests."""
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, n_centroids=16, n_probe=3)
+
+
 def q_text_profile(spark, sf_dir):
     return text_ops.text_profile(_t(spark, sf_dir, "documents"))
 
@@ -350,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
         "text_profile": q_text_profile,
         "events_dates": q_events_dates,
         "pricing_summary": q_pricing_summary,

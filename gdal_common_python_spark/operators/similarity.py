@@ -16,7 +16,9 @@ the LSH plan is a bucket groupBy (uniform hash keys) + per-bucket re-rank.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def _dot(a, b):
@@ -41,6 +43,81 @@ def cosine_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    kmeans_iters: int = 5,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Train: deterministic k-means on a capped driver-side sample (seeded
+    numpy, first-`n_centroids` init over the id-sorted sample — no RNG in
+    the cluster path, so results are stable across runs/partitionings).
+    Index: every vector is assigned to its nearest centroid (one Arrow-batch
+    GEMM per batch — no per-row Python). Query: each vector probes its
+    `n_probe` nearest centroid lists and re-ranks candidates exactly.
+
+    At 100 TB: train stays driver-side on a sample; assignment is a scan;
+    the probe join shuffles on cluster_id (bounded, near-uniform after
+    k-means); candidate sets are |probe| * avg-list-size instead of n.
+    Recall vs ``cosine_topk`` is pinned in tests.
+    """
+    spark = emb.sparkSession
+    samp = (
+        emb.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("i")
+        .limit(sample_cap)
+        .toPandas()
+    )
+    X = np.stack([np.asarray(r, dtype=np.float64) for r in samp["v"]])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[: min(n_centroids, len(Xn))].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                mu = Xn[m].mean(axis=0)
+                C[c] = mu / max(np.linalg.norm(mu), 1e-12)
+    bc_C = spark.sparkContext.broadcast(C)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(v: pd.Series) -> pd.Series:
+        Cm = bc_C.value
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ Cm.T
+        order = np.argsort(-sims, axis=1)[:, : min(n_probe, Cm.shape[0])]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("probe_list", probes(F.col("v")))
+    # inverted file: every vector belongs to its NEAREST centroid's list
+    members = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.element_at("probe_list", 1).alias("cluster_id"),
+    )
+    queries = base.select(
+        "vec_id", F.col("v").alias("va"), F.explode("probe_list").alias("cluster_id")
+    )
+    cand = queries.join(members, "cluster_id").filter(F.col("vec_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("cos", cos)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", "rank", "neighbor_id")
@@ -162,10 +239,6 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: exact re-rank within random-hyperplane buckets."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     v = emb.select(

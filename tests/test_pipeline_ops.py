@@ -74,6 +74,30 @@ class TestSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall > 0.8, recall
 
+    def test_ivf_recall_vs_bruteforce(self, spark):
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(8, 16))
+        rows = []
+        for i in range(80):
+            v = base[i % 8] + rng.normal(scale=0.05, size=16)
+            rows.append((i, v.astype(np.float32).tolist()))
+        emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+        exact = {
+            (r.vec_id, r.neighbor_id) for r in similarity.cosine_topk(emb, k=3).collect()
+        }
+        approx = {
+            (r.vec_id, r.neighbor_id)
+            for r in similarity.ivf_topk(emb, k=3, n_centroids=8, n_probe=2).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall > 0.8, recall
+        # determinism: same input -> identical result set
+        again = {
+            (r.vec_id, r.neighbor_id)
+            for r in similarity.ivf_topk(emb, k=3, n_centroids=8, n_probe=2).collect()
+        }
+        assert approx == again
+
     def test_near_dup_exact_and_lsh(self, spark):
         from gdal_common_python_spark import synth
 
