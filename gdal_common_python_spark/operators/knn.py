@@ -110,7 +110,14 @@ def knn(
         .select("from_id", "ax", "ay", "to_id", "distance")
     )
     win = Window.partitionBy("from_id").orderBy("distance", "to_id")
-    ranked = cand.withColumn("rank", F.row_number().over(win)).filter(F.col("rank") <= k)
+    # persist: ranked (<= k rows per query point — output-sized, spillable)
+    # feeds `done`, the resolution test, AND the rest chain; without it the
+    # candidate join recomputes for every ring probe and the fallback
+    ranked = (
+        cand.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .persist()
+    )
 
     # distance from the query point to its 3x3-disk boundary: the safety bound
     cx = F.floor((F.col("ax") + 180.0) / w)
@@ -132,7 +139,7 @@ def knn(
     # ring expansion: unresolved points retry with a wider cell disk before
     # the exact brute-force tail (SURVEY §7 hard-part 5: expand until the
     # k-th candidate distance clears the disk's minimum exit distance)
-    rest = a.join(F.broadcast(ok_ids), "from_id", "left_anti")
+    rest = a.join(F.broadcast(ok_ids), "from_id", "left_anti").persist()
     results = [done]
     for ring in (4, 16):
         if rest.isEmpty():
@@ -151,7 +158,11 @@ def knn(
             .withColumn("distance", _dist(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")))
             .select("from_id", "ax", "ay", "to_id", "distance")
         )
-        rranked = rcand.withColumn("rank", F.row_number().over(win)).filter(F.col("rank") <= k)
+        rranked = (
+            rcand.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .persist()
+        )
         rbound = F.least(
             F.col("ax") - ((cx - ring) * w - 180.0),
             ((cx + ring + 1) * w - 180.0) - F.col("ax"),
@@ -167,7 +178,7 @@ def knn(
                 "from_id", "rank", "to_id", "distance"
             )
         )
-        rest = rest.join(F.broadcast(rok), "from_id", "left_anti")
+        rest = rest.join(F.broadcast(rok), "from_id", "left_anti").persist()
 
     # exact brute-force tail for whatever survives all rings (vanishingly
     # few points — empty/edge regions)
