@@ -22,6 +22,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the source is under-partitioned (a small local
+    parquet arrives as 1 split and serializes the md5-heavy map work onto
+    one core). At corpus scale inputs already carry >= cores splits and this
+    is a no-op — no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_count: int = 2
 ) -> DataFrame:
@@ -45,41 +56,39 @@ def shingles_col(text_col: str = "text", n: int = 3):
     )
 
 
-def minhash_signature(k: int = 16, shingle_col: str = "shingles"):
-    """Array of k min-hash values (strings) over the shingle set.
-
-    Component 4i+r is the min over shingles of the r-th 8-hex slice of
+def minhash_docs(docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sig): array of k min-hash values (strings) over the shingle
+    set. Component 4i+r is the min over shingles of the r-th 8-hex slice of
     md5(i || ':' || shingle) — one md5 yields four independent 32-bit
     component hashes, so k=16 costs 4 md5 passes instead of 16 (the md5 is
     the dominant cost at corpus scale). The DuckDB oracle mirrors the same
-    slicing, so signatures stay bit-identical."""
+    slicing, so signatures stay bit-identical.
+
+    Shape: explode shingles -> md5 as plain columns -> groupBy(doc_id) with
+    k min() aggregates. Everything stays inside whole-stage codegen (HOF
+    lambdas over arrays are interpreted per element — measured ~10x slower
+    for the same md5 count), and the map-side partial min() means the
+    shuffle carries ~one row per doc per mapper, not the exploded shingles."""
     assert k % 4 == 0
-
-    def slicer(r):
-        # NB: a two-parameter lambda would be treated by Spark as an
-        # (element, index) HOF lambda — capture r via a closure factory
-        return lambda h: F.substring(h, 1 + 8 * r, 8)
-
-    comps = []
-    for i in range(k // 4):
-        for r in range(4):
-            comps.append(F.array_min(F.transform(F.col(f"__mh{i}"), slicer(r))))
-    return F.array(*comps)
-
-
-def minhash_docs(docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    out = docs.select(
-        F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    # materialize each md5 pass once as its own column (explicit reuse
-    # across the 4 slice-mins — don't rely on CSE through HOF lambdas)
-    def hasher(i):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-
-    for i in range(k // 4):
-        out = out.withColumn(f"__mh{i}", F.transform(F.col("shingles"), hasher(i)))
-    return out.withColumn("sig", minhash_signature(k)).drop(
-        *[f"__mh{i}" for i in range(k // 4)]
+    ex = (
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("__sh"))
+    )
+    hashed = ex.select(
+        "doc_id",
+        *[F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh"))).alias(f"__h{i}") for i in range(k // 4)],
+    )
+    aggs = [
+        F.min(F.substring(F.col(f"__h{i}"), 1 + 8 * r, 8)).alias(f"__c{4 * i + r}")
+        for i in range(k // 4)
+        for r in range(4)
+    ]
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[F.col(f"__c{j}") for j in range(k)]).alias("sig"))
     )
 
 
