@@ -90,6 +90,18 @@ def q_spatial_join_pip_salted(spark, sf_dir):
     )
 
 
+def q_spatial_join_pip_distributed(spark, sf_dir):
+    """Same join, zero driver-side zone materialization (edge-join refine)
+    — the plan for zone sides too large to collect/broadcast; must produce
+    byte-identical rows (same oracle as spatial_join_pip)."""
+    return sj.spatial_join_points_distributed(
+        spark,
+        _synth(spark, sf_dir, "documents_spans"),
+        _synth(spark, sf_dir, "zones"),
+        _synth(spark, sf_dir, "zone_edges"),
+    )
+
+
 def q_spatial_join_polygons(spark, sf_dir):
     return sj.spatial_join_geoms(
         spark,
@@ -337,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_pip": q_spatial_join_pip,
         "spatial_join_pip_salted": q_spatial_join_pip_salted,
+        "spatial_join_pip_distributed": q_spatial_join_pip_distributed,
         "spatial_join_polygons": q_spatial_join_polygons,
         "tile_assignment": q_tile_assignment,
         "zonal_counts": q_zonal_counts,
@@ -857,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "spatial_join_pip": _SQL_SPATIAL_JOIN_PIP,
         "spatial_join_pip_salted": _SQL_SPATIAL_JOIN_PIP,
+        "spatial_join_pip_distributed": _SQL_SPATIAL_JOIN_PIP,
         "tile_assignment": _SQL_TILE_ASSIGNMENT,
         "knn": _SQL_KNN,
         "near_table": _SQL_NEAR,

@@ -80,6 +80,7 @@ def run_queries(spark, sdir):
     names = [
         "spatial_join_pip",
         "spatial_join_pip_salted",
+        "spatial_join_pip_distributed",
         "spatial_join_polygons",
         "tile_assignment",
         "zonal_stats",

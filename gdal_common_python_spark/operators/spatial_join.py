@@ -289,6 +289,60 @@ def spatial_join_points(
     )
 
 
+def spatial_join_points_distributed(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    zone_edges: DataFrame,
+    res: int = 9,
+    strategy: str = "auto",
+    broadcast_edge_limit: int = 5_000_000,
+) -> DataFrame:
+    """Point-in-polygon join with NO driver-side zone materialization — the
+    plan that survives a zone side too large to collect or broadcast.
+
+    ``spatial_join_points`` collects the zone rings once to build the Arrow
+    PIP kernel's broadcast dict — ideal for dimension-sized zone layers but
+    a driver wall at millions of polygons. This variant keeps everything as
+    joins: candidates (cell equi-join, sort-merge capable on both sides)
+    are refined by joining the flat ``zone_edges`` table on zone_id and
+    counting even-odd ray crossings with plain codegen arithmetic:
+
+        crossing := (ey1 > py) != (ey2 > py)
+                    AND px < (ex2-ex1)*(py-ey1)/(ey2-ey1) + ex1
+        hit      := count(crossing) per (doc_id, offset, zone_id) is odd
+
+    The arithmetic is the same IEEE expression tree the DuckDB oracle runs,
+    so the gate stays bit-exact. Shuffles: cell join, edge join (broadcast
+    when the edge table is dimension-sized), final groupBy — with map-side
+    partial counts, the last exchange carries ~one row per candidate pair.
+    """
+    pts = geo_points(docs).withColumn("cell", cell_expr(F.col("x"), F.col("y"), res))
+    zc = zone_cells(spark, zones, res)
+    cand = pts.join(zc, "cell").select("doc_id", "offset", "x", "y", "zone_id")
+
+    edges = zone_edges.select("zone_id", "ex1", "ey1", "ex2", "ey2")
+    if strategy == "broadcast" or (
+        strategy == "auto" and edges.count() <= broadcast_edge_limit
+    ):
+        edges = F.broadcast(edges)
+    crossing = ((F.col("ey1") > F.col("y")) != (F.col("ey2") > F.col("y"))) & (
+        F.col("x")
+        < (F.col("ex2") - F.col("ex1"))
+        * (F.col("y") - F.col("ey1"))
+        / (F.col("ey2") - F.col("ey1"))
+        + F.col("ex1")
+    )
+    return (
+        cand.join(edges, "zone_id")
+        .filter(crossing)
+        .groupBy("doc_id", "offset", "zone_id")
+        .agg(F.count("*").alias("n_cross"))
+        .filter(F.col("n_cross") % 2 == 1)
+        .select("doc_id", "offset", "zone_id")
+    )
+
+
 def spatial_join_geoms(
     spark: SparkSession,
     docs: DataFrame,

@@ -51,6 +51,16 @@ class TestSpatialJoin:
         assert got_b == oracle
         assert got_s == oracle
 
+    def test_distributed_refine_matches_oracle(self, spark, docs, zones, sf_dir, zone_oracle_rings):
+        import os
+
+        edges = spark.read.parquet(os.path.join(sf_dir, "zone_edges.parquet"))
+        got = {
+            (r.doc_id, r.offset, r.zone_id)
+            for r in sj.spatial_join_points_distributed(spark, docs, zones, edges).collect()
+        }
+        assert got == _pip_oracle(docs, zone_oracle_rings)
+
     def test_geoms_join_matches_oracle(self, spark, docs, zones, zone_oracle_rings):
         spans = sj.geo_spans(docs).toPandas()
         oracle = set()
