@@ -343,33 +343,46 @@ def spatial_join_points_distributed(
     )
 
 
+def _refine_pair(w: str, zrings: list) -> bool:
+    """Exact doc-geom vs zone-rings intersect test (shared by both ring
+    delivery modes)."""
+    kind, grings = geom.parse_wkt(w)
+    if kind == "point":
+        return bool(
+            geom.points_in_rings(
+                grings[0][:, 0], grings[0][:, 1], geom.rings_to_edges(zrings)
+            )[0]
+        )
+    return geom.polygon_intersects(grings, zrings)
+
+
 def spatial_join_geoms(
     spark: SparkSession,
     docs: DataFrame,
     zones: DataFrame,
     res: int | None = None,
     wkt_prefix: str | None = None,
+    rings_mode: str = "auto",
+    broadcast_zone_limit: int = 500_000,
 ) -> DataFrame:
     """General intersect join (points AND polygons from geo spans) — the full
     J2 semantics (lib/join.py:5-60): one row per intersecting
     (doc span, zone) pair. Polygon spans are parsed + bbox-covered in an
     Arrow UDF, candidates equi-joined on cell, then refined with the exact
-    ``polygon_intersects`` kernel."""
+    ``polygon_intersects`` kernel.
+
+    rings_mode 'broadcast' collects zone rings once into a broadcast dict
+    (dimension-sized zone layers); 'join' ships rings as a joined column
+    into the refinement batch — zero driver-side zone materialization, the
+    path for zone sides too large to collect. 'auto' counts and picks."""
     spans = geo_spans(docs)
     if wkt_prefix:
         spans = spans.filter(F.col("wkt").startswith(wkt_prefix))
-    zcols = ["zone_id", "srid", "rings"] + (["rings4326"] if "rings4326" in zones.columns else [])
-    zones_pdf = zones.select(*zcols).toPandas()
-    rect = rectified_zone_rings(zones_pdf)
+    if rings_mode == "auto":
+        rings_mode = "broadcast" if zones.count() <= broadcast_zone_limit else "join"
     if res is None:
-        widths = np.asarray(
-            [geom.rings_bbox(r)[2] - geom.rings_bbox(r)[0] for r in rect.values()] or [1.0]
-        )
-        res = cellk.pick_resolution(widths)
+        res = pick_join_resolution(zones)
     zc = zone_cells(spark, zones, res)
-    bc_rings = spark.sparkContext.broadcast(
-        {zid: [r.tolist() for r in rings] for zid, rings in rect.items()}
-    )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def cover(wkt: pd.Series) -> pd.Series:
@@ -382,32 +395,52 @@ def spatial_join_geoms(
 
     cand = (
         spans.withColumn("cell", F.explode(cover("wkt")))
-        .join(F.broadcast(zc), "cell")
+        .join(F.broadcast(zc) if rings_mode == "broadcast" else zc, "cell")
         .dropDuplicates(["doc_id", "offset", "zone_id"])
     )
 
-    @F.pandas_udf(T.BooleanType())
-    def refine(zone_id: pd.Series, wkt: pd.Series) -> pd.Series:
-        zr = bc_rings.value
-        out = np.zeros(len(zone_id), dtype=bool)
-        for i, (z, w) in enumerate(zip(zone_id, wkt)):
-            rings = zr.get(int(z))
-            if rings is None:
-                continue
-            zrings = [np.asarray(r, dtype=np.float64) for r in rings]
-            kind, grings = geom.parse_wkt(w)
-            if kind == "point":
-                out[i] = bool(
-                    geom.points_in_rings(
-                        grings[0][:, 0], grings[0][:, 1], geom.rings_to_edges(zrings)
-                    )[0]
-                )
-            else:
-                out[i] = geom.polygon_intersects(grings, zrings)
-        return pd.Series(out)
+    if rings_mode == "broadcast":
+        zcols = ["zone_id", "srid", "rings"] + (
+            ["rings4326"] if "rings4326" in zones.columns else []
+        )
+        rect = rectified_zone_rings(zones.select(*zcols).toPandas())
+        bc_rings = spark.sparkContext.broadcast(
+            {zid: [r.tolist() for r in rings] for zid, rings in rect.items()}
+        )
 
-    return (
-        cand.withColumn("hit", refine("zone_id", "wkt"))
-        .filter(F.col("hit"))
-        .select("doc_id", "offset", "zone_id")
-    )
+        @F.pandas_udf(T.BooleanType())
+        def refine(zone_id: pd.Series, wkt: pd.Series) -> pd.Series:
+            zr = bc_rings.value
+            out = np.zeros(len(zone_id), dtype=bool)
+            for i, (z, w) in enumerate(zip(zone_id, wkt)):
+                rings = zr.get(int(z))
+                if rings is not None:
+                    out[i] = _refine_pair(w, [np.asarray(r, dtype=np.float64) for r in rings])
+            return pd.Series(out)
+
+        refined = cand.withColumn("hit", refine("zone_id", "wkt"))
+    else:
+        if "rings4326" in zones.columns:
+            zr_df = zones.select(
+                "zone_id", F.col("rings4326").alias("__rings"), F.lit(4326).alias("__srid")
+            )
+        else:
+            zr_df = zones.select(
+                "zone_id", F.col("rings").alias("__rings"), F.col("srid").alias("__srid")
+            )
+
+        @F.pandas_udf(T.BooleanType())
+        def refine_joined(rings: pd.Series, srid: pd.Series, wkt: pd.Series) -> pd.Series:
+            out = np.zeros(len(wkt), dtype=bool)
+            for i, (rr, s, w) in enumerate(zip(rings, srid, wkt)):
+                zrings = geom.rings_from_cell(rr)
+                if int(s) != 4326:
+                    zrings = proj.transform_rings(zrings, int(s), 4326)
+                out[i] = _refine_pair(w, zrings)
+            return pd.Series(out)
+
+        refined = cand.join(zr_df, "zone_id").withColumn(
+            "hit", refine_joined("__rings", "__srid", "wkt")
+        )
+
+    return refined.filter(F.col("hit")).select("doc_id", "offset", "zone_id")

@@ -99,30 +99,59 @@ def zonal_statistics(
     tile_size: int = 32,
     ignore_nodata: bool = True,
     hash_safe: bool = False,
+    rings_mode: str = "auto",
+    broadcast_zone_limit: int = 500_000,
 ):
     """Returns (stats_df, counts_df).
 
     stats_df: one row per zone (all zones — empty ones zero-filled).
     counts_df: one row per (zone, raster entry) incl. zero rows.
+
+    rings_mode: 'broadcast' collects the zone rings once to a broadcast dict
+    (dimension-sized zone layers — no per-row ring payload through the
+    shuffle); 'join' ships rings as a joined column into the grouped kernel
+    — zero driver-side zone materialization, the path for zone sides too
+    large to collect. 'auto' counts the zone side and picks.
     """
-    if "rings4326" in zones.columns:
-        zones_pdf = zones.select("zone_id", "rings4326").toPandas()
-        rect = {
-            int(z): geom.rings_from_cell(r)
-            for z, r in zip(zones_pdf["zone_id"], zones_pdf["rings4326"])
-        }
-    else:
-        zones_pdf = zones.select("zone_id", "srid", "rings").toPandas()
-        rect = {}
-        for zid, srid, rings in zip(zones_pdf["zone_id"], zones_pdf["srid"], zones_pdf["rings"]):
-            rect[int(zid)] = proj.transform_rings(geom.rings_from_cell(rings), int(srid), 4326)
-    bc_rings = spark.sparkContext.broadcast({z: [r.tolist() for r in rr] for z, rr in rect.items()})
+    if rings_mode == "auto":
+        rings_mode = "broadcast" if zones.count() <= broadcast_zone_limit else "join"
 
     cand = window_tiles(zones, rasters, tiles, tile_size)
+    if rings_mode == "broadcast":
+        if "rings4326" in zones.columns:
+            zones_pdf = zones.select("zone_id", "rings4326").toPandas()
+            rect = {
+                int(z): geom.rings_from_cell(r)
+                for z, r in zip(zones_pdf["zone_id"], zones_pdf["rings4326"])
+            }
+        else:
+            zones_pdf = zones.select("zone_id", "srid", "rings").toPandas()
+            rect = {}
+            for zid, srid, rings in zip(zones_pdf["zone_id"], zones_pdf["srid"], zones_pdf["rings"]):
+                rect[int(zid)] = proj.transform_rings(geom.rings_from_cell(rings), int(srid), 4326)
+        bc_rings = spark.sparkContext.broadcast({z: [r.tolist() for r in rr] for z, rr in rect.items()})
+
+        def get_rings(pdf: pd.DataFrame):
+            zid = int(pdf["zone_id"].iloc[0])
+            return [np.asarray(r, dtype=np.float64) for r in bc_rings.value.get(zid, [])]
+
+    else:
+        if "rings4326" in zones.columns:
+            zr = zones.select(
+                "zone_id", F.col("rings4326").alias("__rings"), F.lit(4326).alias("__srid")
+            )
+        else:
+            zr = zones.select("zone_id", F.col("rings").alias("__rings"), F.col("srid").alias("__srid"))
+        cand = cand.join(zr, "zone_id")
+
+        def get_rings(pdf: pd.DataFrame):
+            rr = geom.rings_from_cell(pdf["__rings"].iloc[0])
+            srid = int(pdf["__srid"].iloc[0])
+            return rr if srid == 4326 else proj.transform_rings(rr, srid, 4326)
 
     def kernel(pdf: pd.DataFrame):
         zid = int(pdf["zone_id"].iloc[0])
-        rings = [np.asarray(r, dtype=np.float64) for r in bc_rings.value.get(zid, [])]
+        rings = get_rings(pdf)
         counts: dict[tuple, int] = {}
         values = []
         qcache: dict[tuple, np.ndarray] = {}
