@@ -201,13 +201,21 @@ def spatial_join_points(
     n_salt: int = 8,
     salt_threshold: int = 2_000_000,
     broadcast_zone_limit: int = 2_000_000,
+    collect_zone_limit: int = 2_000_000,
 ) -> DataFrame:
     """Point-in-polygon join: geo POINT spans x zones -> (doc_id, offset, zone_id).
 
     `strategy`: 'broadcast' | 'sortmerge' | 'auto' (auto picks broadcast when
     the exploded zone-cell side is comfortably under `broadcast_zone_limit`
     rows, mirroring what you'd do cluster-side with real size stats).
+
+    The Arrow PIP kernel needs the zone rings collected once to the driver;
+    past `collect_zone_limit` zones, 'auto' dispatches to the fully
+    distributed edge-join refinement instead (identical output, no driver
+    materialization).
     """
+    if strategy == "auto" and zones.count() > collect_zone_limit:
+        return spatial_join_points_distributed(spark, docs, zones, res=res or 9)
     pts = geo_points(docs)
 
     # ONE driver-side collect of the (small) zone side feeds everything:
@@ -289,11 +297,35 @@ def spatial_join_points(
     )
 
 
+def zone_edges_df(zones: DataFrame) -> DataFrame:
+    """(zone_id, ex1, ey1, ex2, ey2) in 4326 derived natively from the rings
+    column (closed rings: consecutive point pairs) — no companion table and
+    no driver materialization, all codegen/HOF on the zone side only."""
+    ring_col = "rings4326" if "rings4326" in zones.columns else "rings"
+    r = zones.select("zone_id", F.explode(ring_col).alias("ring"))
+    # rings are stored OPEN (last point != first): edge i pairs point i with
+    # point (i mod n)+1 so the closing segment is included
+    idx = F.sequence(F.lit(1), F.size("ring"))
+    nxt = lambda i: F.pmod(i, F.size("ring")) + 1  # noqa: E731
+    edge = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.element_at(F.col("ring"), i), 1).alias("ex1"),
+            F.element_at(F.element_at(F.col("ring"), i), 2).alias("ey1"),
+            F.element_at(F.element_at(F.col("ring"), nxt(i).cast("int")), 1).alias("ex2"),
+            F.element_at(F.element_at(F.col("ring"), nxt(i).cast("int")), 2).alias("ey2"),
+        ),
+    )
+    return r.select("zone_id", F.explode(edge).alias("e")).select(
+        "zone_id", "e.ex1", "e.ey1", "e.ex2", "e.ey2"
+    )
+
+
 def spatial_join_points_distributed(
     spark: SparkSession,
     docs: DataFrame,
     zones: DataFrame,
-    zone_edges: DataFrame,
+    zone_edges: DataFrame | None = None,
     res: int = 9,
     strategy: str = "auto",
     broadcast_edge_limit: int = 5_000_000,
@@ -321,6 +353,8 @@ def spatial_join_points_distributed(
     zc = zone_cells(spark, zones, res)
     cand = pts.join(zc, "cell").select("doc_id", "offset", "x", "y", "zone_id")
 
+    if zone_edges is None:
+        zone_edges = zone_edges_df(zones)
     edges = zone_edges.select("zone_id", "ex1", "ey1", "ex2", "ey2")
     if strategy == "broadcast" or (
         strategy == "auto" and edges.count() <= broadcast_edge_limit

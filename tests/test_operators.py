@@ -55,11 +55,24 @@ class TestSpatialJoin:
         import os
 
         edges = spark.read.parquet(os.path.join(sf_dir, "zone_edges.parquet"))
+        oracle = _pip_oracle(docs, zone_oracle_rings)
         got = {
             (r.doc_id, r.offset, r.zone_id)
             for r in sj.spatial_join_points_distributed(spark, docs, zones, edges).collect()
         }
-        assert got == _pip_oracle(docs, zone_oracle_rings)
+        assert got == oracle
+        # edges derived natively from the rings column (no companion table)
+        derived = {
+            (r.doc_id, r.offset, r.zone_id)
+            for r in sj.spatial_join_points_distributed(spark, docs, zones).collect()
+        }
+        assert derived == oracle
+        # auto-dispatch past the collect limit routes to the same plan
+        dispatched = {
+            (r.doc_id, r.offset, r.zone_id)
+            for r in sj.spatial_join_points(spark, docs, zones, collect_zone_limit=1).collect()
+        }
+        assert dispatched == oracle
 
     def test_geoms_join_matches_oracle(self, spark, docs, zones, zone_oracle_rings):
         spans = sj.geo_spans(docs).toPandas()
