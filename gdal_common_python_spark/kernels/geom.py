@@ -281,6 +281,20 @@ def is_convex(ring: np.ndarray) -> bool:
     return bool((cr >= -1e-12).all() or (cr <= 1e-12).all())
 
 
+def _drop_degenerate_edges(ring: np.ndarray) -> np.ndarray:
+    """Remove consecutive near-duplicate vertices from a clip ring: an edge
+    whose length is ~0 relative to the ring's coordinate scale defines an
+    ill-conditioned half-plane (den/t in the intersection formula is built
+    from subnormal differences) and corrupts clip/difference decomposition.
+    Dropping it changes the polygon by a zero-area sliver only."""
+    if len(ring) == 0:
+        return ring
+    nxt = np.roll(ring, -1, axis=0)
+    scale = max(float(np.max(np.abs(ring))), 1.0)
+    d2 = np.sum((ring - nxt) ** 2, axis=1)
+    return ring[d2 > (1e-12 * scale) ** 2]
+
+
 def clip_halfplanes(subject: np.ndarray, lines: np.ndarray) -> np.ndarray | None:
     """Clip a ring by an intersection of half-planes (keep LEFT of each
     directed line (x1,y1)->(x2,y2)). Sutherland-Hodgman core shared by
@@ -315,12 +329,7 @@ def difference_convex(subject: np.ndarray, clip_ring: np.ndarray) -> list[np.nda
     e_1..e_{i-1}) — each piece is one half-plane-sequence clip. Exact for
     the fixture classes (convex erase layers); the erase/identity/symdiff
     overlays build on this (lib/analysis.py:100,126,184 analogs)."""
-    clip = np.asarray(clip_ring, dtype=np.float64)
-    # drop zero-length edges (consecutive duplicate vertices): a degenerate
-    # half-plane keeps everything and would double-count pieces
-    nxt = np.roll(clip, -1, axis=0)
-    keep = ~np.all(clip == nxt, axis=1)
-    clip = clip[keep]
+    clip = _drop_degenerate_edges(np.asarray(clip_ring, dtype=np.float64))
     if len(clip) < 3:
         return [np.asarray(subject, dtype=np.float64)]
     k = len(clip)
@@ -347,7 +356,7 @@ def clip_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None
     Returns the clipped ring or None if empty.
     """
     out = np.asarray(subject, dtype=np.float64)
-    clip = np.asarray(clip_ring, dtype=np.float64)
+    clip = _drop_degenerate_edges(np.asarray(clip_ring, dtype=np.float64))
     for i in range(len(clip)):
         if len(out) == 0:
             return None
