@@ -193,11 +193,18 @@ def _bench_main():
             lows.append(_pinned_flagship(n_low, bdir))
             highs.append(_pinned_flagship(n_high, bdir))
         tp_low, tp_high = n_docs / min(lows), n_docs / min(highs)
+        # paired per-rep efficiencies: each interleaved (low, high) pair saw
+        # the same host window, so the ratio cancels slow/fast drift that the
+        # per-level min is exposed to; disclosed alongside the conservative
+        # min-based headline
+        paired = sorted(lo / (4 * hi) for lo, hi in zip(lows, highs))
         result["scaling"] = {
             f"local[{n_low}]_docs_per_sec": round(tp_low, 1),
             f"local[{n_high}]_docs_per_sec": round(tp_high, 1),
             "factor": 4,
             "efficiency": round(tp_high / (4 * tp_low), 3),
+            "efficiency_paired": [round(e, 3) for e in paired],
+            "efficiency_paired_median": round(paired[len(paired) // 2], 3),
             "samples_sec": {
                 f"local[{n_low}]": [round(s, 2) for s in lows],
                 f"local[{n_high}]": [round(s, 2) for s in highs],
