@@ -178,7 +178,12 @@ def knn(
                 "from_id", "rank", "to_id", "distance"
             )
         )
+        # unpersist the superseded rest (bounds the CacheManager footprint
+        # across rings; Spark recomputes transparently if a later action
+        # still needs the evicted lineage)
+        prev_rest = rest
         rest = rest.join(F.broadcast(rok), "from_id", "left_anti").persist()
+        prev_rest.unpersist()
 
     # exact brute-force tail for whatever survives all rings (vanishingly
     # few points — empty/edge regions)

@@ -136,13 +136,18 @@ def cosine_near_dup(
     shape). cos is rounded to 6 dp on BOTH engines so the gate compares a
     stable value; the synthesized input keeps a wide margin around the
     threshold so rounding can never flip membership."""
+    from .dedup import _spread
+
     # norms once per ROW before the join (not per pair: that re-runs a
-    # 64-element fold 2x per pair), and spread the left side so the
-    # broadcast-nested-loop join parallelizes instead of inheriting the
-    # single-file scan's one partition
-    a = emb.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).cast("array<double>").alias("va")
-    ).withColumn("na", _norm(F.col("va"))).repartition(32)
+    # 64-element fold 2x per pair), and spread an under-partitioned left
+    # side so the broadcast-nested-loop join parallelizes instead of
+    # inheriting the single-file scan's one partition (no-op when the input
+    # already carries enough splits)
+    a = _spread(
+        emb.select(
+            F.col(id_col).alias("a_id"), F.col(vec_col).cast("array<double>").alias("va")
+        ).withColumn("na", _norm(F.col("va")))
+    )
     b = emb.select(
         F.col(id_col).alias("b_id"), F.col(vec_col).cast("array<double>").alias("vb")
     ).withColumn("nb", _norm(F.col("vb")))

@@ -214,8 +214,16 @@ def spatial_join_points(
     distributed edge-join refinement instead (identical output, no driver
     materialization).
     """
-    if strategy == "auto" and zones.count() > collect_zone_limit:
-        return spatial_join_points_distributed(spark, docs, zones, res=res or 9)
+    if (
+        strategy == "auto"
+        and zones.limit(collect_zone_limit + 1).count() > collect_zone_limit
+    ):
+        return spatial_join_points_distributed(
+            spark,
+            docs,
+            zones,
+            res=res if res is not None else pick_join_resolution(zones),
+        )
     pts = geo_points(docs)
 
     # ONE driver-side collect of the (small) zone side feeds everything:
@@ -301,8 +309,37 @@ def zone_edges_df(zones: DataFrame) -> DataFrame:
     """(zone_id, ex1, ey1, ex2, ey2) in 4326 derived natively from the rings
     column (closed rings: consecutive point pairs) — no companion table and
     no driver materialization, all codegen/HOF on the zone side only."""
-    ring_col = "rings4326" if "rings4326" in zones.columns else "rings"
-    r = zones.select("zone_id", F.explode(ring_col).alias("ring"))
+    if "rings4326" in zones.columns:
+        r = zones.select("zone_id", F.explode("rings4326").alias("ring"))
+    else:
+        # native-srid rings must be rectified to 4326 before the crossing
+        # test (points are 4326). 4326 passes through; 3857 has a closed-form
+        # native inverse (same formulas zone_cells uses); anything else needs
+        # the ingest-time rings4326 column or the Arrow-kernel path.
+        r = zones.select("zone_id", "srid", F.explode("rings").alias("ring"))
+        is_merc = F.col("srid") == 3857
+        bad = r.filter(~F.col("srid").isin(4326, 3857)).limit(1).count()
+        if bad:
+            raise ValueError(
+                "zone_edges_df: zones carry srid other than 4326/3857 and no "
+                "rings4326 column — rectify at ingest or use the kernel path"
+            )
+        inv = F.transform(
+            F.col("ring"),
+            lambda p: F.array(
+                F.when(is_merc, F.degrees(F.element_at(p, 1) / F.lit(proj.R_MERC))).otherwise(
+                    F.element_at(p, 1)
+                ),
+                F.when(
+                    is_merc,
+                    F.degrees(
+                        F.atan(F.exp(F.element_at(p, 2) / F.lit(proj.R_MERC))) * 2
+                        - F.lit(float(np.pi / 2))
+                    ),
+                ).otherwise(F.element_at(p, 2)),
+            ),
+        )
+        r = r.select("zone_id", inv.alias("ring"))
     # rings are stored OPEN (last point != first): edge i pairs point i with
     # point (i mod n)+1 so the closing segment is included
     idx = F.sequence(F.lit(1), F.size("ring"))
@@ -413,7 +450,11 @@ def spatial_join_geoms(
     if wkt_prefix:
         spans = spans.filter(F.col("wkt").startswith(wkt_prefix))
     if rings_mode == "auto":
-        rings_mode = "broadcast" if zones.count() <= broadcast_zone_limit else "join"
+        rings_mode = (
+            "broadcast"
+            if zones.limit(broadcast_zone_limit + 1).count() <= broadcast_zone_limit
+            else "join"
+        )
     if res is None:
         res = pick_join_resolution(zones)
     zc = zone_cells(spark, zones, res)

@@ -114,7 +114,11 @@ def zonal_statistics(
     large to collect. 'auto' counts the zone side and picks.
     """
     if rings_mode == "auto":
-        rings_mode = "broadcast" if zones.count() <= broadcast_zone_limit else "join"
+        rings_mode = (
+            "broadcast"
+            if zones.limit(broadcast_zone_limit + 1).count() <= broadcast_zone_limit
+            else "join"
+        )
 
     cand = window_tiles(zones, rasters, tiles, tile_size)
     if rings_mode == "broadcast":

@@ -455,10 +455,16 @@ def ensure_embeddings(sf: str) -> str:
     dim = 64
     rng = np.random.default_rng(515151)
     base = rng.normal(0.0, 1.0, (n, dim))
-    # ~10% of rows become perturbed copies of an earlier "source" row
+    # ~10% of rows become perturbed copies of an earlier "source" row;
+    # a source that is itself a dup would STORE base[src[src]]+noise while
+    # the copy perturbs base[src] — near-orthogonal vectors, breaking the
+    # documented margin — so dup-of-dup rows are demoted to pristine
     is_dup = rng.random(n) < 0.10
     is_dup[0] = False
     src = rng.integers(0, np.maximum(np.arange(n), 1))
+    for i in range(n):
+        if is_dup[i] and is_dup[src[i]]:
+            is_dup[i] = False
     noise = rng.normal(0.0, 1.0, (n, dim))
     vecs = np.where(is_dup[:, None], base[src] + 0.15 * noise, base)
     pq.write_table(

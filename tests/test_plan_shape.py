@@ -40,13 +40,19 @@ class TestFlagshipPlan:
         exchanges = [ln for ln in p.splitlines() if "Exchange" in ln and "Broadcast" not in ln]
         assert not exchanges, exchanges
 
-    def test_geo_filter_reaches_scan_or_first_project(self, spark, docs, zones):
-        # kind='geo' is filtered before anything expensive: the explode
-        # output is filtered, never joined raw
-        out = sj.geo_points(docs)
+    def test_geo_filter_applies_before_join_side_work(self, spark, docs, zones):
+        # kind='geo' + POINT-prefix filtering must happen in the doc-side
+        # pipeline before any join: the plan's operator tree must contain a
+        # Filter mentioning both predicates, and the (post-explode) Filter
+        # must come before any Exchange/Join node in tree order
+        out = sj.spatial_join_points(spark, docs, zones, res=9, strategy="broadcast")
         p = plan(out)
-        assert "POINT" in p  # wkt prefix filter present
-        assert p.index("Filter") < p.index("Project") or "Filter" in p
+        assert "POINT" in p, p[:1500]  # wkt prefix filter present
+        assert "Filter" in p and "BroadcastExchange" in p, p[:1500]
+        # the doc side (printed first as the left/stream side) must filter
+        # before the join boundary — a Filter landing after the exchange
+        # means geo-span pruning stopped reaching the probe pipeline
+        assert p.index("Filter") < p.index("BroadcastExchange"), p[:1500]
 
 
 class TestAggAndJoinPlans:
