@@ -106,11 +106,22 @@ def rectified_zone_rings(zones_pdf: pd.DataFrame, to_srid: int = 4326) -> dict:
     return out
 
 
-def zone_cells(spark: SparkSession, zones: DataFrame, res: int, to_srid: int = 4326) -> DataFrame:
+def zone_cells(
+    spark: SparkSession,
+    zones: DataFrame,
+    res: int,
+    to_srid: int = 4326,
+    with_bbox: bool = False,
+) -> DataFrame:
     """Explode zones by bbox cell cover at `res` -> (zone_id, cell).
 
     Native plan: rectify bbox corners (only 3857 needs the mercator inverse,
     done with built-in math functions — no UDF), then a 2-D sequence explode.
+
+    ``with_bbox=True`` carries the rectified bbox corners along so the
+    consumer can bbox-prefilter candidates in codegen before any exact
+    refinement — edge cells of the cover admit points far outside the zone,
+    and dropping them JVM-side keeps them out of the Arrow exchange.
     """
     if "bbox4326" in zones.columns:
         # ingest-time rectified bbox: no runtime transform at all
@@ -144,16 +155,18 @@ def zone_cells(spark: SparkSession, zones: DataFrame, res: int, to_srid: int = 4
     def idx(col, lo, size, limit):
         return F.least(F.greatest(F.floor((col + F.lit(lo)) / F.lit(size)), F.lit(0)), F.lit(limit - 1))
 
+    carry = ["xmin", "ymin", "xmax", "ymax"] if with_bbox else []
     z = z.select(
         "zone_id",
         idx(F.col("xmin"), 180.0, w, n).alias("ix0"),
         idx(F.col("xmax"), 180.0, w, n).alias("ix1"),
         idx(F.col("ymin"), 90.0, h, n).alias("iy0"),
         idx(F.col("ymax"), 90.0, h, n).alias("iy1"),
+        *carry,
     )
     return (
-        z.select("zone_id", F.explode(F.sequence("ix0", "ix1")).alias("ix"), "iy0", "iy1")
-        .select("zone_id", "ix", F.explode(F.sequence("iy0", "iy1")).alias("iy"))
+        z.select("zone_id", F.explode(F.sequence("ix0", "ix1")).alias("ix"), "iy0", "iy1", *carry)
+        .select("zone_id", "ix", F.explode(F.sequence("iy0", "iy1")).alias("iy"), *carry)
         .select(
             "zone_id",
             (
@@ -161,8 +174,21 @@ def zone_cells(spark: SparkSession, zones: DataFrame, res: int, to_srid: int = 4
                 + F.col("ix").cast("long") * F.lit(1 << _IX_SHIFT).cast("long")
                 + F.col("iy").cast("long")
             ).alias("cell"),
+            *carry,
         )
     )
+
+
+def bbox_prefilter(cand: DataFrame) -> DataFrame:
+    """Codegen bbox gate on candidate rows carrying (x, y, xmin..ymax) —
+    inclusive bounds, so it is strictly conservative w.r.t. the exact
+    refinement that follows; then the bbox columns are dropped."""
+    return cand.filter(
+        (F.col("x") >= F.col("xmin"))
+        & (F.col("x") <= F.col("xmax"))
+        & (F.col("y") >= F.col("ymin"))
+        & (F.col("y") <= F.col("ymax"))
+    ).drop("xmin", "ymin", "xmax", "ymax")
 
 
 def pick_join_resolution(zones: DataFrame) -> int:
@@ -239,7 +265,7 @@ def spatial_join_points(
         res = cellk.pick_resolution(widths)
     edges = {zid: geom.rings_to_edges(rings) for zid, rings in rect.items()}
     bc_edges = spark.sparkContext.broadcast(edges)
-    zc = zone_cells(spark, zones, res)
+    zc = zone_cells(spark, zones, res, with_bbox=True)
 
     pts = pts.withColumn("cell", cell_expr(F.col("x"), F.col("y"), res))
 
@@ -277,7 +303,7 @@ def spatial_join_points(
         else:
             cand = pts.join(zc, "cell")
 
-    cand = cand.select("doc_id", "offset", "x", "y", "zone_id")
+    cand = bbox_prefilter(cand).select("doc_id", "offset", "x", "y", "zone_id")
 
     @F.pandas_udf(T.BooleanType())
     def pip(zone_id: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
@@ -387,8 +413,10 @@ def spatial_join_points_distributed(
     partial counts, the last exchange carries ~one row per candidate pair.
     """
     pts = geo_points(docs).withColumn("cell", cell_expr(F.col("x"), F.col("y"), res))
-    zc = zone_cells(spark, zones, res)
-    cand = pts.join(zc, "cell").select("doc_id", "offset", "x", "y", "zone_id")
+    zc = zone_cells(spark, zones, res, with_bbox=True)
+    cand = bbox_prefilter(pts.join(zc, "cell")).select(
+        "doc_id", "offset", "x", "y", "zone_id"
+    )
 
     if zone_edges is None:
         zone_edges = zone_edges_df(zones)

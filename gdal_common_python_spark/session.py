@@ -12,13 +12,25 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "gdal_common_python_spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              executors: int | None = None,
+              executor_cores: int = 2,
+              executor_mem_mb: int = 4096) -> SparkSession:
+    """local[N] session by default; with ``executors`` set, a
+    ``local-cluster[n, executor_cores, mem]`` — real separate executor JVMs,
+    the truthful sandbox analog of an n-executor cluster (the N-vs-4N
+    scaling evidence runs this way: executor size fixed, count scaled)."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if executors is not None:
+        master = f"local-cluster[{executors},{executor_cores},{executor_mem_mb}]"
+        cores = executors * executor_cores
+    else:
+        master = f"local[{cores}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -39,6 +51,35 @@ def get_spark(app: str = "gdal_common_python_spark", cores: int | None = None,
             os.environ.get("SPARK_GRAFT_JVM_OPTS", "-XX:+UseSerialGC -XX:CICompilerCount=2"),
         )
     )
+    if executors is not None:
+        builder = builder.config("spark.executor.memory", f"{executor_mem_mb}m")
+        # executor python workers don't see the driver's sys.path — ship the
+        # package the way a real cluster job does (spark-submit --py-files).
+        # When running from a repo checkout, build the artifact on the fly;
+        # under real spark-submit the zip is already on the submit line.
+        pkg_script = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "package.py",
+        )
+        if os.path.exists(pkg_script):
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location("_pkgbuild", pkg_script)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            builder = builder.config("spark.submit.pyFiles", mod.build())
+        builder = (
+            builder
+            # identical per-executor JVM settings at every cluster size:
+            # small fixed-size executors collect with SerialGC (2-core JVMs),
+            # fewer JIT threads for this sandbox kernel (see BENCH notes)
+            .config(
+                "spark.executor.extraJavaOptions",
+                os.environ.get(
+                    "SPARK_GRAFT_EXEC_JVM_OPTS", "-XX:+UseSerialGC -XX:CICompilerCount=2"
+                ),
+            )
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

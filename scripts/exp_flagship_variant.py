@@ -13,15 +13,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    variant, cores, sf = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    variant, cores, sf = sys.argv[1], sys.argv[2], sys.argv[3]
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     from gdal_common_python_spark import synth
     from gdal_common_python_spark.session import get_spark
     from gdal_common_python_spark.operators import spatial_join as sj
 
     sdir = synth.sf_dir(sf)
-    spark = get_spark(app=f"exp[{variant}][{cores}]", cores=cores,
-                      shuffle_partitions=max(cores, 8))
+    if cores.startswith("x"):  # "x4" = local-cluster with 4 two-core executors
+        n_exec = int(cores[1:])
+        spark = get_spark(app=f"exp[{variant}][{cores}]", executors=n_exec)
+    else:
+        cores = int(cores)
+        spark = get_spark(app=f"exp[{variant}][{cores}]", cores=cores,
+                          shuffle_partitions=max(cores, 8))
     docs = spark.read.parquet(os.path.join(sdir, "documents_spans.parquet"))
     zones = spark.read.parquet(os.path.join(sdir, "zones.parquet"))
     if variant == "arrow":
