@@ -5,9 +5,11 @@ geospatial queries run on the engine-synthesized spans tables at the same
 scale label) on local[$SPARK_GRAFT_CPUS].
 
 Scaling evidence (north rule, sandbox form — BASELINE.md): the flagship
-spatial join runs at local[N/4] and local[N] on identical input;
-efficiency = throughput(N) / (4 * throughput(N/4)). Disable with
-SPARK_GRAFT_SCALING=0.
+spatial join runs on a 1-executor and a 4-executor local-cluster (real
+separate 2-core executor JVMs, package shipped via the --py-files artifact)
+on identical input; efficiency = throughput(4N) / (4 * throughput(N)).
+Disable with SPARK_GRAFT_SCALING=0; SPARK_GRAFT_SCALE_MODE=threads keeps
+the older local[2]-vs-local[8] thread form.
 """
 
 from __future__ import annotations
@@ -42,7 +44,9 @@ def _sf_label() -> str:
     return base if base in synth.SCALES else "sf0.1"
 
 
-def make_session(cores: int):
+def make_session(spec):
+    """`spec`: int N -> local[N]; str 'xK' -> local-cluster with K two-core
+    executor JVMs (the N-vs-4N *executor* scaling form)."""
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
@@ -52,6 +56,9 @@ def make_session(cores: int):
         SparkSession._activeSession = None
     from gdal_common_python_spark.session import get_spark
 
+    if isinstance(spec, str) and spec.startswith("x"):
+        return get_spark(app=f"bench[{spec}]", executors=int(spec[1:]))
+    cores = int(spec)
     return get_spark(app=f"bench[{cores}]", cores=cores, shuffle_partitions=max(cores, 8))
 
 
@@ -107,10 +114,11 @@ def run_queries(spark, sdir):
     return times
 
 
-def _pinned_flagship(cores: int, bdir: str) -> float:
+def _pinned_flagship(spec, cores: int, bdir: str) -> float:
     """Run the flagship steady-state in a fresh process pinned to `cores`
-    CPUs; returns best wall seconds. Falls back to in-process (unpinned)
-    when taskset is unavailable."""
+    CPUs; `spec` picks the session shape (local[N] or xK executor cluster).
+    Returns best wall seconds. Falls back to in-process (unpinned) when
+    taskset is unavailable."""
     import shutil
     import subprocess
 
@@ -118,14 +126,14 @@ def _pinned_flagship(cores: int, bdir: str) -> float:
         cpu_list = ",".join(str(i) for i in range(cores))
         out = subprocess.run(
             ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
-             "--pinned-flagship", str(cores), bdir],
+             "--pinned-flagship", str(spec), bdir],
             capture_output=True, text=True, timeout=1800,
         )
         for line in out.stdout.strip().splitlines()[::-1]:
             if line.startswith("PINNED_SEC="):
                 return float(line.split("=")[1])
         raise RuntimeError(f"pinned run failed: {out.stdout[-500:]} {out.stderr[-500:]}")
-    spark = make_session(cores)
+    spark = make_session(spec)
     _, _, dt = flagship_steady(spark, bdir, iters=3)
     spark.stop()
     return dt
@@ -133,8 +141,8 @@ def _pinned_flagship(cores: int, bdir: str) -> float:
 
 def main():
     if len(sys.argv) >= 4 and sys.argv[1] == "--pinned-flagship":
-        cores, bdir = int(sys.argv[2]), sys.argv[3]
-        spark = make_session(cores)
+        spec, bdir = sys.argv[2], sys.argv[3]
+        spark = make_session(spec)
         _, _, dt = flagship_steady(spark, bdir, iters=3)
         spark.stop()
         print(f"PINNED_SEC={dt:.4f}")
@@ -167,14 +175,27 @@ def _bench_main():
 
     spark.stop()
     if DO_SCALING:
-        # north-rule scaling evidence, sandbox form: same job on an N-core
-        # and a 4N-core "cluster". Each level runs in a fresh process PINNED
-        # to exactly that many CPUs (taskset), so JVM task threads AND python
-        # UDF workers share the budget — a truthful cluster-size simulation.
-        # N=2 because this sandbox kernel stops scaling JVM threads beyond
-        # ~8-16 regardless of workload (see BENCH/BASELINE.md).
+        # north-rule scaling evidence, sandbox form: the SAME job on an
+        # N-executor and a 4N-executor cluster. Default mode 'executors'
+        # runs local-cluster[K,2,mem] — K real, separate, fixed-size (2-core)
+        # executor JVMs, scaled 1 -> 4, the whole process tree taskset-pinned
+        # to exactly K*2 CPUs so JVMs and python UDF workers share the
+        # budget. Executor JVM config is byte-identical at both sizes; only
+        # the executor COUNT changes — the same thing a real N -> 4N cluster
+        # resize does. Mode 'threads' (SPARK_GRAFT_SCALE_MODE) keeps the old
+        # local[2]-vs-local[8] thread form for comparison.
+        mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "executors")
         n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-        n_high = 4 * n_low
+        if mode == "executors":
+            k = max(1, n_low // 2)
+            spec_low, spec_high = f"x{k}", f"x{4 * k}"
+            cores_low, cores_high = 2 * k, 8 * k
+            label_low = f"cluster[{k}exec]"
+            label_high = f"cluster[{4 * k}exec]"
+        else:
+            spec_low, spec_high = str(n_low), str(4 * n_low)
+            cores_low, cores_high = n_low, 4 * n_low
+            label_low, label_high = f"local[{n_low}]", f"local[{4 * n_low}]"
         # the host is noisy (shared firecracker VM): run a FIXED number of
         # interleaved rep pairs and take per-level minima, so a slow patch
         # hits both levels rather than one. Fixed-N (no resample-until-pass)
@@ -182,8 +203,8 @@ def _bench_main():
         reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3")))
         lows, highs = [], []
         for _ in range(reps):
-            lows.append(_pinned_flagship(n_low, bdir))
-            highs.append(_pinned_flagship(n_high, bdir))
+            lows.append(_pinned_flagship(spec_low, cores_low, bdir))
+            highs.append(_pinned_flagship(spec_high, cores_high, bdir))
         tp_low, tp_high = n_docs / min(lows), n_docs / min(highs)
         # paired per-rep efficiencies: each interleaved (low, high) pair saw
         # the same host window, so the ratio cancels slow/fast drift that the
@@ -191,18 +212,20 @@ def _bench_main():
         # min-based headline
         paired = sorted(lo / (4 * hi) for lo, hi in zip(lows, highs))
         result["scaling"] = {
-            f"local[{n_low}]_docs_per_sec": round(tp_low, 1),
-            f"local[{n_high}]_docs_per_sec": round(tp_high, 1),
+            "mode": mode,
+            f"{label_low}_docs_per_sec": round(tp_low, 1),
+            f"{label_high}_docs_per_sec": round(tp_high, 1),
             "factor": 4,
             "efficiency": round(tp_high / (4 * tp_low), 3),
             "efficiency_paired": [round(e, 3) for e in paired],
             "efficiency_paired_median": round(paired[len(paired) // 2], 3),
             "samples_sec": {
-                f"local[{n_low}]": [round(s, 2) for s in lows],
-                f"local[{n_high}]": [round(s, 2) for s in highs],
+                label_low: [round(s, 2) for s in lows],
+                label_high: [round(s, 2) for s in highs],
             },
             "method": "taskset-pinned fresh process per level, interleaved; "
-            "per-level min of steady-state (min-of-3 execution walls each)",
+            "per-level min of steady-state (min-of-3 execution walls each); "
+            "executors mode: fixed 2-core executor JVMs, count scaled 1->4",
         }
     print(json.dumps(result))
 

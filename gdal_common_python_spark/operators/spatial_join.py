@@ -32,6 +32,8 @@ spine is never rewritten (SURVEY §7 hard-part 4).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -78,12 +80,26 @@ def geo_spans(docs: DataFrame, points_only: bool = False) -> DataFrame:
 
 
 def geo_points(docs: DataFrame) -> DataFrame:
-    """(doc_id, offset, x, y) for POINT geo spans — fully JVM-side parse."""
-    return geo_spans(docs, points_only=True).select(
-        "doc_id",
-        "offset",
-        F.regexp_extract("wkt", POINT_RX, 1).cast("double").alias("x"),
-        F.regexp_extract("wkt", POINT_RX, 2).cast("double").alias("y"),
+    """(doc_id, offset, x, y) for POINT geo spans — fully JVM-side parse.
+
+    The parse is wrapped in an explode(array(struct(...))) barrier: without
+    it, Catalyst's constraint propagation re-derives isnotnull() filters on
+    x/y (from the downstream join/filter conditions) and re-evaluates the
+    regexp per constraint — measured 2-4 regexp passes per span instead of
+    one. Filters cannot push below a Generate, so the regexp runs exactly
+    once and the (tiny) one-element explode is free in codegen."""
+    parsed = F.explode(
+        F.array(
+            F.struct(
+                F.regexp_extract("wkt", POINT_RX, 1).cast("double").alias("x"),
+                F.regexp_extract("wkt", POINT_RX, 2).cast("double").alias("y"),
+            )
+        )
+    )
+    return (
+        geo_spans(docs, points_only=True)
+        .select("doc_id", "offset", parsed.alias("p"))
+        .select("doc_id", "offset", "p.x", "p.y")
     )
 
 
@@ -265,7 +281,8 @@ def spatial_join_points(
         res = cellk.pick_resolution(widths)
     edges = {zid: geom.rings_to_edges(rings) for zid, rings in rect.items()}
     bc_edges = spark.sparkContext.broadcast(edges)
-    zc = zone_cells(spark, zones, res, with_bbox=True)
+    use_bbox = os.environ.get("SPARK_GRAFT_BBOX_PREFILTER", "1") != "0"
+    zc = zone_cells(spark, zones, res, with_bbox=use_bbox)
 
     pts = pts.withColumn("cell", cell_expr(F.col("x"), F.col("y"), res))
 
@@ -303,7 +320,9 @@ def spatial_join_points(
         else:
             cand = pts.join(zc, "cell")
 
-    cand = bbox_prefilter(cand).select("doc_id", "offset", "x", "y", "zone_id")
+    if use_bbox:
+        cand = bbox_prefilter(cand)
+    cand = cand.select("doc_id", "offset", "x", "y", "zone_id")
 
     @F.pandas_udf(T.BooleanType())
     def pip(zone_id: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:

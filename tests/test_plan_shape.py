@@ -40,6 +40,20 @@ class TestFlagshipPlan:
         exchanges = [ln for ln in p.splitlines() if "Exchange" in ln and "Broadcast" not in ln]
         assert not exchanges, exchanges
 
+    def test_parse_once_and_bbox_residual(self, spark, docs, zones):
+        # (a) the WKT regexp parse must be evaluated exactly once per
+        # coordinate: Catalyst constraint propagation loves to clone it into
+        # derived isnotnull filters (measured 45% flagship slowdown) — the
+        # explode barrier in geo_points pins it to 2 occurrences (x, y);
+        # (b) the exact zone bbox must appear as the broadcast join's
+        # residual condition so out-of-bbox candidates die JVM-side and
+        # never reach the Arrow exchange
+        out = sj.spatial_join_points(spark, docs, zones, res=9, strategy="broadcast")
+        p = plan(out)
+        assert p.count("regexp_extract") == 2, p.count("regexp_extract")
+        cond = [ln for ln in p.splitlines() if "Join condition:" in ln]
+        assert cond and "xmin" in cond[0] and "ymax" in cond[0], cond
+
     def test_geo_filter_applies_before_join_side_work(self, spark, docs, zones):
         # kind='geo' + POINT-prefix filtering must happen in the doc-side
         # pipeline before any join: the plan's operator tree must contain a
