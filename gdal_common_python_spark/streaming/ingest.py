@@ -54,6 +54,17 @@ def geo_span_cell_counts(
     )
 
 
+def stream_spatial_join(spark: SparkSession, docs_stream: DataFrame, zones: DataFrame) -> DataFrame:
+    """Continuous flagship: the BATCH spatial-join operator applied verbatim
+    to a streaming documents frame — every stage (explode, parse barrier,
+    cell encode, broadcast zone join with bbox residual, Arrow PIP refine)
+    is stateless or static-side, so the identical plan serves batch and
+    stream; one logical encoding, two execution modes."""
+    from ..operators.spatial_join import spatial_join_points
+
+    return spatial_join_points(spark, docs_stream, zones, strategy="broadcast")
+
+
 def run_to_memory(spark: SparkSession, input_dir: str, query_name: str = "cell_counts"):
     """Start the pipeline against a memory sink (tests / demos); returns the
     StreamingQuery — caller awaits/stops it."""
