@@ -461,10 +461,17 @@ def spatial_join_points_distributed(
     )
 
 
-def _refine_pair(w: str, zrings: list) -> bool:
+def _refine_pair(w: str, zrings: list, _cache: dict | None = None) -> bool:
     """Exact doc-geom vs zone-rings intersect test (shared by both ring
-    delivery modes)."""
-    kind, grings = geom.parse_wkt(w)
+    delivery modes). `_cache` memoizes the WKT parse across candidate pairs
+    of the same span within a batch — a span matching k zones parses once,
+    not k times (the parse dominates the python cost for small polygons)."""
+    if _cache is not None and w in _cache:
+        kind, grings = _cache[w]
+    else:
+        kind, grings = geom.parse_wkt(w)
+        if _cache is not None:
+            _cache[w] = (kind, grings)
     if kind == "point":
         return bool(
             geom.points_in_rings(
@@ -532,12 +539,52 @@ def spatial_join_geoms(
 
         @F.pandas_udf(T.BooleanType())
         def refine(zone_id: pd.Series, wkt: pd.Series) -> pd.Series:
+            # per-batch memoization: a span matching k zones parses and
+            # edge-builds ONCE; a zone matching m spans edge-builds once.
+            # The scalar bbox reject (pure-float compares) skips the heavy
+            # vectorized kernels for pairs whose bboxes are disjoint —
+            # exactly the pairs where Intersects is trivially false.
             zr = bc_rings.value
             out = np.zeros(len(zone_id), dtype=bool)
+            doc_cache: dict = {}
+            zone_cache: dict = {}
             for i, (z, w) in enumerate(zip(zone_id, wkt)):
-                rings = zr.get(int(z))
-                if rings is not None:
-                    out[i] = _refine_pair(w, [np.asarray(r, dtype=np.float64) for r in rings])
+                z = int(z)
+                zinfo = zone_cache.get(z)
+                if zinfo is None:
+                    rings = zr.get(z)
+                    if rings is None:
+                        continue
+                    zrings = [np.asarray(r, dtype=np.float64) for r in rings]
+                    eb = geom.rings_to_edges(zrings)
+                    vb = np.concatenate(zrings)
+                    zbb = (
+                        float(vb[:, 0].min()), float(vb[:, 1].min()),
+                        float(vb[:, 0].max()), float(vb[:, 1].max()),
+                    )
+                    zinfo = zone_cache[z] = (eb, vb, zbb)
+                eb, vb, zbb = zinfo
+                dinfo = doc_cache.get(w)
+                if dinfo is None:
+                    kind, grings = geom.parse_wkt(w)
+                    va = np.concatenate([np.asarray(r) for r in grings])
+                    dbb = (
+                        float(va[:, 0].min()), float(va[:, 1].min()),
+                        float(va[:, 0].max()), float(va[:, 1].max()),
+                    )
+                    ea = geom.rings_to_edges(grings) if kind != "point" else None
+                    dinfo = doc_cache[w] = (kind, ea, va, dbb)
+                kind, ea, va, dbb = dinfo
+                if dbb[0] > zbb[2] or dbb[2] < zbb[0] or dbb[1] > zbb[3] or dbb[3] < zbb[1]:
+                    continue  # disjoint bboxes: Intersects is false
+                if kind == "point":
+                    out[i] = bool(geom.points_in_rings(va[:, 0], va[:, 1], eb)[0])
+                else:
+                    out[i] = bool(
+                        geom.points_in_rings(va[:, 0], va[:, 1], eb).any()
+                        or geom.points_in_rings(vb[:, 0], vb[:, 1], ea).any()
+                        or geom.segments_intersect(ea, eb)
+                    )
             return pd.Series(out)
 
         refined = cand.withColumn("hit", refine("zone_id", "wkt"))
@@ -554,11 +601,12 @@ def spatial_join_geoms(
         @F.pandas_udf(T.BooleanType())
         def refine_joined(rings: pd.Series, srid: pd.Series, wkt: pd.Series) -> pd.Series:
             out = np.zeros(len(wkt), dtype=bool)
+            parse_cache: dict = {}
             for i, (rr, s, w) in enumerate(zip(rings, srid, wkt)):
                 zrings = geom.rings_from_cell(rr)
                 if int(s) != 4326:
                     zrings = proj.transform_rings(zrings, int(s), 4326)
-                out[i] = _refine_pair(w, zrings)
+                out[i] = _refine_pair(w, zrings, parse_cache)
             return pd.Series(out)
 
         refined = cand.join(zr_df, "zone_id").withColumn(
