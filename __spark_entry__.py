@@ -212,6 +212,18 @@ def q_media_metadata(spark, sf_dir):
     return out.select("doc_id", "offset", "raster_id", "band", "width", "height")
 
 
+def q_media_resize(spark, sf_dir):
+    """Aspect-preserving resize plumbing (stub codec): target 224x224."""
+    out = multimodal.resize_media(_synth(spark, sf_dir, "documents_spans"), 224, 224)
+    return out.select("doc_id", "offset", "src_width", "src_height", "width", "height")
+
+
+def q_media_frames(spark, sf_dir):
+    """Video-style frame sampling: one row per sampled frame (fan-out)."""
+    out = multimodal.frame_sample(_synth(spark, sf_dir, "documents_spans"), every_n=10)
+    return out.select("doc_id", "offset", "media_ref", "frame_idx", "n_frames")
+
+
 def q_span_invariant(spark, sf_dir):
     """Span-sequence preservation check as a query: reconstruct the
     (kind, text, media_ref, order) sequence fingerprint per doc AFTER a
@@ -361,6 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_components_scalable": q_dissolve_components_scalable,
         "mosaic": q_mosaic,
         "media_metadata": q_media_metadata,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "span_invariant": q_span_invariant,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -552,6 +566,41 @@ SELECT doc_id, off AS "offset",
        CAST(64 + b0 % 192 AS INT) AS width,
        CAST(64 + b1 % 192 AS INT) AS height
 FROM nib
+"""
+
+_SQL_MEDIA_RESIZE = f"""
+WITH m AS (
+  SELECT doc_id, s."offset" AS off, md5(s.media_ref) AS h
+  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
+  WHERE s.kind = 'media'
+),
+nib AS (
+  SELECT *,
+    CAST(64 + ((strpos('0123456789abcdef', substr(h,1,1))-1)*16 + (strpos('0123456789abcdef', substr(h,2,1))-1)) % 192 AS INT) AS sw,
+    CAST(64 + ((strpos('0123456789abcdef', substr(h,3,1))-1)*16 + (strpos('0123456789abcdef', substr(h,4,1))-1)) % 192 AS INT) AS sh
+  FROM m
+)
+SELECT doc_id, off AS "offset", sw AS src_width, sh AS src_height,
+       GREATEST(1, CAST(trunc(sw * LEAST(224.0/sw, 224.0/sh)) AS INT)) AS width,
+       GREATEST(1, CAST(trunc(sh * LEAST(224.0/sw, 224.0/sh)) AS INT)) AS height
+FROM nib
+"""
+
+_SQL_MEDIA_FRAMES = f"""
+WITH m AS (
+  SELECT doc_id, s."offset" AS off, s.media_ref AS media_ref, md5(s.media_ref) AS h
+  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
+  WHERE s.kind = 'media'
+),
+nf AS (
+  SELECT *,
+    CAST(1 + ((strpos('0123456789abcdef', substr(h,5,1))-1)*16 + (strpos('0123456789abcdef', substr(h,6,1))-1)) % 64 AS INT) AS n_frames
+  FROM m
+)
+SELECT doc_id, off AS "offset", media_ref,
+       CAST(unnest(generate_series(0, n_frames - 1, 10)) AS INT) AS frame_idx,
+       n_frames
+FROM nf
 """
 
 _SQL_SPAN_INVARIANT = f"""
@@ -879,6 +928,8 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_components_scalable": _SQL_DISSOLVE_COMPONENTS,
         "mosaic": _SQL_MOSAIC,
         "media_metadata": _SQL_MEDIA_METADATA,
+        "media_resize": _SQL_MEDIA_RESIZE,
+        "media_frames": _SQL_MEDIA_FRAMES,
         "span_invariant": _SQL_SPAN_INVARIANT,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,

@@ -95,3 +95,101 @@ def extract_media_features(docs: DataFrame) -> DataFrame:
             )
 
     return spans.mapInPandas(kernel, _SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def resize_media(docs: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Stub-resize every media span to (target_w, target_h), preserving
+    aspect by letterboxing the shorter axis (the arithmetic is real; the
+    pixel resample is the stubbed codec step). One row per media span with
+    source + target dims and a deterministic content hash standing in for
+    the resized bytes."""
+    spans = media_spans(docs)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                meta = _decode_stub(row.media_ref)
+                sw, sh = meta["width"], meta["height"]
+                scale = min(target_w / sw, target_h / sh)
+                ow, oh = max(1, int(sw * scale)), max(1, int(sh * scale))
+                digest = hashlib.md5(
+                    f"{row.media_ref}|{ow}x{oh}".encode()
+                ).hexdigest()
+                rows.append(
+                    dict(
+                        doc_id=row.doc_id,
+                        offset=int(row.offset),
+                        media_ref=row.media_ref,
+                        src_width=sw,
+                        src_height=sh,
+                        width=ow,
+                        height=oh,
+                        content_md5=digest,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+
+    return spans.mapInPandas(kernel, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def frame_sample(docs: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video-style frame sampling: each media span fans out to one row per
+    sampled frame (every `every_n`-th of the stub-decoded frame count) —
+    the one-to-many mapInPandas shape a real ffmpeg frame extractor uses.
+    Frame features derive deterministically from (media_ref, frame_idx)."""
+    spans = media_spans(docs)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                h = hashlib.md5(row.media_ref.encode()).digest()
+                n_frames = int(1 + h[2] % 64)
+                for fi in range(0, n_frames, every_n):
+                    fh = hashlib.md5(f"{row.media_ref}#{fi}".encode()).digest()
+                    feats = (
+                        np.frombuffer(fh, dtype=np.uint8).astype(np.float32)[
+                            :FEATURE_DIM
+                        ]
+                        / 255.0
+                    ).tolist()
+                    rows.append(
+                        dict(
+                            doc_id=row.doc_id,
+                            offset=int(row.offset),
+                            media_ref=row.media_ref,
+                            frame_idx=fi,
+                            n_frames=n_frames,
+                            features=feats,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
+
+    return spans.mapInPandas(kernel, _FRAME_SCHEMA)
