@@ -94,6 +94,7 @@ def run_queries(spark, sdir):
         "knn",
         "near_table",
         "mosaic",
+        "media_frames",
         "dissolve_components",
         "dedup_minhash_lsh",
         "simhash",

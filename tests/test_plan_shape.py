@@ -82,6 +82,37 @@ class TestAggAndJoinPlans:
         p = plan(out)
         assert "BroadcastHashJoin" in p, p[:1500]
 
+    def test_minhash_map_side_combine(self, spark, sf_dir):
+        # the shingle explode multiplies rows ~50x; the k min() aggregates
+        # MUST partial-aggregate before the exchange so the shuffle carries
+        # ~one row per (doc, mapper), not the exploded shingles
+        import os
+
+        from gdal_common_python_spark.operators import dedup
+
+        docs = spark.read.parquet(os.path.join("/root/testdata/sf0.001", "documents.parquet"))
+        out = dedup.minhash_docs(docs, k=16, n=3)
+        p = plan(out)
+        # formatted tree prints top-down (final -> scan): a partial aggregate
+        # EXECUTING before the shuffle appears AFTER the exchange in text.
+        # (string min() plans as SortAggregate, not HashAggregate)
+        tree = p[: p.index("(1) ")]
+        aggs = [m.start() for m in re.finditer(r"(Hash|Sort|ObjectHash)Aggregate", tree)]
+        exchs = [m.start() for m in re.finditer(r"Exchange", tree)]
+        assert len(aggs) >= 2 and exchs, tree
+        assert any(a > exchs[0] for a in aggs), tree
+
+    def test_simhash_no_explode(self, spark):
+        # simhash folds token arrays with native HOFs: the plan must contain
+        # no Generate (explode) — an explode here blows the row count up by
+        # the token count at corpus scale
+        from gdal_common_python_spark.operators import dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = plan(dedup.simhash_docs(docs))
+        assert "Generate" not in p, [ln for ln in p.splitlines() if "Generate" in ln]
+        assert "Exchange" not in p, [ln for ln in p.splitlines() if "Exchange" in ln]
+
     def test_pricing_summary_partial_agg(self, spark):
         li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
         out = li.groupBy("l_returnflag").agg(F.sum(F.col("l_quantity").cast("long")).alias("s"))
