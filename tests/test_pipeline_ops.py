@@ -175,3 +175,29 @@ class TestMeasures:
             assert r.area_km2 > 0
         with pytest.raises(ValueError):
             calc_geometry(zones, "x", U.AREA_SQ_METER, 4326)
+
+
+class TestMultimodalProperties:
+    def test_resize_props(self, spark, docs):
+        from gdal_common_python_spark.operators import multimodal
+
+        rows = multimodal.resize_media(docs, 224, 224).collect()
+        assert rows
+        for r in rows:
+            # letterbox: within target, at least 1px, aspect preserved to trunc
+            assert 1 <= r.width <= 224 and 1 <= r.height <= 224
+            scale = min(224 / r.src_width, 224 / r.src_height)
+            assert r.width == max(1, int(r.src_width * scale))
+            assert r.height == max(1, int(r.src_height * scale))
+
+    def test_frame_sample_props_and_determinism(self, spark, docs):
+        from gdal_common_python_spark.operators import multimodal
+
+        a = multimodal.frame_sample(docs, every_n=10).collect()
+        b = multimodal.frame_sample(docs, every_n=10).collect()
+        key = lambda r: (r.doc_id, r.offset, r.frame_idx)  # noqa: E731
+        assert sorted(map(key, a)) == sorted(map(key, b))  # deterministic
+        for r in a:
+            assert 1 <= r.n_frames <= 64
+            assert r.frame_idx % 10 == 0 and r.frame_idx < r.n_frames
+            assert len(r.features) == multimodal.FEATURE_DIM
