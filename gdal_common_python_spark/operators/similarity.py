@@ -129,35 +129,65 @@ def cosine_near_dup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collect_limit: int = 2_000_000,
 ) -> DataFrame:
     """(a_id, b_id, cos) — exact near-duplicate pairs with cosine >= threshold.
 
-    Brute-force all-pairs: the correctness baseline (and the DuckDB oracle
-    shape). cos is rounded to 6 dp on BOTH engines so the gate compares a
-    stable value; the synthesized input keeps a wide margin around the
-    threshold so rounding can never flip membership."""
+    Exact all-pairs as a block matrix product: the build side (ids, matrix,
+    norms) broadcasts once; each Arrow batch of query rows computes a
+    (batch x n) BLAS matmul and emits only pairs above threshold with
+    a_id < b_id. O(n^2) flops but vectorized — this is the correctness
+    baseline and gate; ``lsh_near_dup`` is the scale path (the build side
+    must fit in memory, enforced by `collect_limit`).
+
+    cos is rounded to 6 dp on BOTH engines so the gate compares a stable
+    value; summation order differs between BLAS, Spark folds, and DuckDB's
+    list_cosine_similarity anyway, and the synthesized input keeps a wide
+    margin around the threshold so fp noise can never flip membership."""
     from .dedup import _spread
 
-    # norms once per ROW before the join (not per pair: that re-runs a
-    # 64-element fold 2x per pair), and spread an under-partitioned left
-    # side so the broadcast-nested-loop join parallelizes instead of
-    # inheriting the single-file scan's one partition (no-op when the input
-    # already carries enough splits)
+    spark = emb.sparkSession
+    pdf = emb.select(id_col, vec_col).limit(collect_limit + 1).toPandas()
+    if len(pdf) > collect_limit:
+        raise ValueError(
+            f"cosine_near_dup is the exact baseline (build side capped at "
+            f"{collect_limit} rows) — use lsh_near_dup at scale"
+        )
+    ids_b = pdf[id_col].to_numpy()
+    mat_b = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms_b = np.sqrt((mat_b * mat_b).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_b, mat_b, norms_b))
+
+    id_type = emb.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("a_id", id_type),
+            T.StructField("b_id", id_type),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
     a = _spread(
-        emb.select(
-            F.col(id_col).alias("a_id"), F.col(vec_col).cast("array<double>").alias("va")
-        ).withColumn("na", _norm(F.col("va")))
+        emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
     )
-    b = emb.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).cast("array<double>").alias("vb")
-    ).withColumn("nb", _norm(F.col("vb")))
-    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    return (
-        pairs.withColumn("cos", cos)
-        .filter(F.col("cos") >= threshold)
-        .select("a_id", "b_id", "cos")
-    )
+
+    def kernel(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf_a in batches:
+            if not len(pdf_a):
+                continue
+            a_ids = pdf_a["a_id"].to_numpy()
+            a_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_a["va"]])
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = np.round(
+                (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :]), 6
+            )
+            mask = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"a_id": a_ids[ai], "b_id": b_ids[bi], "cos": sims[ai, bi]}
+            )
+
+    return a.mapInPandas(kernel, out_schema)
 
 
 def lsh_near_dup(
