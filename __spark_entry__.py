@@ -111,6 +111,21 @@ def q_spatial_join_polygons(spark, sf_dir):
     )
 
 
+def q_spatial_join_polygons_distributed(spark, sf_dir):
+    """Same general intersect join FORCED onto the collect-free path
+    (rings_mode='join': zone rings ship as a joined column into the Arrow
+    refinement — zero driver-side zone materialization, the plan for zone
+    sides too large to collect). Output identical to the broadcast form,
+    gated by the same oracle."""
+    return sj.spatial_join_geoms(
+        spark,
+        _synth(spark, sf_dir, "documents_spans"),
+        _synth(spark, sf_dir, "zones"),
+        wkt_prefix="POLYGON",
+        rings_mode="join",
+    )
+
+
 def q_tile_assignment(spark, sf_dir):
     out = ta.tile_assign(
         _synth(spark, sf_dir, "zones"), _synth(spark, sf_dir, "rasters")
@@ -363,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_pip_salted": q_spatial_join_pip_salted,
         "spatial_join_pip_distributed": q_spatial_join_pip_distributed,
         "spatial_join_polygons": q_spatial_join_polygons,
+        "spatial_join_polygons_distributed": q_spatial_join_polygons_distributed,
         "tile_assignment": q_tile_assignment,
         "zonal_counts": q_zonal_counts,
         "zonal_stats": q_zonal_stats,
@@ -944,4 +960,5 @@ def oracle_sql() -> dict[str, str]:
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_stats": _SQL_ZONAL_STATS,
         "spatial_join_polygons": _SQL_SPATIAL_POLY,
+        "spatial_join_polygons_distributed": _SQL_SPATIAL_POLY,
     }
