@@ -539,33 +539,25 @@ def spatial_join_geoms(
 
         @F.pandas_udf(T.BooleanType())
         def refine(zone_id: pd.Series, wkt: pd.Series) -> pd.Series:
-            # per-batch memoization: a span matching k zones parses and
-            # edge-builds ONCE; a zone matching m spans edge-builds once.
-            # The scalar bbox reject (pure-float compares) skips the heavy
-            # vectorized kernels for pairs whose bboxes are disjoint —
-            # exactly the pairs where Intersects is trivially false.
+            # Batched per zone-run: the batch is processed in contiguous
+            # zone groups (stable argsort); each group parses/edge-builds
+            # the zone ONCE and runs ONE vectorized vertex-in-zone test for
+            # the concatenated vertices of ALL its candidate spans
+            # (reduceat per span) — the test that resolves every true
+            # containment hit. Only pairs it leaves open (overlap without a
+            # contained doc vertex) pay the per-pair reverse-containment +
+            # edge-crossing kernels. Span parses are memoized per batch;
+            # a scalar bbox reject skips disjoint pairs entirely.
             zr = bc_rings.value
-            out = np.zeros(len(zone_id), dtype=bool)
+            n = len(zone_id)
+            out = np.zeros(n, dtype=bool)
+            zi = zone_id.to_numpy()
+            wk = wkt.to_numpy()
             doc_cache: dict = {}
-            zone_cache: dict = {}
-            for i, (z, w) in enumerate(zip(zone_id, wkt)):
-                z = int(z)
-                zinfo = zone_cache.get(z)
-                if zinfo is None:
-                    rings = zr.get(z)
-                    if rings is None:
-                        continue
-                    zrings = [np.asarray(r, dtype=np.float64) for r in rings]
-                    eb = geom.rings_to_edges(zrings)
-                    vb = np.concatenate(zrings)
-                    zbb = (
-                        float(vb[:, 0].min()), float(vb[:, 1].min()),
-                        float(vb[:, 0].max()), float(vb[:, 1].max()),
-                    )
-                    zinfo = zone_cache[z] = (eb, vb, zbb)
-                eb, vb, zbb = zinfo
-                dinfo = doc_cache.get(w)
-                if dinfo is None:
+            infos = [None] * n
+            for i, w in enumerate(wk):
+                d = doc_cache.get(w)
+                if d is None:
                     kind, grings = geom.parse_wkt(w)
                     va = np.concatenate([np.asarray(r) for r in grings])
                     dbb = (
@@ -573,18 +565,47 @@ def spatial_join_geoms(
                         float(va[:, 0].max()), float(va[:, 1].max()),
                     )
                     ea = geom.rings_to_edges(grings) if kind != "point" else None
-                    dinfo = doc_cache[w] = (kind, ea, va, dbb)
-                kind, ea, va, dbb = dinfo
-                if dbb[0] > zbb[2] or dbb[2] < zbb[0] or dbb[1] > zbb[3] or dbb[3] < zbb[1]:
-                    continue  # disjoint bboxes: Intersects is false
-                if kind == "point":
-                    out[i] = bool(geom.points_in_rings(va[:, 0], va[:, 1], eb)[0])
-                else:
-                    out[i] = bool(
-                        geom.points_in_rings(va[:, 0], va[:, 1], eb).any()
-                        or geom.points_in_rings(vb[:, 0], vb[:, 1], ea).any()
-                        or geom.segments_intersect(ea, eb)
+                    d = doc_cache[w] = (kind, ea, va, dbb)
+                infos[i] = d
+            order = np.argsort(zi, kind="stable")
+            zs = zi[order]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(zs)) + 1, [n]])
+            for s0, s1 in zip(starts[:-1], starts[1:]):
+                rings = zr.get(int(zs[s0]))
+                if rings is None:
+                    continue
+                zrings = [np.asarray(r, dtype=np.float64) for r in rings]
+                eb = geom.rings_to_edges(zrings)
+                vb = np.concatenate(zrings)
+                zxmin, zymin = float(vb[:, 0].min()), float(vb[:, 1].min())
+                zxmax, zymax = float(vb[:, 0].max()), float(vb[:, 1].max())
+                live = [
+                    i
+                    for i in order[s0:s1]
+                    if not (
+                        infos[i][3][0] > zxmax or infos[i][3][2] < zxmin
+                        or infos[i][3][1] > zymax or infos[i][3][3] < zymin
                     )
+                ]
+                if not live:
+                    continue
+                vas = [infos[i][2] for i in live]
+                lens = np.fromiter((len(v) for v in vas), dtype=np.int64, count=len(vas))
+                allv = np.concatenate(vas)
+                inz = geom.points_in_rings(allv[:, 0], allv[:, 1], eb)
+                bounds = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                any_in = np.logical_or.reduceat(inz, bounds)
+                for j, i in enumerate(live):
+                    kind, ea, va, _ = infos[i]
+                    if kind == "point":
+                        out[i] = bool(inz[bounds[j]])
+                    elif any_in[j]:
+                        out[i] = True
+                    else:
+                        out[i] = bool(
+                            geom.points_in_rings(vb[:, 0], vb[:, 1], ea).any()
+                            or geom.segments_intersect(ea, eb)
+                        )
             return pd.Series(out)
 
         refined = cand.withColumn("hit", refine("zone_id", "wkt"))
