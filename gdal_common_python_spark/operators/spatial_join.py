@@ -620,18 +620,28 @@ def spatial_join_geoms(
             )
 
         @F.pandas_udf(T.BooleanType())
-        def refine_joined(rings: pd.Series, srid: pd.Series, wkt: pd.Series) -> pd.Series:
+        def refine_joined(
+            zone_id: pd.Series, rings: pd.Series, srid: pd.Series, wkt: pd.Series
+        ) -> pd.Series:
+            # zone rings arrive as a joined column, so the Arrow->numpy ring
+            # conversion + CRS rectification would otherwise re-run per pair
+            # — cache per zone_id (zones repeat across their candidates)
             out = np.zeros(len(wkt), dtype=bool)
             parse_cache: dict = {}
-            for i, (rr, s, w) in enumerate(zip(rings, srid, wkt)):
-                zrings = geom.rings_from_cell(rr)
-                if int(s) != 4326:
-                    zrings = proj.transform_rings(zrings, int(s), 4326)
+            zone_cache: dict = {}
+            for i, (z, rr, s, w) in enumerate(zip(zone_id, rings, srid, wkt)):
+                z = int(z)
+                zrings = zone_cache.get(z)
+                if zrings is None:
+                    zrings = geom.rings_from_cell(rr)
+                    if int(s) != 4326:
+                        zrings = proj.transform_rings(zrings, int(s), 4326)
+                    zone_cache[z] = zrings
                 out[i] = _refine_pair(w, zrings, parse_cache)
             return pd.Series(out)
 
         refined = cand.join(zr_df, "zone_id").withColumn(
-            "hit", refine_joined("__rings", "__srid", "wkt")
+            "hit", refine_joined("zone_id", "__rings", "__srid", "wkt")
         )
 
     return refined.filter(F.col("hit")).select("doc_id", "offset", "zone_id")
