@@ -700,7 +700,7 @@ votes AS (
   FROM bits GROUP BY doc_id, b
 )
 SELECT doc_id,
-       sum(CASE WHEN vote > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -725,6 +725,96 @@ SELECT a.vec_id AS a_id, b.vec_id AS b_id,
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.9
 """
+
+def _sql_ann_lsh() -> str:
+    """Oracle for ``similarity.lsh_topk`` (k=5, n_planes=6). The hyperplane
+    weights are md5-derived literals (hashlib — no RNG), so the exact same
+    doubles are embedded here; the bucket is the same bit-packed sign sum
+    with the same left-associated fold order, and the per-bucket re-rank
+    is the exact cosine with the same (cos desc, neighbor_id) tie-break."""
+    from gdal_common_python_spark.operators.similarity import hyperplane_weights
+
+    planes = hyperplane_weights(6, 64)
+
+    def proj(p):
+        return " + ".join(f"e[{i + 1}]*{w!r}" for i, w in enumerate(planes[p]))
+
+    bucket = "\n     + ".join(
+        f"(CASE WHEN ({proj(p)}) >= 0 THEN {1 << (5 - p)} ELSE 0 END)" for p in range(6)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (
+  SELECT vec_id, e,
+       {bucket} AS bucket
+  FROM v
+)
+SELECT vec_id, rank, neighbor_id FROM (
+  SELECT a.vec_id, n.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.e, n.e) DESC, n.vec_id
+         ) AS rank
+  FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id != n.vec_id
+) WHERE rank <= 5
+"""
+
+
+def _sql_ann_ivf() -> str:
+    """Oracle for ``similarity.ivf_topk`` (k=5, 16 centroids, 3 probes).
+    Centroids are trained here with the IDENTICAL deterministic k-means
+    (``similarity.ivf_kmeans``) on the same id-ordered sample, then embedded
+    as literals. Probe ranking uses raw list_inner_product(e, c): within a
+    vec_id partition it orders identically to the kernel's normalized dot
+    (positive per-row scale), avoiding any normalization fp divergence."""
+    import duckdb as _duckdb
+    import numpy as _np
+
+    from gdal_common_python_spark.operators.similarity import ivf_kmeans
+
+    con = _duckdb.connect()
+    rows = con.sql(
+        "SELECT CAST(embedding AS DOUBLE[]) FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    con.close()
+    X = _np.stack([_np.asarray(r[0], dtype=_np.float64) for r in rows])
+    C = ivf_kmeans(X, 16, 5)
+    cent = "\n  UNION ALL ".join(
+        f"SELECT {cid} AS cid, [{', '.join(repr(float(x)) for x in row)}]::DOUBLE[] AS cv"
+        for cid, row in enumerate(C)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (
+  {cent}
+),
+sims AS (
+  SELECT v.vec_id, v.e, c.cid,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_inner_product(v.e, c.cv) DESC, c.cid
+         ) AS rn
+  FROM v CROSS JOIN cent c
+),
+members AS (SELECT vec_id AS neighbor_id, e AS eb, cid AS cluster_id FROM sims WHERE rn = 1),
+probes AS (SELECT vec_id, e AS ea, cid AS cluster_id FROM sims WHERE rn <= 3),
+cand AS (
+  SELECT p.vec_id, p.ea, m.neighbor_id, m.eb
+  FROM probes p JOIN members m USING (cluster_id)
+  WHERE p.vec_id != m.neighbor_id
+)
+SELECT vec_id, rank, neighbor_id FROM (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_cosine_similarity(ea, eb) DESC, neighbor_id
+         ) AS rank
+  FROM cand
+) WHERE rank <= 5
+"""
+
 
 _STOP_SQL = {
     "en": "['the','and','of','to','in','is','that','it','was','for']",
@@ -753,7 +843,7 @@ hits AS (
   FROM base
 )
 SELECT doc_id, n_tokens,
-  list_aggregate(list_transform(toks, t -> greatest(CAST(ceil(length(t)/4.0) AS BIGINT), 1)), 'sum') AS n_subwords,
+  CAST(list_aggregate(list_transform(toks, t -> greatest(CAST(ceil(length(t)/4.0) AS BIGINT), 1)), 'sum') AS BIGINT) AS n_subwords,
   CASE WHEN greatest(h_en,h_es,h_de,h_fr) = 0 THEN 'und'
        WHEN h_en = greatest(h_en,h_es,h_de,h_fr) THEN 'en'
        WHEN h_es = greatest(h_en,h_es,h_de,h_fr) THEN 'es'
@@ -780,7 +870,7 @@ FROM events
 _SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        count(DISTINCT l_orderkey) AS n_orders,
        strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS first_ship,
        strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_ship
@@ -952,6 +1042,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "simhash": _SQL_SIMHASH,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
+        "embedding_ann_lsh": _sql_ann_lsh(),
+        "embedding_ann_ivf": _sql_ann_ivf(),
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING_COSINE,
         "text_profile": _SQL_TEXT_PROFILE,
         "events_dates": _SQL_EVENTS_DATES,

@@ -49,6 +49,24 @@ def cosine_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str
     )
 
 
+def ivf_kmeans(X: np.ndarray, n_centroids: int, iters: int) -> np.ndarray:
+    """Deterministic spherical k-means used by ``ivf_topk``: normalize,
+    init with the first n_centroids rows of the id-ordered sample, argmax
+    assignment, unit-renormalized means. Exposed so the DuckDB oracle can
+    train the IDENTICAL centroids from the same id-ordered sample (same
+    numpy ops on the same input -> bit-identical literals)."""
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[: min(n_centroids, len(Xn))].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                mu = Xn[m].mean(axis=0)
+                C[c] = mu / max(np.linalg.norm(mu), 1e-12)
+    return C
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -81,15 +99,7 @@ def ivf_topk(
         .toPandas()
     )
     X = np.stack([np.asarray(r, dtype=np.float64) for r in samp["v"]])
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    C = Xn[: min(n_centroids, len(Xn))].copy()
-    for _ in range(kmeans_iters):
-        assign = np.argmax(Xn @ C.T, axis=1)
-        for c in range(len(C)):
-            m = assign == c
-            if m.any():
-                mu = Xn[m].mean(axis=0)
-                C[c] = mu / max(np.linalg.norm(mu), 1e-12)
+    C = ivf_kmeans(X, n_centroids, kmeans_iters)
     bc_C = spark.sparkContext.broadcast(C)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -153,6 +163,16 @@ def cosine_near_dup(
             f"cosine_near_dup is the exact baseline (build side capped at "
             f"{collect_limit} rows) — use lsh_near_dup at scale"
         )
+    id_type_early = emb.schema[id_col].dataType
+    if len(pdf) == 0:
+        empty = T.StructType(
+            [
+                T.StructField("a_id", id_type_early),
+                T.StructField("b_id", id_type_early),
+                T.StructField("cos", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
     ids_b = pdf[id_col].to_numpy()
     mat_b = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     norms_b = np.sqrt((mat_b * mat_b).sum(axis=1))
@@ -241,22 +261,35 @@ def lsh_near_dup(
     )
 
 
-def _bucket(vec_col, n_planes: int, dim: int, salt: str = ""):
-    """Deterministic hyperplane signs: plane p, component i has weight
-    md5-derived in [-0.5, 0.5) — computed driver-side with hashlib (no RNG,
-    reproducible anywhere) and embedded as literals, so the bucket
-    expression is a plain codegen'd dot product. Bucket = bit-packed signs."""
+def hyperplane_weights(n_planes: int, dim: int, salt: str = "") -> list[list[float]]:
+    """Deterministic hyperplane matrix: plane p, component i has weight
+    md5-derived in [-0.5, 0.5) — computed with hashlib (no RNG), so any
+    engine (the DuckDB oracle included) reproduces the same literals."""
     import hashlib
 
     def weight(p, i):
         h = int(hashlib.md5(f"{salt}plane{p}:{i}".encode()).hexdigest()[:8], 16)
         return float(h) / float(16**8) - 0.5
 
+    return [[weight(p, i) for i in range(dim)] for p in range(n_planes)]
+
+
+def _bucket(vec_col, n_planes: int, dim: int, salt: str = ""):
+    """Bucket = bit-packed hyperplane signs. Each plane's weight vector is
+    ONE array literal and the projection is aggregate(zip_with(...)) — a
+    constant-size expression per plane, so realistic dims (512-1024) don't
+    blow up codegen/constant pools the way a dim×planes chain of scalar
+    literals did. The left-fold matches the oracle's left-associated sum
+    bit-for-bit (0.0 + t0 == t0 in IEEE for all t0 except a harmless
+    -0.0 -> +0.0 sign change that cannot flip the >= 0 sign test)."""
+    planes = hyperplane_weights(n_planes, dim, salt)
+
     def sign(p):
-        proj = None
-        for i in range(dim):
-            term = F.element_at(vec_col, i + 1) * F.lit(weight(p, i))
-            proj = term if proj is None else proj + term
+        proj = F.aggregate(
+            F.zip_with(vec_col, F.lit(planes[p]), lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 
     out = F.lit(0)

@@ -328,6 +328,8 @@ def spatial_join_points(
     def pip(zone_id: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
         ed = bc_edges.value
         out = np.zeros(len(zone_id), dtype=bool)
+        if len(zone_id) == 0:
+            return pd.Series(out)
         zi = zone_id.to_numpy()
         xs = x.to_numpy(dtype=np.float64)
         ys = y.to_numpy(dtype=np.float64)
@@ -551,6 +553,8 @@ def spatial_join_geoms(
             zr = bc_rings.value
             n = len(zone_id)
             out = np.zeros(n, dtype=bool)
+            if n == 0:
+                return pd.Series(out)
             zi = zone_id.to_numpy()
             wk = wkt.to_numpy()
             doc_cache: dict = {}

@@ -6,8 +6,9 @@ operator: the set of already-seen fingerprints is operator state that must
 survive across micro-batches and restarts. Spark's built-in
 ``dropDuplicates`` on a stream keeps state as an opaque blob; this
 implementation uses ``applyInPandasWithState`` (Arrow-batched, grouped by
-fingerprint) so the state schema is explicit, inspectable, and the emitted
-row can carry provenance (how many duplicates were suppressed so far).
+fingerprint) so the state schema is explicit and inspectable: per-group
+state carries (first_doc_id, n_seen) where n_seen counts all arrivals, so
+suppressed-so-far = n_seen - 1 is recoverable from the state store.
 
 Scale shape: state is partitioned by the fingerprint hash across executors
 (the groupBy shuffle IS the state partitioning), so the seen-set scales
@@ -63,14 +64,17 @@ def _first_seen(
     key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Grouped-with-state handler: emit the group's first-ever document,
-    suppress every later arrival; state rides along as (first_id, n_seen)."""
+    suppress every later arrival. State rides along as (first_id, n_seen)
+    where n_seen counts ALL arrivals for the fingerprint (including the one
+    emitted row, so suppressed = n_seen - 1); it stays state-side as a
+    lineage metric and is not part of the output schema."""
     ids: list[str] = []
     for pdf in batches:
         ids.extend(pdf["doc_id"].tolist())
     if state.exists:
         first_id, n_seen = state.get
         state.update((first_id, n_seen + len(ids)))
-        return iter(())  # already emitted in an earlier micro-batch
+        return  # already emitted in an earlier micro-batch
     first_id = min(ids)  # deterministic within the first batch
     state.update((first_id, len(ids)))
     yield pd.DataFrame({"fp": [key[0]], "doc_id": [first_id]})

@@ -27,12 +27,21 @@ def build() -> str:
             if f.endswith(".py"):
                 full = os.path.join(dirpath, f)
                 entries.append((os.path.relpath(full, ROOT), full))
-    with zipfile.ZipFile(OUT, "w", zipfile.ZIP_DEFLATED) as z:
+    # skip the rebuild when the existing zip is newer than every source —
+    # and write via temp + atomic os.replace so concurrent sessions (e.g.
+    # parallel bench/test processes) never observe a partially-written zip
+    if os.path.exists(OUT):
+        newest_src = max(os.path.getmtime(full) for _, full in entries)
+        if os.path.getmtime(OUT) >= newest_src:
+            return OUT
+    tmp = f"{OUT}.tmp.{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
         for arc, full in sorted(entries):
             info = zipfile.ZipInfo(arc, date_time=(1980, 1, 1, 0, 0, 0))
             info.compress_type = zipfile.ZIP_DEFLATED
             with open(full, "rb") as fh:
                 z.writestr(info, fh.read())
+    os.replace(tmp, OUT)
     return OUT
 
 

@@ -70,6 +70,17 @@ def main(names=None):
         if sorted(c.lower() for c in cols) != sorted(c.lower() for c in ocols):
             results[name] = f"SCHEMA MISMATCH: spark={sorted(cols)} oracle={sorted(ocols)}"
             continue
+        # arrow-path type audit: DuckDB HUGEINT/DECIMAL surface as
+        # decimal128/float64 through the driver's arrow fetch and
+        # hash-mismatch Spark's int64 even when values are equal
+        try:
+            otypes = {f.name: str(f.type) for f in con.sql(osql[name]).arrow().schema}
+            widened = [c for c, t in otypes.items() if "decimal" in t]
+            if widened:
+                results[name] = f"TYPE WIDENING: oracle cols {widened} are {[otypes[c] for c in widened]} (cast to BIGINT/DOUBLE in the SQL)"
+                continue
+        except Exception:
+            pass
         a, b = norm(rows, cols), norm(orows, ocols)
         if a == b:
             results[name] = f"OK: {len(rows)} rows ({t1-t0:.1f}s spark, {time.time()-t1:.1f}s oracle)"

@@ -98,6 +98,39 @@ class TestSimilarity:
         }
         assert approx == again
 
+    def test_lsh_high_dim_no_codegen_blowup(self, spark):
+        # dim=512 with array-literal hyperplanes: the old per-component
+        # literal chain exploded codegen/constant pools at real embedding
+        # dims; this pins that realistic dims run end-to-end
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(4, 512))
+        rows = []
+        for i in range(40):
+            v = base[i % 4] + rng.normal(scale=0.03, size=512)
+            rows.append((i, v.astype(np.float32).tolist()))
+        emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+        exact = {(r.vec_id, r.neighbor_id) for r in similarity.cosine_topk(emb, k=3).collect()}
+        approx = {
+            (r.vec_id, r.neighbor_id)
+            for r in similarity.lsh_topk(emb, k=3, n_planes=4, dim=512).collect()
+        }
+        assert len(exact & approx) / len(exact) > 0.8
+        nd = similarity.lsh_near_dup(emb, threshold=0.95, n_planes=4, n_tables=4, dim=512)
+        assert nd.count() > 0
+
+    def test_near_dup_empty_input(self, spark):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+        empty = spark.createDataFrame([], schema)
+        assert similarity.cosine_near_dup(empty, threshold=0.9).count() == 0
+        assert similarity.lsh_near_dup(empty, threshold=0.9, dim=8).count() == 0
+
     def test_near_dup_exact_and_lsh(self, spark):
         from gdal_common_python_spark import synth
 
