@@ -23,7 +23,9 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from gdal_common_python_spark import synth
 from gdal_common_python_spark.functions import dates as D
@@ -279,6 +281,80 @@ def q_span_invariant(spark, sf_dir):
     return reassembled.select("doc_id", fp.alias("span_fp"))
 
 
+# fixed gate grid over the synth zone domain [-120,-80]x[30,45]: exact
+# binary steps (40/256, 15/128) so center coordinates are bit-identical
+# between numpy and the oracle's  x0 + (i+0.5)*dx  arithmetic
+_GRID = (-120.0, 30.0, 0.15625, 0.1171875, 256, 128)
+
+
+def _grid_npix_udf():
+    from gdal_common_python_spark.kernels import geom as G
+
+    x0, y0, dx, dy, nx, ny = _GRID
+    gx = x0 + (np.arange(nx) + 0.5) * dx
+    gy = y0 + (np.arange(ny) + 0.5) * dy
+
+    @F.pandas_udf(T.LongType())
+    def npix(rings: pd.Series) -> pd.Series:
+        out = []
+        for cell in rings:
+            rr = G.rings_from_cell(cell)
+            if not rr:
+                out.append(0)
+                continue
+            xmin, ymin, xmax, ymax = G.rings_bbox(rr)
+            xs = gx[(gx >= xmin) & (gx <= xmax)]
+            ys = gy[(gy >= ymin) & (gy <= ymax)]
+            if len(xs) == 0 or len(ys) == 0:
+                out.append(0)
+                continue
+            mx, my = np.meshgrid(xs, ys)
+            inside = G.points_in_rings(mx.ravel(), my.ravel(), G.rings_to_edges(rr))
+            out.append(int(inside.sum()))
+        return pd.Series(out, dtype="int64")
+
+    return npix
+
+
+def _zones_split(spark, sf_dir):
+    """Rectified zones split into a left (even ids) and clip/erase layer
+    (odd ids) — the two-layer overlay surface over one synth table."""
+    zones = _synth(spark, sf_dir, "zones").select(
+        "zone_id", F.col("rings4326").alias("rings"), F.col("bbox4326").alias("bbox")
+    )
+    return zones.filter(F.col("zone_id") % 2 == 0), zones.filter(F.col("zone_id") % 2 == 1)
+
+
+def q_overlay_clip(spark, sf_dir):
+    """G2/G5 general clip gate: pieces of left∩right (holes, multiparts and
+    concave handled by the kernel); gated on the intersecting pair set plus
+    a pixel-membership count of the OUTPUT geometry — a center is inside
+    the clipped pieces iff it is inside both zones, which the oracle can
+    test with the original edge tables."""
+    from gdal_common_python_spark.operators import overlay
+
+    left, right = _zones_split(spark, sf_dir)
+    out = overlay.clip(spark, left, right)
+    npix = _grid_npix_udf()
+    return out.select("l_id", "r_id", npix("rings").alias("npix"))
+
+
+def q_overlay_erase(spark, sf_dir):
+    """G3 general erase gate: one row per left zone with the pixel count of
+    its post-erase geometry (0 when fully erased — the oracle's
+    in-A-and-in-no-B count is 0 there too)."""
+    from gdal_common_python_spark.operators import overlay
+
+    left, right = _zones_split(spark, sf_dir)
+    out = overlay.erase(spark, left, right)
+    npix = _grid_npix_udf()
+    counts = out.select("l_id", npix("rings").alias("np_"))
+    allleft = left.select(F.col("zone_id").alias("l_id"))
+    return allleft.join(counts, "l_id", "left").select(
+        "l_id", F.coalesce("np_", F.lit(0)).alias("npix")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), min_count=1)
 
@@ -387,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_category": q_dissolve_category,
         "dissolve_components": q_dissolve_components,
         "dissolve_components_scalable": q_dissolve_components_scalable,
+        "overlay_clip": q_overlay_clip,
+        "overlay_erase": q_overlay_erase,
         "mosaic": q_mosaic,
         "media_metadata": q_media_metadata,
         "media_resize": q_media_resize,
@@ -550,6 +628,62 @@ _SQL_DISSOLVE_COMPONENTS = f"""
 SELECT z.category, count(DISTINCT c.component) AS n_components, count(*) AS feat_count
 FROM zc z JOIN comp c ON c.zone_id = z.zone_id
 GROUP BY z.category
+"""
+
+# gate grid (must mirror _GRID): centers at x0 + (i+0.5)*dx with exact
+# binary steps, membership per (center, zone) by the shared even-odd formula
+_SQL_GRID_MEMBER = f"""
+  centers AS (
+    SELECT -120.0 + (ix.ix + 0.5) * 0.15625 AS px,
+           30.0 + (iy.iy + 0.5) * 0.1171875 AS py
+    FROM (SELECT unnest(range(0, 256)) AS ix) ix,
+         (SELECT unnest(range(0, 128)) AS iy) iy
+  ),
+  ge AS (SELECT zone_id, ex1, ey1, ex2, ey2 FROM {_EDGES}),
+  member AS (
+    SELECT c.px, c.py, ge.zone_id
+    FROM centers c JOIN ge ON (ge.ey1 > c.py) != (ge.ey2 > c.py)
+     AND c.px < (ge.ex2 - ge.ex1) * (c.py - ge.ey1) / (ge.ey2 - ge.ey1) + ge.ex1
+    GROUP BY c.px, c.py, ge.zone_id
+    HAVING count(*) % 2 = 1
+  )
+"""
+
+_SQL_OVERLAY_CLIP = f"""
+{_SQL_PAIRS},
+{_SQL_GRID_MEMBER},
+  inter_pairs AS (
+    SELECT DISTINCT
+           CASE WHEN a_id % 2 = 0 THEN a_id ELSE b_id END AS l_id,
+           CASE WHEN a_id % 2 = 0 THEN b_id ELSE a_id END AS r_id
+    FROM pairs WHERE (a_id % 2) != (b_id % 2)
+  ),
+  pairpix AS (
+    SELECT p.l_id, p.r_id, count(*) AS n
+    FROM inter_pairs p
+    JOIN member ma ON ma.zone_id = p.l_id
+    JOIN member mb ON mb.zone_id = p.r_id AND mb.px = ma.px AND mb.py = ma.py
+    GROUP BY p.l_id, p.r_id
+  )
+SELECT p.l_id, p.r_id, coalesce(x.n, 0) AS npix
+FROM inter_pairs p LEFT JOIN pairpix x ON x.l_id = p.l_id AND x.r_id = p.r_id
+"""
+
+_SQL_OVERLAY_ERASE = f"""
+WITH {_SQL_GRID_MEMBER},
+kept AS (
+  SELECT m.zone_id, count(*) AS n
+  FROM member m
+  WHERE m.zone_id % 2 = 0
+    AND NOT EXISTS (
+      SELECT 1 FROM member m2
+      WHERE m2.px = m.px AND m2.py = m.py AND m2.zone_id % 2 = 1
+    )
+  GROUP BY m.zone_id
+)
+SELECT z.zone_id AS l_id, coalesce(k.n, 0) AS npix
+FROM (SELECT zone_id FROM {_ZONES} WHERE zone_id % 2 = 0) z
+LEFT JOIN kept k ON k.zone_id = z.zone_id
 """
 
 _SQL_MOSAIC = f"""
@@ -1032,6 +1166,8 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_category": _SQL_DISSOLVE_CATEGORY,
         "dissolve_components": _SQL_DISSOLVE_COMPONENTS,
         "dissolve_components_scalable": _SQL_DISSOLVE_COMPONENTS,
+        "overlay_clip": _SQL_OVERLAY_CLIP,
+        "overlay_erase": _SQL_OVERLAY_ERASE,
         "mosaic": _SQL_MOSAIC,
         "media_metadata": _SQL_MEDIA_METADATA,
         "media_resize": _SQL_MEDIA_RESIZE,

@@ -40,6 +40,11 @@ __all__ = [
     "geom_distance",
     "buffer_point",
     "clip_convex",
+    "clip_general",
+    "difference_general",
+    "decompose_convex",
+    "triangulate_ring",
+    "split_outers_holes",
     "normalize_rings",
 ]
 
@@ -345,6 +350,165 @@ def difference_convex(subject: np.ndarray, clip_ring: np.ndarray) -> list[np.nda
         if piece is not None and abs(signed_area(piece)) > 1e-12:
             pieces.append(piece)
     return pieces
+
+
+def _point_in_tri(px, py, a, b, c) -> bool:
+    """Strict interior test for a CCW triangle (boundary excluded)."""
+    return (
+        _orient(a[0], a[1], b[0], b[1], px, py) > 0
+        and _orient(b[0], b[1], c[0], c[1], px, py) > 0
+        and _orient(c[0], c[1], a[0], a[1], px, py) > 0
+    )
+
+
+def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple (possibly concave) ring.
+
+    Input orientation is normalized to CCW; output is CCW triangles whose
+    disjoint-interior union is the ring's interior. This is the concave ->
+    convex decomposition behind the general overlay kernels (the reference
+    delegates arbitrary-polygon overlays to OGR's layer algebra,
+    lib/analysis.py:74,100 — here concavity is reduced to the convex
+    Sutherland-Hodgman kernels instead)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) >= 2 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    if signed_area(r) < 0:
+        r = r[::-1]
+    scale = max(float(np.max(np.abs(r))), 1.0)
+    eps = (1e-12 * scale) ** 2
+    idx = list(range(len(r)))
+    tris: list[np.ndarray] = []
+    stuck = 0
+    while len(idx) > 3:
+        n = len(idx)
+        found = False
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = r[i0], r[i1], r[i2]
+            cr = _orient(a[0], a[1], b[0], b[1], c[0], c[1])
+            if cr <= eps:
+                continue  # reflex or collinear corner — not an ear
+            if any(
+                _point_in_tri(r[j][0], r[j][1], a, b, c)
+                for j in idx
+                if j not in (i0, i1, i2)
+            ):
+                continue
+            tris.append(np.array([a, b, c]))
+            idx.pop(k)
+            found = True
+            break
+        if not found:
+            # numerical stalemate (collinear runs): drop the flattest corner
+            # — a zero-area sliver — and retry; bail to a fan after 2 tries
+            stuck += 1
+            if stuck > 2:
+                break
+            flat = min(
+                range(n),
+                key=lambda k: abs(
+                    _orient(*r[idx[(k - 1) % n]], *r[idx[k]], *r[idx[(k + 1) % n]])
+                ),
+            )
+            idx.pop(flat)
+        else:
+            stuck = 0
+    if len(idx) == 3:
+        a, b, c = r[idx[0]], r[idx[1]], r[idx[2]]
+        if _orient(a[0], a[1], b[0], b[1], c[0], c[1]) > eps:
+            tris.append(np.array([a, b, c]))
+    elif len(idx) > 3:  # fan fallback (convex-ish leftover)
+        for k in range(1, len(idx) - 1):
+            a, b, c = r[idx[0]], r[idx[k]], r[idx[k + 1]]
+            if _orient(a[0], a[1], b[0], b[1], c[0], c[1]) > eps:
+                tris.append(np.array([a, b, c]))
+    return tris
+
+
+def decompose_convex(ring: np.ndarray) -> list[np.ndarray]:
+    """Ring -> list of CCW convex rings covering its interior (identity for
+    already-convex rings, ear-clipping triangles otherwise)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if signed_area(r) < 0:
+        r = r[::-1]
+    if is_convex(r):
+        return [r]
+    return triangulate_ring(r)
+
+
+def split_outers_holes(rings) -> list[tuple[np.ndarray, list[np.ndarray]]]:
+    """Group a flat ring list (CCW outers, CW holes — the engine's storage
+    convention) into (outer, [holes]) parts; each hole is attached to the
+    outer containing its first vertex and returned re-oriented CCW so it can
+    be used directly as a clip shape."""
+    outers = []
+    holes = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        if signed_area(r) >= 0:
+            outers.append(r)
+        else:
+            holes.append(r[::-1])
+    parts = [(o, []) for o in outers]
+    for h in holes:
+        for o, hs in parts:
+            e = rings_to_edges([o])
+            if points_in_rings(h[:1, 0], h[:1, 1], e)[0]:
+                hs.append(h)
+                break
+    return parts
+
+
+_MIN_PIECE_AREA = 1e-12
+
+
+def clip_general(subject_rings, clip_rings) -> list[np.ndarray]:
+    """subject ∩ clip for arbitrary simple polygons (concave outers, holes,
+    multipolygon parts on BOTH sides) — the full G2/G5 kernel.
+
+    The clip side decomposes into convex pieces (disjoint interiors), so
+    each piece-level clip is exact convex Sutherland-Hodgman; subject rings
+    keep their orientation through clipping, so subject holes stay holes
+    (negative rings) and even-odd/area semantics compose. Clip holes are
+    handled as  A ∩ (O \\ H) = (A ∩ O) with the rings of (A ∩ H) negated —
+    exact under even-odd because H ⊆ O."""
+    pieces: list[np.ndarray] = []
+    for outer, holes in split_outers_holes(clip_rings):
+        for conv in decompose_convex(outer):
+            for s in subject_rings:
+                res = clip_convex(s, conv)
+                if res is not None and abs(signed_area(res)) > _MIN_PIECE_AREA:
+                    pieces.append(res)
+        for h in holes:
+            for conv in decompose_convex(h):
+                for s in subject_rings:
+                    res = clip_convex(s, conv)
+                    if res is not None and abs(signed_area(res)) > _MIN_PIECE_AREA:
+                        pieces.append(res[::-1])  # negate: carve the hole out
+    return pieces
+
+
+def difference_general(subject_rings, clip_rings) -> list[np.ndarray]:
+    """subject \\ clip for arbitrary simple polygons (concave, holes,
+    multi-part) — the full G3 kernel.
+
+    Each clip part (O \\ H) is subtracted sequentially:
+    X \\ (O \\ H) = (X \\ O) ∪ (X ∩ H); parts are disjoint so the
+    hole-intersections can be taken against the ORIGINAL subject. Convex
+    decomposition reduces every step to the convex difference/clip kernels;
+    subject orientation (holes) is preserved throughout."""
+    pieces = [np.asarray(s, dtype=np.float64) for s in subject_rings]
+    for outer, holes in split_outers_holes(clip_rings):
+        for conv in decompose_convex(outer):
+            pieces = [q for p in pieces for q in difference_convex(p, conv)]
+        for h in holes:
+            for conv in decompose_convex(h):
+                for s in subject_rings:
+                    res = clip_convex(s, conv)
+                    if res is not None and abs(signed_area(res)) > _MIN_PIECE_AREA:
+                        pieces.append(res)
+    return [p for p in pieces if abs(signed_area(p)) > _MIN_PIECE_AREA]
 
 
 def clip_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None:

@@ -60,17 +60,12 @@ def intersect_pairs(spark: SparkSession, left: DataFrame, right: DataFrame) -> D
 
 
 def _clip_rings(subject: list[np.ndarray], clip: list[np.ndarray]) -> list[np.ndarray]:
-    """Intersection geometry: every subject ring clipped by every convex
-    outer clip ring. Holes in the clip side are unsupported (raise)."""
-    out = []
-    for c in clip:
-        if geom.signed_area(c) < 0 or not geom.is_convex(c):
-            raise NotImplementedError("concave/hole clip rings unsupported")
-        for s in subject:
-            res = geom.clip_convex(s, c)
-            if res is not None and abs(geom.signed_area(res)) > 0:
-                out.append(res)
-    return out
+    """Intersection geometry for arbitrary simple polygons — concave
+    outers, holes and multipolygon parts on either side (the scope of OGR
+    Layer.Clip/Intersection, lib/analysis.py:74,155). Concavity is reduced
+    to convex Sutherland-Hodgman via ear-clipping decomposition in the
+    kernel layer."""
+    return geom.clip_general(subject, clip)
 
 
 def clip(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
@@ -127,20 +122,14 @@ _ERASE_SCHEMA = T.StructType(
 def erase(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
     """G3 (lib/analysis.py:79-102): left geometry minus all overlapping right
     geometry; rows with no candidates pass through (anti-join union).
-    Right-side rings must be convex outers (half-plane decomposition);
-    right-side holes are ignored — fixture scope, SURVEY §2.5 parity note."""
+    Right side may be concave, carry holes, or be multi-part — the general
+    difference kernel decomposes it (Layer.Erase scope, lib/analysis.py:100)."""
     cand = _pair_candidates(spark, left, right)
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        subj = geom.rings_from_cell(pdf["l_rings"].iloc[0])
-        pieces = list(subj)
+        pieces = geom.rings_from_cell(pdf["l_rings"].iloc[0])
         for rr in pdf["r_rings"]:
-            for clip_ring in geom.rings_from_cell(rr):
-                if geom.signed_area(clip_ring) <= 0:
-                    continue  # skip holes on the erase side
-                if not geom.is_convex(clip_ring):
-                    raise NotImplementedError("concave erase rings unsupported")
-                pieces = [q for p in pieces for q in geom.difference_convex(p, clip_ring)]
+            pieces = geom.difference_general(pieces, geom.rings_from_cell(rr))
         if not pieces:
             return pd.DataFrame(columns=["l_id", "rings", "area"])
         return pd.DataFrame(

@@ -189,3 +189,103 @@ class TestDates:
         assert U.UNIT_MULTIPLIER[U.LENGTH_NMILE] == (False, 5.39957e-4)
         assert U.UNIT_MULTIPLIER[U.AREA_ACRE] == (True, 2.47105e-4)
         assert U.SRS_UNIT_FACTOR["feet"] == 0.092903
+
+
+class TestGeneralOverlayKernels:
+    """Concave/hole/multipart clip + difference (the G2/G3 general kernels).
+
+    Exactness oracle: (a) shoelace-area invariants that must hold for any
+    correct boolean op (area(A∩B) + area(A\\B) = area(A)); (b) a dense grid
+    membership cross-check — a point is in the piece collection (even-odd)
+    iff it is in A and in B (resp. A and not B) by direct PIP."""
+
+    L_SHAPE = [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 1.0], [1.0, 1.0], [1.0, 4.0], [0.0, 4.0]])]
+    U_SHAPE = [
+        np.array([[0.0, 0.0], [5.0, 0.0], [5.0, 3.0], [4.0, 3.0], [4.0, 1.0],
+                  [1.0, 1.0], [1.0, 3.0], [0.0, 3.0]])
+    ]
+    RECT = [np.array([[0.5, 0.5], [3.5, 0.5], [3.5, 2.5], [0.5, 2.5]])]
+    HOLED = [
+        np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]),
+        np.array([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]])[::-1].copy(),  # CW hole
+    ]
+    MULTI = [
+        np.array([[0.0, 0.0], [1.5, 0.0], [1.5, 4.0], [0.0, 4.0]]),
+        np.array([[2.5, 0.0], [4.0, 0.0], [4.0, 4.0], [2.5, 4.0]]),
+    ]
+
+    def _grid_check(self, a, b, inter, diff):
+        xs, ys = np.meshgrid(np.linspace(-0.37, 5.43, 61), np.linspace(-0.41, 4.37, 53))
+        px, py = xs.ravel(), ys.ravel()
+        in_a = geom.points_in_rings(px, py, geom.rings_to_edges(a))
+        in_b = geom.points_in_rings(px, py, geom.rings_to_edges(b))
+        in_i = geom.points_in_rings(px, py, geom.rings_to_edges(inter)) if inter else np.zeros_like(in_a)
+        in_d = geom.points_in_rings(px, py, geom.rings_to_edges(diff)) if diff else np.zeros_like(in_a)
+        assert (in_i == (in_a & in_b)).all()
+        assert (in_d == (in_a & ~in_b)).all()
+
+    def _run_case(self, a, b):
+        inter = geom.clip_general(a, b)
+        diff = geom.difference_general(a, b)
+        ai = geom.polygon_area(inter)
+        ad = geom.polygon_area(diff)
+        assert ai >= -1e-9 and ad >= -1e-9
+        assert ai + ad == pytest.approx(geom.polygon_area(a), abs=1e-9)
+        self._grid_check(a, b, inter, diff)
+        return ai
+
+    def test_triangulate_concave(self):
+        tris = geom.triangulate_ring(self.L_SHAPE[0])
+        assert sum(geom.signed_area(t) for t in tris) == pytest.approx(7.0)
+        assert all(geom.signed_area(t) > 0 for t in tris)
+
+    def test_concave_clip_and_diff(self):
+        ai = self._run_case(self.RECT, self.L_SHAPE)  # concave clip side
+        assert ai == pytest.approx(3.0 * 0.5 + 0.5 * 1.5)  # strip y:0.5-1 + col x:0.5-1,y:1-2.5
+        self._run_case(self.L_SHAPE, self.RECT)  # concave subject side
+        self._run_case(self.U_SHAPE, self.L_SHAPE)  # concave both sides
+
+    def test_hole_clip_side(self):
+        ai = self._run_case(self.RECT, self.HOLED)
+        # rect ∩ (outer \ hole): rect is 3x2 at (0.5,0.5)-(3.5,2.5); hole 2x2 (1,1)-(3,3)
+        assert ai == pytest.approx(3.0 * 2.0 - 2.0 * 1.5)
+
+    def test_hole_subject_side(self):
+        self._run_case(self.HOLED, self.RECT)
+        self._run_case(self.HOLED, self.L_SHAPE)
+
+    def test_multipolygon_both_sides(self):
+        self._run_case(self.RECT, self.MULTI)
+        self._run_case(self.MULTI, self.RECT)
+        self._run_case(self.MULTI, self.HOLED)
+
+    def test_random_convex_pairs_match_convex_kernel(self):
+        rng = np.random.default_rng(5)
+        for _ in range(25):
+            a = [_hull(rng.normal(size=(12, 2)) * 2.0)]
+            b = [_hull(rng.normal(size=(12, 2)) * 2.0 + rng.normal(scale=1.0, size=2))]
+            res = geom.clip_general(a, b)
+            ref = geom.clip_convex(a[0], b[0])
+            ref_area = abs(geom.signed_area(ref)) if ref is not None else 0.0
+            assert geom.polygon_area(res) == pytest.approx(ref_area, abs=1e-9)
+            diff = geom.difference_general(a, b)
+            assert geom.polygon_area(res) + geom.polygon_area(diff) == pytest.approx(
+                abs(geom.signed_area(a[0])), abs=1e-9
+            )
+
+    def test_disjoint_and_contained(self):
+        far = [np.array([[10.0, 10.0], [11.0, 10.0], [11.0, 11.0], [10.0, 11.0]])]
+        assert geom.clip_general(self.RECT, far) == []
+        d = geom.difference_general(self.RECT, far)
+        assert geom.polygon_area(d) == pytest.approx(geom.polygon_area(self.RECT))
+        # subject fully inside clip
+        small = [np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]])]
+        big = [np.array([[-1.0, -1.0], [6.0, -1.0], [6.0, 6.0], [-1.0, 6.0]])]
+        assert geom.polygon_area(geom.clip_general(small, big)) == pytest.approx(1.0)
+        assert geom.difference_general(small, big) == []
+
+
+def _hull(pts):
+    from gdal_common_python_spark.synth import _convex_hull
+
+    return _convex_hull(pts)
