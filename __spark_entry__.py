@@ -216,6 +216,23 @@ def q_dissolve_components_scalable(spark, sf_dir):
     )
 
 
+def q_dissolve_union(spark, sf_dir):
+    """A2/A4 union-geometry gate: per category, the dissolved geometry is
+    the TRUE member union (overlaps removed). Gated by pixel membership of
+    the OUTPUT piece collection vs the oracle's centers-in-any-member-zone
+    count — overlap double-count would fail it."""
+    from gdal_common_python_spark.operators.dissolve import dissolve
+
+    zones = _synth(spark, sf_dir, "zones").select(
+        "zone_id", "category", F.col("rings4326").alias("rings")
+    )
+    out = dissolve(zones, on_fields=["category"])
+    npix = _grid_npix_udf()
+    return out.select(
+        F.col("group_key").alias("category"), "feat_count", npix("rings").alias("npix")
+    )
+
+
 def q_mosaic(spark, sf_dir):
     tiles = _synth(spark, sf_dir, "raster_tiles")
     m = mosaic_ops.mosaic(tiles, raster_ids=["r0", "r1", "r2"], band=1)
@@ -463,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_category": q_dissolve_category,
         "dissolve_components": q_dissolve_components,
         "dissolve_components_scalable": q_dissolve_components_scalable,
+        "dissolve_union": q_dissolve_union,
         "overlay_clip": q_overlay_clip,
         "overlay_erase": q_overlay_erase,
         "mosaic": q_mosaic,
@@ -684,6 +702,19 @@ kept AS (
 SELECT z.zone_id AS l_id, coalesce(k.n, 0) AS npix
 FROM (SELECT zone_id FROM {_ZONES} WHERE zone_id % 2 = 0) z
 LEFT JOIN kept k ON k.zone_id = z.zone_id
+"""
+
+_SQL_DISSOLVE_UNION = f"""
+WITH {_SQL_GRID_MEMBER},
+zc AS (SELECT zone_id, category FROM {_ZONES}),
+upix AS (
+  SELECT z.category, count(DISTINCT (m.px, m.py)) AS n
+  FROM member m JOIN zc z ON z.zone_id = m.zone_id
+  GROUP BY z.category
+)
+SELECT z.category, count(*) AS feat_count, coalesce(any_value(u.n), 0) AS npix
+FROM zc z LEFT JOIN upix u ON u.category = z.category
+GROUP BY z.category
 """
 
 _SQL_MOSAIC = f"""
@@ -1166,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_category": _SQL_DISSOLVE_CATEGORY,
         "dissolve_components": _SQL_DISSOLVE_COMPONENTS,
         "dissolve_components_scalable": _SQL_DISSOLVE_COMPONENTS,
+        "dissolve_union": _SQL_DISSOLVE_UNION,
         "overlay_clip": _SQL_OVERLAY_CLIP,
         "overlay_erase": _SQL_OVERLAY_ERASE,
         "mosaic": _SQL_MOSAIC,

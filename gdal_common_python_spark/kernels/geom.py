@@ -42,6 +42,7 @@ __all__ = [
     "clip_convex",
     "clip_general",
     "difference_general",
+    "union_pieces",
     "decompose_convex",
     "triangulate_ring",
     "split_outers_holes",
@@ -509,6 +510,35 @@ def difference_general(subject_rings, clip_rings) -> list[np.ndarray]:
                     if res is not None and abs(signed_area(res)) > _MIN_PIECE_AREA:
                         pieces.append(res)
     return [p for p in pieces if abs(signed_area(p)) > _MIN_PIECE_AREA]
+
+
+def union_pieces(ringsets: list[list[np.ndarray]]) -> list[np.ndarray]:
+    """True geometric union of member polygons (the UnionCascaded analog,
+    lib/dissolve.py:46-49,268-274) as a disjoint piece collection.
+
+    Member i contributes  P_i \\ (P_1 ∪ … ∪ P_{i-1})  via sequential
+    general difference against the ORIGINAL earlier members, so every point
+    of the union is covered by exactly one piece: even-odd membership equals
+    the union region and the signed-area sum equals the union area with
+    overlaps removed. Representation note: the result is a piece collection
+    (region- and area-exact), not a boundary-walked merged ring — parity
+    checks operate on areas, counts and membership (SURVEY §2.5 note)."""
+    if not ringsets:
+        return []
+    out = [np.asarray(r, dtype=np.float64) for r in ringsets[0]]
+    for i in range(1, len(ringsets)):
+        pieces = [np.asarray(r, dtype=np.float64) for r in ringsets[i]]
+        for j in range(i):
+            if not pieces:
+                break
+            # bbox reject: disjoint members contribute unchanged
+            bi = rings_bbox(pieces)
+            bj = rings_bbox(ringsets[j])
+            if bi[2] < bj[0] or bj[2] < bi[0] or bi[3] < bj[1] or bj[3] < bi[1]:
+                continue
+            pieces = difference_general(pieces, ringsets[j])
+        out.extend(pieces)
+    return out
 
 
 def clip_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None:

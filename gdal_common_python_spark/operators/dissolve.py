@@ -12,10 +12,11 @@ Reference semantics:
 Engine mapping: hash aggregation (groupBy + applyInPandas) instead of the
 reference's O(groups*rows) linear scans. The per-group kernel computes
 connected components with the exact ``polygon_intersects`` kernel (bbox
-prefilter first). Output geometry is the component's ring collection
-(multipolygon, no overlap splitting — same caveat as OGR Layer.Union,
-lib/analysis.py:192); parity checks pin FEAT_COUNT, component counts and
-area sums, not overlap-resolved vertices (SURVEY §2.5 parity note).
+prefilter first). Output geometry is the TRUE member union (UnionCascaded
+analog, lib/dissolve.py:268-274) as a disjoint piece collection computed
+by kernels.geom.union_pieces — region- and area-exact with overlaps
+removed; parity checks pin FEAT_COUNT, component counts, union areas and
+grid membership, not boundary-walked vertices (SURVEY §2.5 parity note).
 
 Scale note: per-group CC is quadratic in group size — right for dimension-
 scale inputs (the reference's use case). For web-scale component finding use
@@ -61,6 +62,7 @@ _SCHEMA = T.StructType(
         T.StructField("component", T.IntegerType()),
         T.StructField("feat_count", T.LongType()),
         T.StructField("total_area", T.DoubleType()),
+        T.StructField("union_area", T.DoubleType()),
         T.StructField("rings", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))),
     ]
 )
@@ -130,7 +132,10 @@ def dissolve(
 ) -> DataFrame:
     """A2 (on_fields=None, single_part=False), A3 (None, True),
     A4 (fields, either). Output: group_key, component, feat_count,
-    total_area (sum of member signed areas), rings."""
+    total_area (sum of member signed areas), union_area (overlaps removed —
+    the UnionCascaded measure, lib/dissolve.py:268-274), rings (the member
+    union as a disjoint piece collection: region- and area-exact union
+    geometry; see kernels.geom.union_pieces for the representation note)."""
     if on_fields:
         keyed = zones.withColumn("group_key", F.concat_ws("", *on_fields))
     else:
@@ -146,14 +151,15 @@ def dissolve(
         out = []
         for c in sorted(set(comp)):
             members = [i for i, cc in enumerate(comp) if cc == c]
-            rings = [r for i in members for r in ringsets[i]]
+            merged = geom.union_pieces([ringsets[i] for i in members])
             out.append(
                 dict(
                     group_key=key,
                     component=int(c),
                     feat_count=len(members),
                     total_area=float(sum(geom.polygon_area(ringsets[i]) for i in members)),
-                    rings=[r.tolist() for r in rings],
+                    union_area=float(geom.polygon_area(merged)),
+                    rings=[r.tolist() for r in merged],
                 )
             )
         return pd.DataFrame(out)

@@ -289,3 +289,50 @@ def _hull(pts):
     from gdal_common_python_spark.synth import _convex_hull
 
     return _convex_hull(pts)
+
+
+class TestUnionPieces:
+    R1 = [np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])]
+    R2 = [np.array([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]])]
+    R3 = [np.array([[10.0, 10.0], [11.0, 10.0], [11.0, 11.0], [10.0, 11.0]])]
+
+    def test_overlap_removed(self):
+        u = geom.union_pieces([self.R1, self.R2])
+        assert geom.polygon_area(u) == pytest.approx(4.0 + 4.0 - 1.0)
+
+    def test_idempotent_duplicate_member(self):
+        u = geom.union_pieces([self.R1, self.R1, self.R2])
+        assert geom.polygon_area(u) == pytest.approx(7.0)
+
+    def test_disjoint_sum(self):
+        u = geom.union_pieces([self.R1, self.R3])
+        assert geom.polygon_area(u) == pytest.approx(5.0)
+
+    def test_grid_membership_equals_any_member(self):
+        rng = np.random.default_rng(9)
+        members = []
+        for _ in range(6):
+            c = rng.uniform(0, 4, size=2)
+            members.append([_hull(rng.normal(size=(10, 2)) + c)])
+        u = geom.union_pieces(members)
+        xs, ys = np.meshgrid(np.linspace(-2.13, 6.17, 41), np.linspace(-2.07, 6.11, 37))
+        px, py = xs.ravel(), ys.ravel()
+        in_u = geom.points_in_rings(px, py, geom.rings_to_edges(u))
+        in_any = np.zeros_like(in_u)
+        for m in members:
+            in_any |= geom.points_in_rings(px, py, geom.rings_to_edges(m))
+        assert (in_u == in_any).all()
+        # union area <= sum of member areas, >= max member area
+        areas = [geom.polygon_area(m) for m in members]
+        au = geom.polygon_area(u)
+        assert max(areas) - 1e-9 <= au <= sum(areas) + 1e-9
+
+    def test_holed_member(self):
+        holed = [
+            np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]),
+            np.array([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]])[::-1].copy(),
+        ]
+        # R1 (2x2 at origin) fills part of the hole: union area =
+        # holed (16-4) + part of R1 inside the hole (1x1 square (1,1)-(2,2))
+        u = geom.union_pieces([holed, self.R1])
+        assert geom.polygon_area(u) == pytest.approx(12.0 + 1.0)
