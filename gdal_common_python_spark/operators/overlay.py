@@ -23,8 +23,21 @@ from ..kernels import geom
 _RINGS_T = T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
 
 
-def _pair_candidates(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
-    """bbox-overlap candidate pairs of two zone-shaped tables (native)."""
+def _pair_candidates(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    broadcast_limit: int = 100_000,
+) -> DataFrame:
+    """bbox-overlap candidate pairs of two zone-shaped tables (native).
+
+    Dimension-sized right sides broadcast into a bbox theta join; past
+    `broadcast_limit` rows (bounded limit+count probe) the plan dispatches
+    to a coarse-grid cell equi-join — both sides explode their bbox onto a
+    data-sized grid, join on the cell, dedupe the pair and keep the exact
+    bbox-overlap residual. Fully distributed: shuffles on uniform grid keys
+    instead of materializing the right side on the driver (the scale plan
+    for G2-G8 overlays and dissolve's component pairing)."""
     l = left.select(
         F.col("zone_id").alias("l_id"),
         F.col("rings").alias("l_rings"),
@@ -41,7 +54,43 @@ def _pair_candidates(spark: SparkSession, left: DataFrame, right: DataFrame) -> 
         & (F.col("l_bbox.ymin") <= F.col("r_bbox.ymax"))
         & (F.col("r_bbox.ymin") <= F.col("l_bbox.ymax"))
     )
-    return l.join(F.broadcast(r), cond)
+    if right.limit(broadcast_limit + 1).count() <= broadcast_limit:
+        return l.join(F.broadcast(r), cond)
+    # grid cell size from the right side's average bbox dimension: one agg
+    # job, keeps per-geometry cell fan-out ~O(1) for typical size mixes
+    st = r.agg(
+        F.avg(F.col("r_bbox.xmax") - F.col("r_bbox.xmin")).alias("w"),
+        F.avg(F.col("r_bbox.ymax") - F.col("r_bbox.ymin")).alias("h"),
+    ).first()
+    cs = max(float(st["w"] or 0.0), float(st["h"] or 0.0), 1e-9)
+
+    def with_cells(df, bbox):
+        return df.withColumn(
+            "__cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{bbox}.xmin") / cs).cast("long"),
+                    F.floor(F.col(f"{bbox}.xmax") / cs).cast("long"),
+                )
+            ),
+        ).withColumn(
+            "__cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{bbox}.ymin") / cs).cast("long"),
+                    F.floor(F.col(f"{bbox}.ymax") / cs).cast("long"),
+                )
+            ),
+        )
+
+    lc = with_cells(l, "l_bbox")
+    rc = with_cells(r, "r_bbox")
+    return (
+        lc.join(rc, ["__cx", "__cy"])
+        .filter(cond)
+        .dropDuplicates(["l_id", "r_id"])
+        .drop("__cx", "__cy")
+    )
 
 
 def intersect_pairs(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:

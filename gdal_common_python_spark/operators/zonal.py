@@ -64,10 +64,23 @@ _COUNTS_SCHEMA = T.StructType(
 )
 
 
-def window_tiles(zones: DataFrame, rasters: DataFrame, tiles: DataFrame, tile_size: int) -> DataFrame:
+def window_tiles(
+    zones: DataFrame,
+    rasters: DataFrame,
+    tiles: DataFrame,
+    tile_size: int,
+    window_broadcast_limit: int = 2_000_000,
+) -> DataFrame:
     """Step 1+2: window snap then equi-join to overlapped tiles only —
     the distributed analog of the reference's windowed read
-    (rasters.py:143-174): partition pruning by construction."""
+    (rasters.py:143-174): partition pruning by construction.
+
+    The window side (zones x raster entries) broadcasts only while it is
+    dimension-sized (bounded limit+count probe x entry count); at
+    multi-million zones the hint is dropped and the equi-join on
+    (raster_id, band, tile_x, tile_y) shuffles both sides — same rows,
+    no driver-memory ceiling (the same auto-dispatch pattern as
+    rings_mode)."""
     w = tile_assign(zones, rasters)
     ts = F.lit(tile_size).cast("long")
     w = (
@@ -87,8 +100,13 @@ def window_tiles(zones: DataFrame, rasters: DataFrame, tiles: DataFrame, tile_si
         "raster_id", "band", "tile_x", "tile_y", "tile_w", "tile_h", "pixels"
     )
     # broadcast the WINDOW side (zones x raster entries — small) so the tile
-    # table, which is the 100TB-scale side, streams without a shuffle
-    return t.join(F.broadcast(w), ["raster_id", "band", "tile_x", "tile_y"])
+    # table, which is the 100TB-scale side, streams without a shuffle; past
+    # the limit fall back to a plain equi-join (AQE picks the exchange)
+    n_entries = max(rasters.select("raster_id", "band").distinct().count(), 1)
+    zone_cap = window_broadcast_limit // n_entries
+    if zones.limit(zone_cap + 1).count() <= zone_cap:
+        w = F.broadcast(w)
+    return t.join(w, ["raster_id", "band", "tile_x", "tile_y"])
 
 
 def zonal_statistics(

@@ -318,6 +318,37 @@ class TestEquiJoin:
         assert out.loc[1, "w"] == "y"  # last match wins (deterministic order)
         assert out.loc[3].isna()["w"]  # left outer: unmatched kept with null
 
+    def test_successive_joins_fid_suffixes(self, spark):
+        # two successive FID-materializing joins: the second JOIN_FID must
+        # not collide — it suffixes to JOIN_FID_1 (fields.py:470-479 naming)
+        import pandas as pd
+
+        left = spark.createDataFrame(pd.DataFrame(dict(k=[1, 2], m=[10, 20])))
+        r1 = spark.createDataFrame(pd.DataFrame(dict(kk=[1, 2], fid=[100, 200], a=["p", "q"])))
+        r2 = spark.createDataFrame(pd.DataFrame(dict(mm=[10, 20], fid=[7, 8], b=["r", "s"])))
+        once = attribute_join(left, r1, "k", "kk", ["a"], error_if_many=True, fid_col="fid")
+        twice = attribute_join(once, r2, "m", "mm", ["b"], error_if_many=True, fid_col="fid")
+        assert "JOIN_FID" in twice.columns and "JOIN_FID_1" in twice.columns
+        row = twice.filter(F.col("k") == 1).first()
+        assert row.JOIN_FID == 100 and row.JOIN_FID_1 == 7 and row.a == "p" and row.b == "r"
+
+    def test_multi_field_key(self, spark):
+        import pandas as pd
+
+        left = spark.createDataFrame(
+            pd.DataFrame(dict(k1=[1, 1, 2], k2=["x", "y", "x"], v=[1, 2, 3]))
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame(dict(j1=[1, 1, 2], j2=["x", "y", "y"], w=["a", "b", "c"]))
+        )
+        out = (
+            attribute_join(left, right, ["k1", "k2"], ["j1", "j2"], ["w"], error_if_many=True)
+            .toPandas()
+            .set_index(["k1", "k2"])
+        )
+        assert out.loc[(1, "x"), "w"] == "a" and out.loc[(1, "y"), "w"] == "b"
+        assert out.loc[(2, "x")].isna()["w"]  # tuple key (2,'x') unmatched
+
 
 class TestReproject:
     def test_roundtrip_tolerance(self, spark, zones):

@@ -123,3 +123,73 @@ class TestAggAndJoinPlans:
         assert first_agg < first_exch, p[:1500]
         scan = re.search(r"ReadSchema: ([^\n]*)", p)
         assert scan and "l_quantity" in scan.group(1) and "l_extendedprice" not in scan.group(1)
+
+
+class TestSizeGatedBroadcasts:
+    """A join side past its size gate must NOT broadcast (driver OOM at
+    scale) — the fallback plans shuffle on equi keys instead."""
+
+    def _no_autobroadcast(self, spark):
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                yield
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        return ctx()
+
+    def test_equi_join_large_side_not_broadcast(self, spark):
+        from gdal_common_python_spark.operators import equi_join
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        with self._no_autobroadcast(spark):
+            out = equi_join.attribute_join(
+                docs, dim, "o_custkey", "c_custkey", ["c_mktsegment"], broadcast_limit=0
+            )
+            p = plan(out)
+        assert "BroadcastHashJoin" not in p, p[:1500]
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p[:1500]
+
+    def test_pair_candidates_large_side_not_broadcast(self, spark, zones):
+        from gdal_common_python_spark.operators.overlay import _pair_candidates
+
+        z = zones.select("zone_id", F.col("rings4326").alias("rings"), F.col("bbox4326").alias("bbox"))
+        with self._no_autobroadcast(spark):
+            out = _pair_candidates(spark, z, z, broadcast_limit=0)
+            p = plan(out)
+        assert "BroadcastExchange" not in p, [ln for ln in p.splitlines() if "Broadcast" in ln]
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p[:1500]
+
+    def test_zonal_window_large_side_not_broadcast(self, spark, zones, sf_dir):
+        import os
+
+        from gdal_common_python_spark.operators.zonal import window_tiles
+
+        rasters = spark.read.parquet(os.path.join(sf_dir, "rasters.parquet"))
+        tiles = spark.read.parquet(os.path.join(sf_dir, "raster_tiles.parquet"))
+        with self._no_autobroadcast(spark):
+            out = window_tiles(zones, rasters, tiles, 32, window_broadcast_limit=0)
+            p = plan(out)
+        # the zones x raster-entries cross join inside tile_assign still
+        # broadcasts the tiny entry list (BroadcastNestedLoopJoin) — the
+        # invariant here is that the TILE-side equi-join does not hash-
+        # broadcast the window table past the gate
+        assert "BroadcastHashJoin" not in p, [ln for ln in p.splitlines() if "Broadcast" in ln]
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p[:1500]
+
+    def test_pair_candidates_grid_path_matches_broadcast(self, spark, zones):
+        from gdal_common_python_spark.operators.overlay import _pair_candidates
+
+        z = zones.select("zone_id", F.col("rings4326").alias("rings"), F.col("bbox4326").alias("bbox"))
+        bc = {(r.l_id, r.r_id) for r in _pair_candidates(spark, z, z).select("l_id", "r_id").collect()}
+        grid = {
+            (r.l_id, r.r_id)
+            for r in _pair_candidates(spark, z, z, broadcast_limit=0).select("l_id", "r_id").collect()
+        }
+        assert bc == grid and len(bc) > 0
