@@ -241,6 +241,17 @@ def q_mosaic(spark, sf_dir):
     ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
 
 
+def q_mosaic_mixed_grid(spark, sf_dir):
+    """R8+R7 composition gate: gdal_merge-style mosaic of r0 (0.25-deg grid)
+    and r3 (shifted 0.2-deg grid) onto r0's grid — r3 nearest-resamples,
+    later rank wins except nodata."""
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    m = mosaic_ops.mosaic_merge(spark, tiles, raster_ids=["r0", "r3"], band=1)
+    return m.select(
+        "tile_x", "tile_y", F.posexplode("pixels").alias("idx0", "value")
+    ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
+
+
 def q_media_metadata(spark, sf_dir):
     out = multimodal.extract_media_features(_synth(spark, sf_dir, "documents_spans"))
     return out.select("doc_id", "offset", "raster_id", "band", "width", "height")
@@ -484,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_clip": q_overlay_clip,
         "overlay_erase": q_overlay_erase,
         "mosaic": q_mosaic,
+        "mosaic_mixed_grid": q_mosaic_mixed_grid,
         "media_metadata": q_media_metadata,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
@@ -727,6 +739,64 @@ WITH px AS (
 SELECT tile_x, tile_y, idx,
        coalesce(max_by(v, input_rank) FILTER (v != -9999.0), -9999.0) AS value
 FROM px GROUP BY tile_x, tile_y, idx
+"""
+
+# mixed-grid mosaic oracle: output grid from first-ranked input + union
+# extent (gdal_merge:392-429); every output pixel center samples each input
+# with the SAME trunc((center - origin)/px) expression tree the engine's R7
+# kernel evaluates, then later-rank-wins-except-nodata
+_SQL_MOSAIC_MIXED = f"""
+WITH r AS (
+  SELECT raster_id, input_rank, nodata, origin_x, origin_y, px_x, px_y, width, height
+  FROM {_RASTERS} WHERE band = 1 AND raster_id IN ('r0','r3')
+),
+g AS (
+  SELECT min_by(px_x, input_rank) AS opx, min_by(px_y, input_rank) AS opy,
+         min_by(nodata, input_rank) AS fill,
+         min(origin_x) AS ulx, max(origin_y) AS uly,
+         max(origin_x + width*px_x) AS lrx, min(origin_y + height*px_y) AS lry
+  FROM r
+),
+g2 AS (
+  SELECT *, CAST(trunc((lrx - ulx)/opx + 0.5) AS BIGINT) AS W,
+            CAST(trunc((lry - uly)/opy + 0.5) AS BIGINT) AS H
+  FROM g
+),
+spx AS (
+  SELECT raster_id, input_rank, nodata,
+         tile_x*32 + (idx-1) % tile_w AS sc,
+         tile_y*32 + (idx-1) // tile_w AS sr, v
+  FROM (SELECT raster_id, input_rank, nodata, tile_x, tile_y, tile_w, tile_h,
+               generate_subscripts(pixels,1) AS idx, unnest(pixels) AS v
+        FROM {_TILES} WHERE band = 1 AND raster_id IN ('r0','r3'))
+),
+opix AS MATERIALIZED (
+  SELECT oc.oc, orr.orr, g2.*
+  FROM g2,
+       (SELECT unnest(range(0, 512)) AS oc) oc,
+       (SELECT unnest(range(0, 512)) AS orr) orr
+  WHERE oc.oc < g2.W AND orr.orr < g2.H
+),
+sampled AS (
+  SELECT o.oc, o.orr, o.fill, s.input_rank, s.v
+  FROM opix o
+  JOIN r ON TRUE
+  JOIN spx s ON s.raster_id = r.raster_id
+   AND s.sc = CAST(trunc((o.ulx + (o.oc + 0.5)*o.opx - r.origin_x)/r.px_x) AS BIGINT)
+   AND s.sr = CAST(trunc((o.uly + (o.orr + 0.5)*o.opy - r.origin_y)/r.px_y) AS BIGINT)
+  WHERE s.v != s.nodata
+),
+vals AS (
+  SELECT o.oc, o.orr, o.W,
+         coalesce(max_by(s.v, s.input_rank), any_value(o.fill)) AS value
+  FROM opix o LEFT JOIN sampled s ON s.oc = o.oc AND s.orr = o.orr
+  GROUP BY o.oc, o.orr, o.W
+)
+SELECT CAST(oc // 32 AS INT) AS tile_x, CAST(orr // 32 AS INT) AS tile_y,
+       CAST((orr % 32) * (CASE WHEN (oc // 32)*32 + 32 > W THEN W - (oc // 32)*32 ELSE 32 END)
+            + (oc % 32) + 1 AS BIGINT) AS idx,
+       value
+FROM vals
 """
 
 _SQL_MEDIA_METADATA = f"""
@@ -1201,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "overlay_clip": _SQL_OVERLAY_CLIP,
         "overlay_erase": _SQL_OVERLAY_ERASE,
         "mosaic": _SQL_MOSAIC,
+        "mosaic_mixed_grid": _SQL_MOSAIC_MIXED,
         "media_metadata": _SQL_MEDIA_METADATA,
         "media_resize": _SQL_MEDIA_RESIZE,
         "media_frames": _SQL_MEDIA_FRAMES,

@@ -9,16 +9,25 @@ else nodata.
 Engine: a rank-ordered overlay reduce per tile. For same-grid inputs this is
 a single groupBy((tile_x, tile_y)) with the fold done vectorized in numpy on
 the stacked pixel arrays — order carried by the explicit ``input_rank``
-column (SURVEY §2.6 R8: input order matters). Different-grid inputs need an
-R7 resample to a common grid first (out of scope here; the reference's own
-reprojection path is broken, lib/reproject.py:87,103 — SURVEY §2.6 R7).
+column (SURVEY §2.6 R8: input order matters).
+
+``mosaic_merge`` is the full gdal_merge surface: mixed-grid inputs are
+composed through the R7 nearest resample onto one output grid (the
+per-file window-intersection copy of lib/gdal_merge.py:196-234 re-expressed
+as resample + overlay), with the option set mirrored from the vendored
+script — output extent as the bounding union (:392-402) or an explicit
+``ul_lr`` crop (:357-362), ``tap`` target-aligned pixels (:419-423),
+``init`` prefill (:468-474), and ``separate`` band stacking (:431-437).
 """
 
 from __future__ import annotations
 
+import math
+from functools import reduce
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 _SCHEMA = T.StructType(
     [
@@ -68,4 +77,156 @@ def mosaic(tiles: DataFrame, raster_ids: list[str] | None = None, band: int = 1)
         t.select("tile_x", "tile_y", "tile_w", "tile_h", "input_rank", "nodata", "pixels")
         .groupBy("tile_x", "tile_y")
         .applyInPandas(fold, _SCHEMA)
+    )
+
+
+_MERGE_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("tile_w", T.IntegerType()),
+        T.StructField("tile_h", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def mosaic_merge(
+    spark: SparkSession,
+    tiles: DataFrame,
+    raster_ids: list[str] | None = None,
+    band: int = 1,
+    pixel_size: tuple[float, float] | None = None,
+    ul_lr: tuple[float, float, float, float] | None = None,
+    tap: bool = False,
+    init: float | None = None,
+    separate: bool = False,
+    tile_size: int = 32,
+) -> DataFrame:
+    """gdal_merge-equivalent mosaic supporting DIFFERENT input grids.
+
+    Output grid: first input's pixel size unless ``pixel_size`` is given
+    (gdal_merge:407-414); extent = bounding union of inputs (:392-402) or
+    the explicit ``ul_lr`` (ulx, uly, lrx, lry) crop (:357-362); ``tap``
+    snaps the extent outward to pixel-size multiples (:419-423). Every
+    input is R7-nearest-resampled onto that grid (identity copy when the
+    grids already align), then rank-overlaid per tile with per-input
+    nodata (:81-106). ``init`` prefills uncovered pixels (:468-474);
+    ``separate`` emits one output band per input in rank order (:431-437)
+    instead of overlaying. Returns (tile_x, tile_y, tile_w, tile_h, band,
+    pixels) on the output grid.
+
+    Scale shape: per input only source-overlapping target tiles run the
+    resample kernel (clip_to_source); uncovered output tiles are backfilled
+    natively (array_repeat) with no Python involved; the overlay fold is
+    one groupBy on the output tile key.
+    """
+    from .resample import resample_nearest
+
+    t = tiles.filter(F.col("band") == band)
+    if raster_ids is not None:
+        t = t.filter(F.col("raster_id").isin(raster_ids))
+    metas = (
+        t.select(
+            "raster_id", "input_rank", "origin_x", "origin_y",
+            "px_x", "px_y", "width", "height", "nodata",
+        )
+        .distinct()
+        .orderBy("input_rank")
+        .collect()
+    )
+    if not metas:
+        raise ValueError("mosaic_merge: no input tiles matched")
+    px_x, px_y = pixel_size if pixel_size else (float(metas[0].px_x), float(metas[0].px_y))
+    if ul_lr is not None:
+        ulx, uly, lrx, lry = (float(v) for v in ul_lr)
+    else:
+        ulx = min(float(m.origin_x) for m in metas)
+        uly = max(float(m.origin_y) for m in metas)
+        lrx = max(float(m.origin_x) + int(m.width) * float(m.px_x) for m in metas)
+        lry = min(float(m.origin_y) + int(m.height) * float(m.px_y) for m in metas)
+    if tap:
+        # snap outward to pixel-size multiples (gdal_merge:419-423)
+        ulx = math.floor(ulx / px_x) * px_x
+        lrx = math.ceil(lrx / px_x) * px_x
+        apy = abs(px_y)
+        uly = math.ceil(uly / apy) * apy
+        lry = math.floor(lry / apy) * apy
+    # gdal_merge:425-429 rounding (int() truncation after +0.5)
+    w = int((lrx - ulx) / px_x + 0.5)
+    h = int((lry - uly) / px_y + 0.5)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"mosaic_merge: empty output extent ({w}x{h})")
+    grid = dict(origin_x=ulx, origin_y=uly, px_x=px_x, px_y=px_y, width=w, height=h)
+    fill = float(init) if init is not None else float(metas[0].nodata)
+
+    parts = []
+    for i, m in enumerate(metas):
+        rs = resample_nearest(
+            spark, t, m.raster_id, band, grid, tile_size=tile_size, clip_to_source=True
+        ).withColumn("input_rank", F.lit(int(m.input_rank))).withColumn(
+            "nodata_in", F.lit(float(m.nodata))
+        )
+        if separate:
+            rs = rs.withColumn("band", F.lit(i + 1))
+        parts.append(rs)
+    allr = reduce(lambda a, b: a.unionByName(b), parts)
+
+    if separate:
+        # nodata-for-fill substitution per band, then backfill missing tiles
+        def sub(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                px = np.asarray(row.pixels, dtype=np.float64)
+                px = np.where(px != row.nodata_in, px, fill)
+                rows.append(
+                    dict(
+                        tile_x=int(row.tile_x), tile_y=int(row.tile_y),
+                        tile_w=int(row.tile_w), tile_h=int(row.tile_h),
+                        band=int(row.band), pixels=px.tolist(),
+                    )
+                )
+            return pd.DataFrame(rows, columns=[f.name for f in _MERGE_SCHEMA.fields])
+
+        folded = allr.groupBy("tile_x", "tile_y", "band").applyInPandas(sub, _MERGE_SCHEMA)
+        bands = list(range(1, len(metas) + 1))
+    else:
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("input_rank")
+            first = pdf.iloc[0]
+            out = np.full(int(first.tile_w) * int(first.tile_h), fill)
+            for row in pdf.itertuples(index=False):
+                px = np.asarray(row.pixels, dtype=np.float64)
+                out = np.where(px != row.nodata_in, px, out)
+            return pd.DataFrame(
+                [
+                    dict(
+                        tile_x=int(first.tile_x), tile_y=int(first.tile_y),
+                        tile_w=int(first.tile_w), tile_h=int(first.tile_h),
+                        band=band, pixels=out.tolist(),
+                    )
+                ]
+            )
+
+        folded = allr.groupBy("tile_x", "tile_y").applyInPandas(fold, _MERGE_SCHEMA)
+        bands = [band]
+
+    # native backfill of output tiles no input covered
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    full = (
+        spark.range(ntx).select(F.col("id").cast("int").alias("tile_x"))
+        .crossJoin(spark.range(nty).select(F.col("id").cast("int").alias("tile_y")))
+        .crossJoin(spark.createDataFrame([(b,) for b in bands], "band int"))
+        .withColumn("tile_w", F.least(F.lit(tile_size), F.lit(w) - F.col("tile_x") * tile_size).cast("int"))
+        .withColumn("tile_h", F.least(F.lit(tile_size), F.lit(h) - F.col("tile_y") * tile_size).cast("int"))
+    )
+    return full.join(folded.withColumnRenamed("pixels", "__px"), ["tile_x", "tile_y", "tile_w", "tile_h", "band"], "left").select(
+        "tile_x", "tile_y", "tile_w", "tile_h", "band",
+        F.coalesce(
+            F.col("__px"),
+            F.array_repeat(F.lit(fill), (F.col("tile_w") * F.col("tile_h")).cast("int")),
+        ).alias("pixels"),
     )

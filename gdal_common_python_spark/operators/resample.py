@@ -40,6 +40,7 @@ def resample_nearest(
     band: int,
     target: dict,
     tile_size: int = 32,
+    clip_to_source: bool = False,
 ) -> DataFrame:
     """Resample one (raster_id, band) onto `target` grid
     (origin_x, origin_y, px_x, px_y, width, height) -> target tile table."""
@@ -77,6 +78,11 @@ def resample_nearest(
         .withColumn("sty0", F.greatest(sy0 / ts, F.lit(0)).cast("int"))
         .withColumn("sty1", F.least(sy1 / ts, F.lit((s_h - 1) // tile_size)).cast("int"))
     )
+    if clip_to_source:
+        # drop target tiles with no source overlap (their clamped ranges
+        # invert) — the mosaic path backfills them natively with the fill
+        # value instead of paying an all-nodata kernel call per tile
+        tgrid = tgrid.filter((F.col("stx0") <= F.col("stx1")) & (F.col("sty0") <= F.col("sty1")))
     tgrid = tgrid.withColumn("stx", F.explode(F.sequence("stx0", "stx1"))).withColumn(
         "sty", F.explode(F.sequence("sty0", "sty1"))
     )
