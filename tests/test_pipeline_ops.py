@@ -194,6 +194,39 @@ class TestSources:
         obj = json.loads(s)
         assert obj["type"] == "FeatureCollection" and len(obj["features"]) == 2
         assert obj["features"][0]["geometry"]["type"] == "Polygon"
+        # zone schema: all non-geometry columns become properties
+        props = obj["features"][0]["properties"]
+        assert "zone_id" in props and "category" in props and "rings" not in props
+
+    def test_geojson_generic_schemas(self, spark):
+        # export must derive properties from ANY schema, not a hardcoded one
+        import json
+
+        custom = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "parcel": ["a1", "b2"],
+                    "owner": ["x", "y"],
+                    "score": [0.5, 0.75],
+                    "rings": [
+                        [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]],
+                        [[[2.0, 2.0], [3.0, 2.0], [3.0, 3.0]]],
+                    ],
+                }
+            )
+        )
+        obj = json.loads(to_feature_collection(custom))
+        f = obj["features"][0]
+        assert set(f["properties"]) == {"parcel", "owner", "score"}
+        assert f["geometry"]["coordinates"] == [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]]
+        # point layer round-trip
+        pts = spark.createDataFrame(
+            pd.DataFrame({"pid": [1, 2], "x": [10.0, 11.5], "y": [-3.0, 4.25]})
+        )
+        pobj = json.loads(to_feature_collection(pts, geometry_type="Point"))
+        g = pobj["features"][1]["geometry"]
+        assert g["type"] == "Point" and g["coordinates"] == [11.5, 4.25]
+        assert set(pobj["features"][0]["properties"]) == {"pid"}
 
 
 class TestMeasures:
