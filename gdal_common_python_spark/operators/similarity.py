@@ -29,6 +29,18 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
 
 
+@F.pandas_udf(T.DoubleType())
+def _cos_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Arrow-vectorized pairwise cosine — one einsum per batch instead of an
+    interpreted HOF fold per pair (the candidate re-rank hot path)."""
+    A = np.stack([np.asarray(x, dtype=np.float64) for x in va])
+    B = np.stack([np.asarray(x, dtype=np.float64) for x in vb])
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    den[den == 0] = 1.0
+    return pd.Series(num / den)
+
+
 def cosine_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(vec_id, rank, neighbor_id) — exact brute-force cosine top-k.
     Ties and fp noise are neutralized by ordering on (cos desc, neighbor)."""
@@ -111,8 +123,10 @@ def ivf_topk(
         order = np.argsort(-sims, axis=1)[:, : min(n_probe, Cm.shape[0])]
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
-    base = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    from .dedup import _spread
+
+    base = _spread(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
     ).withColumn("probe_list", probes(F.col("v")))
     # inverted file: every vector belongs to its NEAREST centroid's list
     members = base.select(
@@ -123,12 +137,56 @@ def ivf_topk(
     queries = base.select(
         "vec_id", F.col("v").alias("va"), F.explode("probe_list").alias("cluster_id")
     )
-    cand = queries.join(members, "cluster_id").filter(F.col("vec_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+
+    # per-cluster GEMM re-rank (cogroup) instead of a query x member row
+    # explosion: the shuffle carries n_probe rows per query + 1 per member
+    # (embedding payload once each), not |probe| x |list| candidate pairs;
+    # per-cluster top-k is sufficient — the global top-k is a member of its
+    # own cluster's top-k, so the final window over <= n_probe*k candidate
+    # rows per query recovers the exact same ranking the pair plan produced
+    cand_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def rerank(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(mpdf) == 0:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id", "cos"])
+        qids = qpdf["vec_id"].to_numpy()
+        mids = mpdf["neighbor_id"].to_numpy()
+        Q = np.stack([np.asarray(x, dtype=np.float64) for x in qpdf["va"]])
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in mpdf["vb"]])
+        qn = np.linalg.norm(Q, axis=1)
+        mn = np.linalg.norm(M, axis=1)
+        qn[qn == 0] = 1.0
+        mn[mn == 0] = 1.0
+        C = (Q @ M.T) / np.outer(qn, mn)
+        C[qids[:, None] == mids[None, :]] = -np.inf  # exclude self
+        kk = min(k, C.shape[1])
+        rows_v, rows_n, rows_c = [], [], []
+        for i in range(len(qids)):
+            order = np.lexsort((mids, -C[i]))[:kk]
+            order = order[np.isfinite(C[i][order])]
+            rows_v.append(np.full(len(order), qids[i]))
+            rows_n.append(mids[order])
+            rows_c.append(C[i][order])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(rows_v),
+                "neighbor_id": np.concatenate(rows_n),
+                "cos": np.concatenate(rows_c),
+            }
+        )
+
+    cand = queries.groupBy("cluster_id").cogroup(members.groupBy("cluster_id")).applyInPandas(
+        rerank, cand_schema
+    )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        cand.withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", "rank", "neighbor_id")
     )
