@@ -78,13 +78,15 @@ def get_extent(df: DataFrame) -> DataFrame:
 
 def make_valid(df: DataFrame, rings_col: str = "rings") -> DataFrame:
     """P10 — features.make_valid (features.py:204-223): normalize rings
-    (drop closing vertex, drop degenerate rings)."""
+    (drop closing vertex, drop degenerate rings) AND split self-crossing
+    rings into simple CCW sub-rings (the OGR MakeValid even-odd repair —
+    kernels.geom.repair_ring)."""
 
     @F.pandas_udf(T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))))
     def norm(rings: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                [r.tolist() for r in _geom.normalize_rings(_geom.rings_from_cell(rr))]
+                [r.tolist() for r in _geom.make_valid_rings(_geom.rings_from_cell(rr))]
                 for rr in rings
             ]
         )

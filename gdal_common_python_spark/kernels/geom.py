@@ -43,6 +43,8 @@ __all__ = [
     "clip_general",
     "difference_general",
     "union_pieces",
+    "repair_ring",
+    "make_valid_rings",
     "decompose_convex",
     "triangulate_ring",
     "split_outers_holes",
@@ -510,6 +512,94 @@ def difference_general(subject_rings, clip_rings) -> list[np.ndarray]:
                     if res is not None and abs(signed_area(res)) > _MIN_PIECE_AREA:
                         pieces.append(res)
     return [p for p in pieces if abs(signed_area(p)) > _MIN_PIECE_AREA]
+
+
+def _self_intersections(ring: np.ndarray) -> list[tuple[int, float, int, float]]:
+    """Proper crossings between non-adjacent edges of one open ring:
+    (edge_i, t_i, edge_j, t_j) with t the parametric position on each edge."""
+    r = np.asarray(ring, dtype=np.float64)
+    n = len(r)
+    out = []
+    for i in range(n):
+        a1, a2 = r[i], r[(i + 1) % n]
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # adjacent around the wrap
+            b1, b2 = r[j], r[(j + 1) % n]
+            d1 = _orient(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1])
+            d2 = _orient(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1])
+            d3 = _orient(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1])
+            d4 = _orient(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                den = (a2[0] - a1[0]) * (b2[1] - b1[1]) - (a2[1] - a1[1]) * (b2[0] - b1[0])
+                ti = ((b1[0] - a1[0]) * (b2[1] - b1[1]) - (b1[1] - a1[1]) * (b2[0] - b1[0])) / den
+                tj = ((b1[0] - a1[0]) * (a2[1] - a1[1]) - (b1[1] - a1[1]) * (a2[0] - a1[0])) / den
+                out.append((i, float(ti), j, float(tj)))
+    return out
+
+
+def repair_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Split a self-intersecting ring into simple sub-rings — the MakeValid
+    analog (features.py:204-223; OGR MakeValid even-odd repair scoped to
+    self-crossing rings, e.g. a bowtie -> two triangles).
+
+    Crossing points are inserted into the traversal order; walking the
+    augmented sequence, each time a crossing point recurs the loop between
+    its two occurrences pops out as one simple ring. Every output ring is
+    normalized CCW (even-odd region semantics: a figure-8's lobes are both
+    covered). Simple input returns [ring] unchanged."""
+    r = np.asarray(ring, dtype=np.float64)
+    xs = _self_intersections(r)
+    if not xs:
+        return [r]
+    n = len(r)
+    per_edge: dict[int, list[tuple[float, tuple]]] = {}
+    for i, ti, j, tj in xs:
+        p = tuple(np.round(r[i] + ti * (r[(i + 1) % n] - r[i]), 12))
+        per_edge.setdefault(i, []).append((ti, p))
+        per_edge.setdefault(j, []).append((tj, p))
+    seq: list[tuple] = []
+    for i in range(n):
+        seq.append(tuple(r[i]))
+        for _, p in sorted(per_edge.get(i, [])):
+            seq.append(p)
+    rings_out: list[np.ndarray] = []
+
+    def emit(loop: list[tuple]) -> None:
+        arr = np.asarray(loop, dtype=np.float64)
+        if len(arr) >= 3 and abs(signed_area(arr)) > _MIN_PIECE_AREA:
+            if signed_area(arr) < 0:
+                arr = arr[::-1]
+            rings_out.append(arr)
+
+    stack: list[tuple] = []
+    pos: dict[tuple, int] = {}
+    for p in seq:
+        if p in pos:
+            k = pos[p]
+            emit(stack[k:])  # loop from p's first occurrence back to p
+            del stack[k:]
+            stack.append(p)
+            pos = {q: idx for idx, q in enumerate(stack)}
+        else:
+            pos[p] = len(stack)
+            stack.append(p)
+    emit(stack)
+    return rings_out if rings_out else [r]
+
+
+def make_valid_rings(rings) -> list[np.ndarray]:
+    """Full make_valid: drop closing vertices / short rings
+    (normalize_rings) then split any self-crossing ring into simple CCW
+    sub-rings (repair_ring). Non-crossing holes keep their CW orientation."""
+    out: list[np.ndarray] = []
+    for r in normalize_rings(rings):
+        fixed = repair_ring(r)
+        if len(fixed) == 1 and fixed[0] is r:
+            out.append(r)
+        else:
+            out.extend(fixed)
+    return out
 
 
 def union_pieces(ringsets: list[list[np.ndarray]]) -> list[np.ndarray]:

@@ -42,8 +42,41 @@ def resample_nearest(
     tile_size: int = 32,
     clip_to_source: bool = False,
 ) -> DataFrame:
+    """Nearest-neighbour resample (R1 trunc rule) — see :func:`resample`."""
+    return resample(
+        spark, tiles, raster_id, band, target, tile_size=tile_size,
+        clip_to_source=clip_to_source, method="nearest",
+    )
+
+
+def resample(
+    spark: SparkSession,
+    tiles: DataFrame,
+    raster_id: str,
+    band: int,
+    target: dict,
+    tile_size: int = 32,
+    clip_to_source: bool = False,
+    method: str = "nearest",
+) -> DataFrame:
     """Resample one (raster_id, band) onto `target` grid
-    (origin_x, origin_y, px_x, px_y, width, height) -> target tile table."""
+    (origin_x, origin_y, px_x, px_y, width, height) -> target tile table.
+
+    ``method`` mirrors the reference's GDAL interpolation choice surface
+    (lib/reproject.py:110-113 — the reference merely forwards the enum; its
+    own grid math is broken, so semantics here are engine-defined and
+    fixture-pinned):
+    - 'nearest': R1 trunc-toward-zero pixel mapping (bit-stable, the gate
+      path and the mosaic_merge composition);
+    - 'bilinear': 4-neighbour interpolation at target pixel centers;
+      nodata/out-of-bounds neighbours drop out with weight renormalization
+      (all invalid -> nodata);
+    - 'average': mean of source pixel CENTERS falling inside the target
+      pixel's world rectangle, nodata excluded (the downsampling kernel);
+      empty -> nodata.
+    """
+    if method not in ("nearest", "bilinear", "average"):
+        raise ValueError(f"unknown resample method {method!r}")
     src = tiles.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
     meta = src.select("origin_x", "origin_y", "px_x", "px_y", "width", "height", "nodata").first()
     if meta is None:
@@ -98,6 +131,28 @@ def resample_nearest(
         "left",
     )
 
+    def _assemble(pdf, lox, hix, loy, hiy):
+        """Paste joined source tiles into a nodata-initialized patch
+        covering global source index box [lox..hix] x [loy..hiy]."""
+        pw, ph = hix - lox + 1, hiy - loy + 1
+        patch = np.full((ph, pw), nodata)
+        for row in pdf.itertuples(index=False):
+            if row.pixels is None:
+                continue
+            gx0 = int(row.stx) * tile_size
+            gy0 = int(row.sty) * tile_size
+            tp = np.asarray(row.pixels, dtype=np.float64).reshape(int(row.tile_h), int(row.tile_w))
+            x0 = max(gx0, lox)
+            x1 = min(gx0 + int(row.tile_w) - 1, hix)
+            y0 = max(gy0, loy)
+            y1 = min(gy0 + int(row.tile_h) - 1, hiy)
+            if x1 < x0 or y1 < y0:
+                continue
+            patch[y0 - loy : y1 - loy + 1, x0 - lox : x1 - lox + 1] = tp[
+                y0 - gy0 : y1 - gy0 + 1, x0 - gx0 : x1 - gx0 + 1
+            ]
+        return patch
+
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         t_tx, t_ty = int(key[0]), int(key[1])
         tw = min(tile_size, t_w - t_tx * tile_size)
@@ -133,4 +188,90 @@ def resample_nearest(
             [dict(tile_x=t_tx, tile_y=t_ty, tile_w=tw, tile_h=th, pixels=out.ravel().tolist())]
         )
 
-    return cand.groupBy("t_tx", "t_ty").applyInPandas(kernel, _SCHEMA)
+    def kernel_bilinear(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t_tx, t_ty = int(key[0]), int(key[1])
+        tw = min(tile_size, t_w - t_tx * tile_size)
+        th = min(tile_size, t_h - t_ty * tile_size)
+        cx = t_ox + (t_tx * tile_size + np.arange(tw) + 0.5) * t_px
+        cy = t_oy + (t_ty * tile_size + np.arange(th) + 0.5) * t_py
+        gx = (cx - s_ox) / s_px - 0.5  # fractional source pixel-center coords
+        gy = (cy - s_oy) / s_py - 0.5
+        x0 = np.floor(gx).astype(np.int64)
+        y0 = np.floor(gy).astype(np.int64)
+        wx = gx - x0
+        wy = gy - y0
+        lox = max(int(x0.min()), 0)
+        hix = min(int(x0.max()) + 1, s_w - 1)
+        loy = max(int(y0.min()), 0)
+        hiy = min(int(y0.max()) + 1, s_h - 1)
+        if hix < lox or hiy < loy:
+            out = np.full((th, tw), nodata)
+        else:
+            patch = _assemble(pdf, lox, hix, loy, hiy)
+            num = np.zeros((th, tw))
+            den = np.zeros((th, tw))
+            for dy in (0, 1):
+                jy = y0 + dy
+                wyv = np.where(dy == 1, wy, 1.0 - wy)[:, None]
+                iny = (jy >= 0) & (jy < s_h)
+                jyc = np.clip(jy - loy, 0, patch.shape[0] - 1)
+                for dx in (0, 1):
+                    jx = x0 + dx
+                    wxv = np.where(dx == 1, wx, 1.0 - wx)[None, :]
+                    inx = (jx >= 0) & (jx < s_w)
+                    jxc = np.clip(jx - lox, 0, patch.shape[1] - 1)
+                    v = patch[np.ix_(jyc, jxc)]
+                    valid = iny[:, None] & inx[None, :] & (v != nodata)
+                    w = wyv * wxv * valid
+                    num += np.where(valid, v, 0.0) * w
+                    den += w
+            out = np.where(den > 0, num / np.maximum(den, 1e-300), nodata)
+        return pd.DataFrame(
+            [dict(tile_x=t_tx, tile_y=t_ty, tile_w=tw, tile_h=th, pixels=out.ravel().tolist())]
+        )
+
+    def kernel_average(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t_tx, t_ty = int(key[0]), int(key[1])
+        tw = min(tile_size, t_w - t_tx * tile_size)
+        th = min(tile_size, t_h - t_ty * tile_size)
+        cols = t_tx * tile_size + np.arange(tw)
+        rows = t_ty * tile_size + np.arange(th)
+        # target pixel world edge intervals -> source center index ranges
+        ex = t_ox + np.concatenate([cols, [cols[-1] + 1]]) * t_px
+        ey = t_oy + np.concatenate([rows, [rows[-1] + 1]]) * t_py
+        gxe = (ex - s_ox) / s_px - 0.5  # fractional center coords of edges
+        gye = (ey - s_oy) / s_py - 0.5
+        i0 = np.ceil(np.minimum(gxe[:-1], gxe[1:])).astype(np.int64)
+        i1 = np.floor(np.maximum(gxe[:-1], gxe[1:]) - 1e-9).astype(np.int64)
+        j0 = np.ceil(np.minimum(gye[:-1], gye[1:])).astype(np.int64)
+        j1 = np.floor(np.maximum(gye[:-1], gye[1:]) - 1e-9).astype(np.int64)
+        i0c = np.clip(i0, 0, s_w)
+        i1c = np.clip(i1, -1, s_w - 1)
+        j0c = np.clip(j0, 0, s_h)
+        j1c = np.clip(j1, -1, s_h - 1)
+        lox = int(min(i0c.min(), s_w - 1))
+        hix = int(max(i1c.max(), 0))
+        loy = int(min(j0c.min(), s_h - 1))
+        hiy = int(max(j1c.max(), 0))
+        if hix < lox or hiy < loy or i1c.max() < 0 or j1c.max() < 0:
+            out = np.full((th, tw), nodata)
+        else:
+            patch = _assemble(pdf, lox, hix, loy, hiy)
+            valid = patch != nodata
+            V = np.zeros((patch.shape[0] + 1, patch.shape[1] + 1))
+            C = np.zeros_like(V)
+            V[1:, 1:] = np.cumsum(np.cumsum(np.where(valid, patch, 0.0), 0), 1)
+            C[1:, 1:] = np.cumsum(np.cumsum(valid.astype(np.float64), 0), 1)
+            a0 = np.clip(j0c - loy, 0, patch.shape[0])
+            a1 = np.clip(j1c - loy + 1, 0, patch.shape[0])
+            b0 = np.clip(i0c - lox, 0, patch.shape[1])
+            b1 = np.clip(i1c - lox + 1, 0, patch.shape[1])
+            s = V[a1][:, b1] - V[a0][:, b1] - V[a1][:, b0] + V[a0][:, b0]
+            n = C[a1][:, b1] - C[a0][:, b1] - C[a1][:, b0] + C[a0][:, b0]
+            out = np.where(n > 0, s / np.maximum(n, 1.0), nodata)
+        return pd.DataFrame(
+            [dict(tile_x=t_tx, tile_y=t_ty, tile_w=tw, tile_h=th, pixels=out.ravel().tolist())]
+        )
+
+    kfn = {"nearest": kernel, "bilinear": kernel_bilinear, "average": kernel_average}[method]
+    return cand.groupBy("t_tx", "t_ty").applyInPandas(kfn, _SCHEMA)

@@ -336,3 +336,37 @@ class TestUnionPieces:
         # holed (16-4) + part of R1 inside the hole (1x1 square (1,1)-(2,2))
         u = geom.union_pieces([holed, self.R1])
         assert geom.polygon_area(u) == pytest.approx(12.0 + 1.0)
+
+
+class TestMakeValidRepair:
+    def test_simple_ring_unchanged(self):
+        r = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+        out = geom.repair_ring(r)
+        assert len(out) == 1 and np.array_equal(out[0], r)
+
+    def test_bowtie_splits_into_two_triangles(self):
+        # figure-8: (0,0)->(2,2)->(2,0)->(0,2) crosses itself at (1,1)
+        bow = np.array([[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0]])
+        out = geom.repair_ring(bow)
+        assert len(out) == 2
+        areas = sorted(abs(geom.signed_area(r)) for r in out)
+        # each lobe: triangle with base 2 (x=2 resp. x=0 edge) and height 1
+        assert areas[0] == pytest.approx(1.0) and areas[1] == pytest.approx(1.0)
+        assert all(geom.signed_area(r) > 0 for r in out)  # CCW normalized
+
+    def test_self_touching_quad(self):
+        # pentagon-ish ring with one crossing producing unequal lobes
+        ring = np.array([[0.0, 0.0], [4.0, 0.0], [1.0, 3.0], [1.0, -1.0], [0.0, 3.0]])
+        out = geom.repair_ring(ring)
+        assert len(out) >= 2
+        # every output ring is simple (no remaining self-intersections)
+        for r in out:
+            assert not geom.segments_intersect(
+                geom.rings_to_edges([r])[:-1], geom.rings_to_edges([r])[1:]
+            ) or len(r) == 3
+
+    def test_make_valid_rings_mixed(self):
+        bow = np.array([[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]])
+        simple = np.array([[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0]])
+        out = geom.make_valid_rings([bow, simple])
+        assert len(out) == 3  # two lobes + untouched simple ring

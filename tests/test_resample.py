@@ -53,3 +53,86 @@ def test_resample_identity_grid(spark, tiles, rasters):
     assert len(out) == len(orig)
     for _, t in out.iterrows():
         np.testing.assert_array_equal(np.asarray(t.pixels), orig[(int(t.tile_x), int(t.tile_y))])
+
+
+def _full_raster(tiles, rid, band=1):
+    tp = tiles.filter(f"raster_id='{rid}' AND band={band}").toPandas()
+    m = tp.iloc[0]
+    full = np.zeros((int(m.height), int(m.width)))
+    for _, t in tp.iterrows():
+        full[t.tile_y * 32 : t.tile_y * 32 + t.tile_h, t.tile_x * 32 : t.tile_x * 32 + t.tile_w] = (
+            np.asarray(t.pixels).reshape(t.tile_h, t.tile_w)
+        )
+    return full, m
+
+
+def _assemble_out(out, W, H):
+    got = np.full((H, W), np.nan)
+    for _, t in out.iterrows():
+        got[t.tile_y * 32 : t.tile_y * 32 + t.tile_h, t.tile_x * 32 : t.tile_x * 32 + t.tile_w] = (
+            np.asarray(t.pixels).reshape(t.tile_h, t.tile_w)
+        )
+    return got
+
+
+def test_resample_bilinear_matches_oracle(spark, tiles, rasters):
+    from gdal_common_python_spark.operators.resample import resample
+
+    rp = rasters.toPandas()
+    tgt = rp[rp.raster_id == "r3"].iloc[0]
+    target = dict(
+        origin_x=tgt.origin_x, origin_y=tgt.origin_y, px_x=tgt.px_x, px_y=tgt.px_y,
+        width=int(tgt.width), height=int(tgt.height),
+    )
+    out = resample(spark, tiles, "r0", 1, target, method="bilinear").toPandas()
+    got = _assemble_out(out, int(tgt.width), int(tgt.height))
+    full, src = _full_raster(tiles, "r0")
+    ND = -9999.0
+    H, W = int(tgt.height), int(tgt.width)
+    exp = np.full((H, W), ND)
+    for r in range(H):
+        for c in range(W):
+            cx = tgt.origin_x + (c + 0.5) * tgt.px_x
+            cy = tgt.origin_y + (r + 0.5) * tgt.px_y
+            gx = (cx - src.origin_x) / src.px_x - 0.5
+            gy = (cy - src.origin_y) / src.px_y - 0.5
+            x0, y0 = int(np.floor(gx)), int(np.floor(gy))
+            wx, wy = gx - x0, gy - y0
+            num = den = 0.0
+            for dy, wyv in ((0, 1 - wy), (1, wy)):
+                for dx, wxv in ((0, 1 - wx), (1, wx)):
+                    jx, jy = x0 + dx, y0 + dy
+                    if 0 <= jx < int(src.width) and 0 <= jy < int(src.height):
+                        v = full[jy, jx]
+                        if v != ND:
+                            num += v * wxv * wyv
+                            den += wxv * wyv
+            if den > 0:
+                exp[r, c] = num / den
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_resample_average_downsample(spark, tiles, rasters):
+    from gdal_common_python_spark.operators.resample import resample
+
+    rp = rasters.toPandas()
+    src = rp[(rp.raster_id == "r0") & (rp.band == 1)].iloc[0]
+    # 4x downsample of r0 onto its own origin: each target pixel covers a
+    # 4x4 source block exactly -> average equals the block mean over valid
+    target = dict(
+        origin_x=src.origin_x, origin_y=src.origin_y,
+        px_x=src.px_x * 4, px_y=src.px_y * 4,
+        width=int(src.width) // 4, height=int(src.height) // 4,
+    )
+    out = resample(spark, tiles, "r0", 1, target, method="average").toPandas()
+    got = _assemble_out(out, target["width"], target["height"])
+    full, _ = _full_raster(tiles, "r0")
+    ND = -9999.0
+    exp = np.full((target["height"], target["width"]), ND)
+    for r in range(target["height"]):
+        for c in range(target["width"]):
+            block = full[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+            vals = block[block != ND]
+            if len(vals):
+                exp[r, c] = vals.mean()
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
