@@ -39,6 +39,7 @@ __all__ = [
     "polygon_intersects",
     "geom_distance",
     "buffer_point",
+    "buffer_rings",
     "clip_convex",
     "clip_general",
     "difference_general",
@@ -277,6 +278,42 @@ def buffer_point(x: float, y: float, dist: float, n: int = 32) -> np.ndarray:
     lib/analysis.py:39; fixtures use point/convex buffers, SURVEY §2.5 G1)."""
     th = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
     return np.column_stack([x + dist * np.cos(th), y + dist * np.sin(th)])
+
+
+def buffer_rings(rings, dist: float, n: int = 16) -> list[np.ndarray]:
+    """Positive buffer of an arbitrary polygon (holes/multiparts included) —
+    the full geom.Buffer analog (lib/analysis.py:39) for d > 0.
+
+    Minkowski sum with a disk expressed as a union: the polygon itself,
+    a 2d-wide band quad per boundary edge, and an n-gon disk per vertex,
+    merged with :func:`union_pieces` into a disjoint piece collection
+    (region-exact up to the n-gon arc approximation). Hole boundaries get
+    the same treatment, which shrinks holes by d — the correct buffer
+    semantics. Negative distances (erosion) are out of scope (raise)."""
+    if dist <= 0:
+        raise NotImplementedError("buffer_rings: negative/zero distance unsupported")
+    members: list[list[np.ndarray]] = [[np.asarray(r, dtype=np.float64) for r in rings]]
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        nxt = np.roll(r, -1, axis=0)
+        for a, b in zip(r, nxt):
+            d = b - a
+            ln = float(np.hypot(d[0], d[1]))
+            if ln < 1e-300:
+                continue
+            nx, ny = -d[1] / ln * dist, d[0] / ln * dist
+            quad = np.array([
+                [a[0] + nx, a[1] + ny],
+                [b[0] + nx, b[1] + ny],
+                [b[0] - nx, b[1] - ny],
+                [a[0] - nx, a[1] - ny],
+            ])
+            if signed_area(quad) < 0:
+                quad = quad[::-1]
+            members.append([quad])
+        for v in r:
+            members.append([buffer_point(float(v[0]), float(v[1]), dist, n)])
+    return union_pieces(members)
 
 
 def is_convex(ring: np.ndarray) -> bool:

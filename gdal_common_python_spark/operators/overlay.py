@@ -256,3 +256,22 @@ def buffer_points(points: DataFrame, dist: float, n: int = 32) -> DataFrame:
         )
 
     return points.withColumn("rings", buf("x", "y"))
+
+
+def buffer_layer(df: DataFrame, dist: float, n: int = 16, rings_col: str = "rings") -> DataFrame:
+    """G1 for polygon layers — the full geom.Buffer analog
+    (lib/analysis.py:8-51): arbitrary polygons incl. concave outers, holes
+    and multiparts; attrs pass through, geometry replaced by the buffered
+    piece collection (kernels.geom.buffer_rings). Embarrassingly parallel —
+    one Arrow batch kernel per partition, no shuffle."""
+
+    @F.pandas_udf(_RINGS_T)
+    def buf(rings: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [r.tolist() for r in geom.buffer_rings(geom.rings_from_cell(rr), dist, n)]
+                for rr in rings
+            ]
+        )
+
+    return df.withColumn(rings_col, buf(rings_col))

@@ -370,3 +370,43 @@ class TestMakeValidRepair:
         simple = np.array([[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0]])
         out = geom.make_valid_rings([bow, simple])
         assert len(out) == 3  # two lobes + untouched simple ring
+
+
+class TestBufferRings:
+    def test_square_buffer_area(self):
+        sq = [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])]
+        buf = geom.buffer_rings(sq, 1.0, n=64)
+        # A + P*d + pi*d^2, corners approximated by 64-gon arcs
+        assert geom.polygon_area(buf) == pytest.approx(16 + 16 + np.pi, rel=2e-3)
+
+    def test_concave_buffer_membership(self):
+        L = [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 1.0], [1.0, 1.0], [1.0, 4.0], [0.0, 4.0]])]
+        buf = geom.buffer_rings(L, 0.5, n=32)
+        e = geom.rings_to_edges(buf)
+        pts = [
+            (2.0, 1.4, True),   # within 0.5 above the inner step
+            (2.0, 1.6, False),  # beyond
+            (-0.4, 2.0, True),  # left flank
+            (3.0, 3.0, False),  # far in the concave notch
+            (0.5, 0.5, True),   # interior
+        ]
+        for x, y, exp in pts:
+            got = bool(geom.points_in_rings(np.array([x]), np.array([y]), e)[0])
+            assert got == exp, (x, y, got)
+
+    def test_holed_buffer_shrinks_hole(self):
+        holed = [
+            np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]),
+            np.array([[3.0, 3.0], [7.0, 3.0], [7.0, 7.0], [3.0, 7.0]])[::-1].copy(),
+        ]
+        buf = geom.buffer_rings(holed, 1.0, n=64)
+        # outer grows by P*d + pi d^2; 4x4 hole shrinks to 2x2
+        assert geom.polygon_area(buf) == pytest.approx(100 + 40 + np.pi - 4.0, rel=2e-3)
+        e = geom.rings_to_edges(buf)
+        assert not geom.points_in_rings(np.array([5.0]), np.array([5.0]), e)[0]  # hole center
+        assert geom.points_in_rings(np.array([3.5]), np.array([3.5]), e)[0]  # old hole edge
+
+    def test_negative_distance_raises(self):
+        sq = [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])]
+        with pytest.raises(NotImplementedError):
+            geom.buffer_rings(sq, -0.5)

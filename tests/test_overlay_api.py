@@ -136,3 +136,15 @@ class TestStreamingIngest:
             assert top[0].n_spans >= 1
         finally:
             q.stop()
+
+
+def test_buffer_layer_zones(spark, zones):
+    from gdal_common_python_spark.kernels import geom
+    from gdal_common_python_spark.operators.overlay import buffer_layer
+
+    z = zones.select("zone_id", F.col("rings4326").alias("rings")).limit(8)
+    before = {r.zone_id: geom.polygon_area(geom.rings_from_cell(r.rings)) for r in z.collect()}
+    out = buffer_layer(z, 0.05, n=16)
+    for r in out.collect():
+        a = geom.polygon_area(geom.rings_from_cell(r.rings))
+        assert a > before[r.zone_id]  # buffer strictly grows every zone
