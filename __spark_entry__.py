@@ -233,6 +233,22 @@ def q_dissolve_union(spark, sf_dir):
     )
 
 
+def q_dissolve_union_scalable(spark, sf_dir):
+    """Same A2/A4 union result via the partial-per-partition + final-merge
+    path (no one-task-per-group bottleneck) — union associativity means the
+    region is identical, so it shares the dissolve_union oracle."""
+    from gdal_common_python_spark.operators.dissolve import dissolve_two_level
+
+    zones = _synth(spark, sf_dir, "zones").select(
+        "zone_id", "category", F.col("rings4326").alias("rings")
+    )
+    out = dissolve_two_level(zones.repartition(8), on_fields=["category"])
+    npix = _grid_npix_udf()
+    return out.select(
+        F.col("group_key").alias("category"), "feat_count", npix("rings").alias("npix")
+    )
+
+
 def q_mosaic(spark, sf_dir):
     tiles = _synth(spark, sf_dir, "raster_tiles")
     m = mosaic_ops.mosaic(tiles, raster_ids=["r0", "r1", "r2"], band=1)
@@ -492,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_components": q_dissolve_components,
         "dissolve_components_scalable": q_dissolve_components_scalable,
         "dissolve_union": q_dissolve_union,
+        "dissolve_union_scalable": q_dissolve_union_scalable,
         "overlay_clip": q_overlay_clip,
         "overlay_erase": q_overlay_erase,
         "mosaic": q_mosaic,
@@ -1268,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_components": _SQL_DISSOLVE_COMPONENTS,
         "dissolve_components_scalable": _SQL_DISSOLVE_COMPONENTS,
         "dissolve_union": _SQL_DISSOLVE_UNION,
+        "dissolve_union_scalable": _SQL_DISSOLVE_UNION,
         "overlay_clip": _SQL_OVERLAY_CLIP,
         "overlay_erase": _SQL_OVERLAY_ERASE,
         "mosaic": _SQL_MOSAIC,

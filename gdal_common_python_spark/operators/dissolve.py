@@ -125,6 +125,72 @@ def connected_components(
     return labels
 
 
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("feat_count", T.LongType()),
+        T.StructField("total_area", T.DoubleType()),
+        T.StructField("rings", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))),
+    ]
+)
+
+
+def dissolve_two_level(
+    zones: DataFrame,
+    on_fields: list[str] | None = None,
+) -> DataFrame:
+    """Scale path for A2/A4 (no single-part split): partial union per
+    PARTITION per group (mapInPandas — no shuffle), then one groupBy merge
+    of the partials. Union is associative and commutative, so the result
+    region/areas equal the single-kernel ``dissolve``; only the piece
+    decomposition differs. This removes the one-task-per-group bottleneck:
+    a dissolve-all over N partitions runs N parallel partial unions and a
+    final merge of N piece collections, instead of one task taking every
+    row (the classic partial+final aggregate shape, SURVEY §2.4 A2)."""
+    if on_fields:
+        keyed = zones.withColumn("group_key", F.concat_ws("", *on_fields))
+    else:
+        keyed = zones.withColumn("group_key", F.lit(""))
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for key, grp in pdf.groupby("group_key"):
+                ringsets = [geom.rings_from_cell(r) for r in grp["rings"]]
+                merged = geom.union_pieces(ringsets)
+                rows.append(
+                    dict(
+                        group_key=key,
+                        feat_count=len(ringsets),
+                        total_area=float(sum(geom.polygon_area(rs) for rs in ringsets)),
+                        rings=[r.tolist() for r in merged],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _PARTIAL_SCHEMA.fields])
+
+    partials = keyed.select("group_key", "rings").mapInPandas(partial, _PARTIAL_SCHEMA)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["group_key"].iloc[0]
+        merged = geom.union_pieces([geom.rings_from_cell(r) for r in pdf["rings"]])
+        return pd.DataFrame(
+            [
+                dict(
+                    group_key=key,
+                    component=0,
+                    feat_count=int(pdf["feat_count"].sum()),
+                    total_area=float(pdf["total_area"].sum()),
+                    union_area=float(geom.polygon_area(merged)),
+                    rings=[r.tolist() for r in merged],
+                )
+            ]
+        )
+
+    return partials.groupBy("group_key").applyInPandas(final, _SCHEMA)
+
+
 def dissolve(
     zones: DataFrame,
     on_fields: list[str] | None = None,

@@ -434,3 +434,17 @@ class TestReproject:
             b = geom.rings_from_cell(orig.loc[zid, "rings4326"])
             for ra, rb in zip(a, b):
                 np.testing.assert_allclose(ra, rb, atol=1e-7)
+
+
+def test_dissolve_two_level_matches_single(spark, zones):
+    from gdal_common_python_spark.operators.dissolve import dissolve, dissolve_two_level
+
+    z = zones.select("zone_id", "category", F.col("rings4326").alias("rings"))
+    one = {r.group_key: r for r in dissolve(z, on_fields=["category"]).collect()}
+    two = {r.group_key: r for r in dissolve_two_level(z.repartition(8), on_fields=["category"]).collect()}
+    assert set(one) == set(two)
+    for k in one:
+        assert one[k].feat_count == two[k].feat_count
+        assert one[k].total_area == pytest.approx(two[k].total_area, rel=1e-12)
+        # union associativity: areas agree though piece decompositions differ
+        assert one[k].union_area == pytest.approx(two[k].union_area, rel=1e-9)
