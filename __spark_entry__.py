@@ -216,6 +216,30 @@ def q_dissolve_components_scalable(spark, sf_dir):
     )
 
 
+def q_overlay_identity(spark, sf_dir):
+    """G4 gate: intersection pieces carry (l_id, r_id); the un-overlapped
+    remainder keeps l_id with null r_id — pixel-membership gated."""
+    from gdal_common_python_spark.operators import overlay
+
+    left, right = _zones_split(spark, sf_dir)
+    out = overlay.identity(spark, left, right)
+    npix = _grid_npix_udf()
+    # npix>0 both sides: "has geometry" is area-level, which the pixel
+    # oracle cannot decide — gate on pieces with at least one interior center
+    return out.select("l_id", "r_id", npix("rings").alias("npix")).filter(F.col("npix") > 0)
+
+
+def q_overlay_symdiff(spark, sf_dir):
+    """G6 gate: erase both directions; side labels which layer a piece
+    came from — pixel-membership gated."""
+    from gdal_common_python_spark.operators import overlay
+
+    left, right = _zones_split(spark, sf_dir)
+    out = overlay.symmetric_difference(spark, left, right)
+    npix = _grid_npix_udf()
+    return out.select("l_id", "side", npix("rings").alias("npix")).filter(F.col("npix") > 0)
+
+
 def q_dissolve_union(spark, sf_dir):
     """A2/A4 union-geometry gate: per category, the dissolved geometry is
     the TRUE member union (overlaps removed). Gated by pixel membership of
@@ -511,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_union_scalable": q_dissolve_union_scalable,
         "overlay_clip": q_overlay_clip,
         "overlay_erase": q_overlay_erase,
+        "overlay_identity": q_overlay_identity,
+        "overlay_symdiff": q_overlay_symdiff,
         "mosaic": q_mosaic,
         "mosaic_mixed_grid": q_mosaic_mixed_grid,
         "media_metadata": q_media_metadata,
@@ -731,6 +757,58 @@ kept AS (
 SELECT z.zone_id AS l_id, coalesce(k.n, 0) AS npix
 FROM (SELECT zone_id FROM {_ZONES} WHERE zone_id % 2 = 0) z
 LEFT JOIN kept k ON k.zone_id = z.zone_id
+"""
+
+_SQL_OVERLAY_IDENTITY = f"""
+{_SQL_PAIRS},
+{_SQL_GRID_MEMBER},
+  inter_pairs AS (
+    SELECT DISTINCT
+           CASE WHEN a_id % 2 = 0 THEN a_id ELSE b_id END AS l_id,
+           CASE WHEN a_id % 2 = 0 THEN b_id ELSE a_id END AS r_id
+    FROM pairs WHERE (a_id % 2) != (b_id % 2)
+  ),
+  pairpix AS (
+    SELECT p.l_id, p.r_id, count(*) AS n
+    FROM inter_pairs p
+    JOIN member ma ON ma.zone_id = p.l_id
+    JOIN member mb ON mb.zone_id = p.r_id AND mb.px = ma.px AND mb.py = ma.py
+    GROUP BY p.l_id, p.r_id
+  ),
+  kept AS (
+    SELECT m.zone_id, count(*) AS n
+    FROM member m
+    WHERE m.zone_id % 2 = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM member m2
+        WHERE m2.px = m.px AND m2.py = m.py AND m2.zone_id % 2 = 1
+      )
+    GROUP BY m.zone_id
+  )
+SELECT l_id, r_id, n AS npix FROM pairpix WHERE n > 0
+UNION ALL
+SELECT zone_id AS l_id, NULL AS r_id, n AS npix FROM kept WHERE n > 0
+"""
+
+_SQL_OVERLAY_SYMDIFF = f"""
+WITH {_SQL_GRID_MEMBER},
+kept_l AS (
+  SELECT m.zone_id, count(*) AS n FROM member m
+  WHERE m.zone_id % 2 = 0
+    AND NOT EXISTS (SELECT 1 FROM member m2
+                    WHERE m2.px = m.px AND m2.py = m.py AND m2.zone_id % 2 = 1)
+  GROUP BY m.zone_id
+),
+kept_r AS (
+  SELECT m.zone_id, count(*) AS n FROM member m
+  WHERE m.zone_id % 2 = 1
+    AND NOT EXISTS (SELECT 1 FROM member m2
+                    WHERE m2.px = m.px AND m2.py = m.py AND m2.zone_id % 2 = 0)
+  GROUP BY m.zone_id
+)
+SELECT zone_id AS l_id, 'left' AS side, n AS npix FROM kept_l WHERE n > 0
+UNION ALL
+SELECT zone_id AS l_id, 'right' AS side, n AS npix FROM kept_r WHERE n > 0
 """
 
 _SQL_DISSOLVE_UNION = f"""
@@ -1288,6 +1366,8 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_union_scalable": _SQL_DISSOLVE_UNION,
         "overlay_clip": _SQL_OVERLAY_CLIP,
         "overlay_erase": _SQL_OVERLAY_ERASE,
+        "overlay_identity": _SQL_OVERLAY_IDENTITY,
+        "overlay_symdiff": _SQL_OVERLAY_SYMDIFF,
         "mosaic": _SQL_MOSAIC,
         "mosaic_mixed_grid": _SQL_MOSAIC_MIXED,
         "media_metadata": _SQL_MEDIA_METADATA,
