@@ -23,7 +23,9 @@ The pre-filter callback becomes a plain ``df.filter`` on either side
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from .spatial_join import cell_expr
 
@@ -68,6 +70,64 @@ def near_table(
     out = pairs.withColumn("distance", _dist(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")))
     if radius is not None:
         out = out.filter(F.col("distance") <= F.lit(radius))
+    if self_join:
+        out = out.filter(F.col("from_id") != F.col("to_id"))
+    return out.select("from_id", "to_id", "distance")
+
+
+def near_table_geoms(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame | None = None,
+    radius: float | None = None,
+) -> DataFrame:
+    """near_table for POLYGON layers (zone-shaped tables) — the reference's
+    geom.Distance semantics (lib/analysis.py:315: 0 when intersecting, else
+    min boundary distance), computed by the exact kernel on candidate
+    pairs.
+
+    With a ``radius``: the pair source is a radius-expanded bbox join (two
+    bboxes farther than `radius` apart cannot hold geometries within it),
+    so at scale the candidate count is O(pairs-in-range), not O(n*m);
+    without a radius it degrades to the reference's full cross join."""
+    from ..kernels import geom
+
+    self_join = right is None
+    r = right if right is not None else left
+    a = left.select(
+        F.col("zone_id").alias("from_id"),
+        F.col("rings").alias("l_rings"),
+        F.col("bbox").alias("l_bbox"),
+    )
+    b = r.select(
+        F.col("zone_id").alias("to_id"),
+        F.col("rings").alias("r_rings"),
+        F.col("bbox").alias("r_bbox"),
+    )
+    if radius is None:
+        pairs = a.crossJoin(b)
+    else:
+        rad = F.lit(float(radius))
+        cond = (
+            (F.col("l_bbox.xmin") - rad <= F.col("r_bbox.xmax"))
+            & (F.col("r_bbox.xmin") - rad <= F.col("l_bbox.xmax"))
+            & (F.col("l_bbox.ymin") - rad <= F.col("r_bbox.ymax"))
+            & (F.col("r_bbox.ymin") - rad <= F.col("l_bbox.ymax"))
+        )
+        pairs = a.join(b, cond)
+
+    @F.pandas_udf(T.DoubleType())
+    def pairdist(lr: pd.Series, rr: pd.Series) -> pd.Series:
+        out = np.empty(len(lr))
+        for i, (lv, rv) in enumerate(zip(lr, rr)):
+            out[i] = geom.geom_distance(
+                "polygon", geom.rings_from_cell(lv), "polygon", geom.rings_from_cell(rv)
+            )
+        return pd.Series(out)
+
+    out = pairs.withColumn("distance", pairdist("l_rings", "r_rings"))
+    if radius is not None:
+        out = out.filter(F.col("distance") <= F.lit(float(radius)))
     if self_join:
         out = out.filter(F.col("from_id") != F.col("to_id"))
     return out.select("from_id", "to_id", "distance")

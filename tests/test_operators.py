@@ -448,3 +448,30 @@ def test_dissolve_two_level_matches_single(spark, zones):
         assert one[k].total_area == pytest.approx(two[k].total_area, rel=1e-12)
         # union associativity: areas agree though piece decompositions differ
         assert one[k].union_area == pytest.approx(two[k].union_area, rel=1e-9)
+
+
+def test_near_table_geoms_matches_kernel(spark, zones):
+    from gdal_common_python_spark.operators.knn import near_table_geoms
+
+    z = zones.select(
+        "zone_id", F.col("rings4326").alias("rings"), F.col("bbox4326").alias("bbox")
+    ).limit(30)
+    got = {
+        (r.from_id, r.to_id): r.distance
+        for r in near_table_geoms(spark, z, radius=2.0).collect()
+    }
+    zp = z.toPandas()
+    ringsets = {int(r.zone_id): geom.rings_from_cell(r.rings) for _, r in zp.iterrows()}
+    oracle = {}
+    for i in ringsets:
+        for j in ringsets:
+            if i == j:
+                continue
+            d = geom.geom_distance("polygon", ringsets[i], "polygon", ringsets[j])
+            if d <= 2.0:
+                oracle[(i, j)] = d
+    assert set(got) == set(oracle)
+    for k in got:
+        assert got[k] == pytest.approx(oracle[k], rel=1e-12)
+    # intersecting pairs report distance 0
+    assert any(v == 0.0 for v in got.values())
