@@ -94,3 +94,49 @@ def test_stats_invariants(vals):
     # which can land a few ulps outside [min, max]; allow relative fp slack.
     slack = 1e-9 * max(abs(s["min"]), abs(s["max"]), 1.0)
     assert s["min"] - slack <= s["mean"] <= s["max"] + slack
+
+
+@st.composite
+def star_polygon(draw):
+    """Simple but usually CONCAVE polygon: star-shaped with jittered radii
+    around a center (angularly sorted -> no self-intersections)."""
+    cx = draw(coord)
+    cy = draw(lat)
+    n = draw(st.integers(min_value=5, max_value=14))
+    base = draw(st.floats(min_value=0.5, max_value=3.0))
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    radii = np.array(
+        [base * (0.3 + 0.7 * draw(st.floats(0.0, 1.0))) + 0.05 for _ in range(n)]
+    )
+    return np.column_stack([cx + radii * np.cos(th), cy + radii * np.sin(th)])
+
+
+@settings(max_examples=40, deadline=None)
+@given(p=star_polygon())
+def test_triangulation_area_identity(p):
+    tris = geom.triangulate_ring(p)
+    tri_area = sum(geom.signed_area(t) for t in tris)
+    poly_area = abs(geom.signed_area(p))
+    assert all(geom.signed_area(t) > 0 for t in tris)  # CCW triangles
+    assert abs(tri_area - poly_area) < 1e-9 * max(poly_area, 1.0)
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=star_polygon(), b=star_polygon())
+def test_clip_diff_partition_identity(a, b):
+    """area(A∩B) + area(A\\B) == area(A) for arbitrary simple polygons."""
+    ai = geom.polygon_area(geom.clip_general([a], [b]))
+    ad = geom.polygon_area(geom.difference_general([a], [b]))
+    aa = abs(geom.signed_area(a))
+    assert abs(ai + ad - aa) < 1e-7 * max(aa, 1.0)
+    assert ai >= -1e-9 and ad >= -1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=star_polygon(), b=star_polygon())
+def test_union_bounds_and_symmetry(a, b):
+    u1 = geom.polygon_area(geom.union_pieces([[a], [b]]))
+    u2 = geom.polygon_area(geom.union_pieces([[b], [a]]))
+    aa, ab = abs(geom.signed_area(a)), abs(geom.signed_area(b))
+    assert abs(u1 - u2) < 1e-7 * max(aa + ab, 1.0)  # commutative
+    assert u1 <= aa + ab + 1e-7 and u1 >= max(aa, ab) - 1e-7
