@@ -443,6 +443,13 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash_docs(_t(spark, sf_dir, "documents"), bits=32)
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """Banded SimHash near-dup candidates with exact popcount verify —
+    max_hamming=3 < bands=4 gives the pigeonhole completeness guarantee."""
+    signed = dedup.simhash_docs(_t(spark, sf_dir, "documents"), bits=32)
+    return dedup.simhash_candidate_pairs(signed, bits=32, bands=4, max_hamming=3)
+
+
 def q_embedding_topk(spark, sf_dir):
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
@@ -547,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "embedding_topk": q_embedding_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -1034,6 +1042,24 @@ SELECT doc_id,
 FROM votes GROUP BY doc_id
 """
 
+_SQL_SIMHASH_NEAR_DUP = f"""
+WITH s AS ({_SQL_SIMHASH}),
+banded AS (
+  SELECT doc_id, simhash, b.b AS band,
+         CASE b.b WHEN 0 THEN simhash % 256
+                  WHEN 1 THEN (simhash // 256) % 256
+                  WHEN 2 THEN (simhash // 65536) % 256
+                  ELSE (simhash // 16777216) % 256 END AS bkey
+  FROM s, (SELECT unnest([0,1,2,3]) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+"""
+
 _SQL_EMBEDDING_TOPK = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 SELECT vec_id, rank, neighbor_id FROM (
@@ -1378,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "simhash": _SQL_SIMHASH,
+        "simhash_near_dup": _SQL_SIMHASH_NEAR_DUP,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_ann_lsh": _sql_ann_lsh(),
         "embedding_ann_ivf": _sql_ann_ivf(),

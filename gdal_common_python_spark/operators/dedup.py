@@ -141,6 +141,52 @@ def ngram_jaccard_pairs(
     return j.select("a_id", "b_id", (inter / union).alias("jaccard"))
 
 
+def simhash_candidate_pairs(
+    signed: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(a_id, b_id, hamming) near-dup pairs from SimHash fingerprints.
+
+    Banding: the fingerprint splits into `bands` equal bit-slices; any pair
+    within `max_hamming < bands` Hamming distance must agree on at least one
+    whole band (pigeonhole), so candidates = pairs sharing a band value,
+    verified with an exact popcount(xor). All integer codegen — shift/mod
+    banding, bitwiseXOR + bit_count verify; shuffle keys are uniform band
+    hashes, so the shape holds at corpus scale like the MinHash LSH path."""
+    assert bits % bands == 0
+    bw = bits // bands
+    banded = signed.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (F.shiftright("simhash", b * bw) % (1 << bw)).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = banded.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"), "band", "bkey")
+    b = banded.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"), "band", "bkey")
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
 def simhash_docs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per token, md5-derived bit vector; per document,
     the sign of the per-bit sum. Expressed with native HOFs (one aggregate

@@ -267,3 +267,28 @@ class TestMultimodalProperties:
             assert 1 <= r.n_frames <= 64
             assert r.frame_idx % 10 == 0 and r.frame_idx < r.n_frames
             assert len(r.features) == multimodal.FEATURE_DIM
+
+
+class TestSimhashNearDup:
+    def test_pigeonhole_completeness(self, spark):
+        # with max_hamming < bands, banding finds EVERY pair within the
+        # radius — verify against brute force over all fingerprint pairs
+        rng = np.random.default_rng(13)
+        base = int(rng.integers(0, 2**32))
+        rows = []
+        for i in range(60):
+            sig = base
+            for b in rng.choice(32, size=int(rng.integers(0, 6)), replace=False):
+                sig ^= 1 << int(b)
+            rows.append((i, sig))
+        signed = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "simhash"]))
+        got = {
+            (r.a_id, r.b_id): r.hamming
+            for r in dedup.simhash_candidate_pairs(signed, bands=4, max_hamming=3).collect()
+        }
+        brute = {}
+        for i, si in rows:
+            for j, sj in rows:
+                if i < j and bin(si ^ sj).count("1") <= 3:
+                    brute[(i, j)] = bin(si ^ sj).count("1")
+        assert got == brute and len(brute) > 0
