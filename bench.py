@@ -97,11 +97,15 @@ def run_queries(spark, sdir):
         "mosaic_mixed_grid",
         "overlay_clip",
         "overlay_erase",
+        "overlay_identity",
+        "overlay_symdiff",
         "dissolve_union",
+        "dissolve_union_scalable",
         "media_frames",
         "dissolve_components",
         "dedup_minhash_lsh",
         "simhash",
+        "simhash_near_dup",
         "embedding_ann_lsh",
         "embedding_ann_ivf",
         "dedup_embedding_cosine",
