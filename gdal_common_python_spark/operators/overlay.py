@@ -56,13 +56,21 @@ def _pair_candidates(
     )
     if right.limit(broadcast_limit + 1).count() <= broadcast_limit:
         return l.join(F.broadcast(r), cond)
-    # grid cell size from the right side's average bbox dimension: one agg
-    # job, keeps per-geometry cell fan-out ~O(1) for typical size mixes
+    # grid cell size from the LARGER of the two sides' average bbox
+    # dimensions (one agg job per side): sizing to the small side only
+    # would explode a big left geometry into (w/cs)^2 cells
+    stl = l.agg(
+        F.avg(F.col("l_bbox.xmax") - F.col("l_bbox.xmin")).alias("w"),
+        F.avg(F.col("l_bbox.ymax") - F.col("l_bbox.ymin")).alias("h"),
+    ).first()
     st = r.agg(
         F.avg(F.col("r_bbox.xmax") - F.col("r_bbox.xmin")).alias("w"),
         F.avg(F.col("r_bbox.ymax") - F.col("r_bbox.ymin")).alias("h"),
     ).first()
-    cs = max(float(st["w"] or 0.0), float(st["h"] or 0.0), 1e-9)
+    cs = max(
+        float(st["w"] or 0.0), float(st["h"] or 0.0),
+        float(stl["w"] or 0.0), float(stl["h"] or 0.0), 1e-9,
+    )
 
     def with_cells(df, bbox):
         return df.withColumn(
