@@ -163,9 +163,25 @@ def mosaic_merge(
 
     parts = []
     for i, m in enumerate(metas):
-        rs = resample_nearest(
-            spark, t, m.raster_id, band, grid, tile_size=tile_size, clip_to_source=True
-        ).withColumn("input_rank", F.lit(int(m.input_rank))).withColumn(
+        same_grid = (
+            float(m.origin_x) == ulx
+            and float(m.origin_y) == uly
+            and float(m.px_x) == px_x
+            and float(m.px_y) == px_y
+            and int(m.width) == w
+            and int(m.height) == h
+        )
+        if same_grid:
+            # already on the output grid: the nearest kernel is an identity
+            # copy (center maps to its own pixel) — pass tiles through
+            rs = t.filter(F.col("raster_id") == m.raster_id).select(
+                "tile_x", "tile_y", "tile_w", "tile_h", "pixels"
+            )
+        else:
+            rs = resample_nearest(
+                spark, t, m.raster_id, band, grid, tile_size=tile_size, clip_to_source=True
+            )
+        rs = rs.withColumn("input_rank", F.lit(int(m.input_rank))).withColumn(
             "nodata_in", F.lit(float(m.nodata))
         )
         if separate:
