@@ -47,6 +47,7 @@ __all__ = [
     "repair_ring",
     "make_valid_rings",
     "decompose_convex",
+    "decompose_parts",
     "triangulate_ring",
     "split_outers_holes",
     "normalize_rings",
@@ -529,7 +530,32 @@ def clip_general(subject_rings, clip_rings) -> list[np.ndarray]:
     return pieces
 
 
-def difference_general(subject_rings, clip_rings) -> list[np.ndarray]:
+def decompose_parts(clip_rings) -> list[tuple[list[np.ndarray], list[list[np.ndarray]]]]:
+    """Precompute the convex decomposition of a clip geometry: one
+    (outer_convex_pieces, [hole_convex_pieces...]) per part. Callers that
+    subtract the SAME geometry repeatedly (union_pieces, erase folds) do
+    the ear-clipping once instead of per difference call."""
+    return [
+        (decompose_convex(outer), [decompose_convex(h) for h in holes])
+        for outer, holes in split_outers_holes(clip_rings)
+    ]
+
+
+def _difference_by_parts(subject_rings, pieces, parts_dec) -> list[np.ndarray]:
+    """Core of difference_general over a precomputed decomposition."""
+    for outer_convs, holes_convs in parts_dec:
+        for conv in outer_convs:
+            pieces = [q for p in pieces for q in difference_convex(p, conv)]
+        for hole_convs in holes_convs:
+            for conv in hole_convs:
+                for s in subject_rings:
+                    res = clip_convex(s, conv)
+                    if res is not None and abs(signed_area(res)) > _MIN_PIECE_AREA:
+                        pieces.append(res)
+    return [p for p in pieces if abs(signed_area(p)) > _MIN_PIECE_AREA]
+
+
+def difference_general(subject_rings, clip_rings, parts_dec=None) -> list[np.ndarray]:
     """subject \\ clip for arbitrary simple polygons (concave, holes,
     multi-part) — the full G3 kernel.
 
@@ -537,18 +563,13 @@ def difference_general(subject_rings, clip_rings) -> list[np.ndarray]:
     X \\ (O \\ H) = (X \\ O) ∪ (X ∩ H); parts are disjoint so the
     hole-intersections can be taken against the ORIGINAL subject. Convex
     decomposition reduces every step to the convex difference/clip kernels;
-    subject orientation (holes) is preserved throughout."""
+    subject orientation (holes) is preserved throughout. Pass a
+    :func:`decompose_parts` result as ``parts_dec`` to amortize the clip
+    side's triangulation across repeated calls."""
     pieces = [np.asarray(s, dtype=np.float64) for s in subject_rings]
-    for outer, holes in split_outers_holes(clip_rings):
-        for conv in decompose_convex(outer):
-            pieces = [q for p in pieces for q in difference_convex(p, conv)]
-        for h in holes:
-            for conv in decompose_convex(h):
-                for s in subject_rings:
-                    res = clip_convex(s, conv)
-                    if res is not None and abs(signed_area(res)) > _MIN_PIECE_AREA:
-                        pieces.append(res)
-    return [p for p in pieces if abs(signed_area(p)) > _MIN_PIECE_AREA]
+    if parts_dec is None:
+        parts_dec = decompose_parts(clip_rings)
+    return _difference_by_parts(subject_rings, pieces, parts_dec)
 
 
 def _self_intersections(ring: np.ndarray) -> list[tuple[int, float, int, float]]:
@@ -653,6 +674,11 @@ def union_pieces(ringsets: list[list[np.ndarray]]) -> list[np.ndarray]:
     if not ringsets:
         return []
     out = [np.asarray(r, dtype=np.float64) for r in ringsets[0]]
+    # memoize each member's convex decomposition + bbox: member j is the
+    # clip side of up to n-j differences, and re-triangulating it each time
+    # made union quadratic in ear-clipping passes
+    dec_cache: dict[int, object] = {}
+    bboxes = [rings_bbox(rs) for rs in ringsets]
     for i in range(1, len(ringsets)):
         pieces = [np.asarray(r, dtype=np.float64) for r in ringsets[i]]
         for j in range(i):
@@ -660,10 +686,12 @@ def union_pieces(ringsets: list[list[np.ndarray]]) -> list[np.ndarray]:
                 break
             # bbox reject: disjoint members contribute unchanged
             bi = rings_bbox(pieces)
-            bj = rings_bbox(ringsets[j])
+            bj = bboxes[j]
             if bi[2] < bj[0] or bj[2] < bi[0] or bi[3] < bj[1] or bj[3] < bi[1]:
                 continue
-            pieces = difference_general(pieces, ringsets[j])
+            if j not in dec_cache:
+                dec_cache[j] = decompose_parts(ringsets[j])
+            pieces = difference_general(pieces, ringsets[j], parts_dec=dec_cache[j])
         out.extend(pieces)
     return out
 

@@ -165,7 +165,13 @@ def simhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        (F.shiftright("simhash", b * bw) % (1 << bw)).alias("bkey"),
+                        # mask, not %: shiftright sign-extends and Spark's %
+                        # follows the dividend's sign, which would split a
+                        # shared band across sign boundaries for 64-bit
+                        # fingerprints with the top bit set
+                        F.shiftright("simhash", b * bw)
+                        .bitwiseAND(F.lit((1 << bw) - 1))
+                        .alias("bkey"),
                     )
                     for b in range(bands)
                 ]

@@ -86,35 +86,31 @@ def near_table_geoms(
     min boundary distance), computed by the exact kernel on candidate
     pairs.
 
-    With a ``radius``: the pair source is a radius-expanded bbox join (two
-    bboxes farther than `radius` apart cannot hold geometries within it),
-    so at scale the candidate count is O(pairs-in-range), not O(n*m);
-    without a radius it degrades to the reference's full cross join."""
+    With a ``radius``: the pair source is the shared size-gated candidate
+    machinery (``overlay._pair_candidates`` with ``pad=radius``) — a
+    broadcast bbox theta join for dimension-sized right sides, a grid-cell
+    EQUI-join past the gate, so the candidate count is O(pairs-in-range)
+    and the plan never degenerates to a nested loop over two large sides;
+    without a radius it degrades to the reference's full cross join
+    (parity mode only)."""
     from ..kernels import geom
+    from .overlay import _pair_candidates
 
     self_join = right is None
     r = right if right is not None else left
-    a = left.select(
-        F.col("zone_id").alias("from_id"),
-        F.col("rings").alias("l_rings"),
-        F.col("bbox").alias("l_bbox"),
-    )
-    b = r.select(
-        F.col("zone_id").alias("to_id"),
-        F.col("rings").alias("r_rings"),
-        F.col("bbox").alias("r_bbox"),
-    )
     if radius is None:
+        a = left.select(
+            F.col("zone_id").alias("from_id"), F.col("rings").alias("l_rings")
+        )
+        b = r.select(F.col("zone_id").alias("to_id"), F.col("rings").alias("r_rings"))
         pairs = a.crossJoin(b)
     else:
-        rad = F.lit(float(radius))
-        cond = (
-            (F.col("l_bbox.xmin") - rad <= F.col("r_bbox.xmax"))
-            & (F.col("r_bbox.xmin") - rad <= F.col("l_bbox.xmax"))
-            & (F.col("l_bbox.ymin") - rad <= F.col("r_bbox.ymax"))
-            & (F.col("r_bbox.ymin") - rad <= F.col("l_bbox.ymax"))
+        pairs = _pair_candidates(spark, left, r, pad=float(radius)).select(
+            F.col("l_id").alias("from_id"),
+            F.col("r_id").alias("to_id"),
+            "l_rings",
+            "r_rings",
         )
-        pairs = a.join(b, cond)
 
     @F.pandas_udf(T.DoubleType())
     def pairdist(lr: pd.Series, rr: pd.Series) -> pd.Series:

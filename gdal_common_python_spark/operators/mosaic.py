@@ -172,6 +172,22 @@ def mosaic_merge(
             and int(m.height) == h
         )
         if same_grid:
+            # the passthrough also requires the input's tile CHUNKING to
+            # match this function's tile_size (otherwise its tile keys never
+            # line up with the resampled/backfill grid) — cheap probe for a
+            # violating tile; any hit falls back to the resample kernel
+            ts_ = F.lit(tile_size)
+            bad = (
+                t.filter(F.col("raster_id") == m.raster_id)
+                .filter(
+                    (F.col("tile_w") != F.least(ts_, F.lit(w) - F.col("tile_x") * ts_))
+                    | (F.col("tile_h") != F.least(ts_, F.lit(h) - F.col("tile_y") * ts_))
+                )
+                .limit(1)
+                .count()
+            )
+            same_grid = bad == 0
+        if same_grid:
             # already on the output grid: the nearest kernel is an identity
             # copy (center maps to its own pixel) — pass tiles through
             rs = t.filter(F.col("raster_id") == m.raster_id).select(

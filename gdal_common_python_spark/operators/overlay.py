@@ -28,6 +28,7 @@ def _pair_candidates(
     left: DataFrame,
     right: DataFrame,
     broadcast_limit: int = 100_000,
+    pad: float = 0.0,
 ) -> DataFrame:
     """bbox-overlap candidate pairs of two zone-shaped tables (native).
 
@@ -37,7 +38,11 @@ def _pair_candidates(
     data-sized grid, join on the cell, dedupe the pair and keep the exact
     bbox-overlap residual. Fully distributed: shuffles on uniform grid keys
     instead of materializing the right side on the driver (the scale plan
-    for G2-G8 overlays and dissolve's component pairing)."""
+    for G2-G8 overlays and dissolve's component pairing).
+
+    ``pad`` expands the overlap test (and the left side's grid cover) by a
+    distance — the radius-join form used by near_table_geoms: bboxes more
+    than `pad` apart cannot hold geometries within `pad` of each other."""
     l = left.select(
         F.col("zone_id").alias("l_id"),
         F.col("rings").alias("l_rings"),
@@ -48,11 +53,12 @@ def _pair_candidates(
         F.col("rings").alias("r_rings"),
         F.col("bbox").alias("r_bbox"),
     )
+    pd_ = F.lit(float(pad))
     cond = (
-        (F.col("l_bbox.xmin") <= F.col("r_bbox.xmax"))
-        & (F.col("r_bbox.xmin") <= F.col("l_bbox.xmax"))
-        & (F.col("l_bbox.ymin") <= F.col("r_bbox.ymax"))
-        & (F.col("r_bbox.ymin") <= F.col("l_bbox.ymax"))
+        (F.col("l_bbox.xmin") - pd_ <= F.col("r_bbox.xmax"))
+        & (F.col("r_bbox.xmin") - pd_ <= F.col("l_bbox.xmax"))
+        & (F.col("l_bbox.ymin") - pd_ <= F.col("r_bbox.ymax"))
+        & (F.col("r_bbox.ymin") - pd_ <= F.col("l_bbox.ymax"))
     )
     if right.limit(broadcast_limit + 1).count() <= broadcast_limit:
         return l.join(F.broadcast(r), cond)
@@ -72,27 +78,29 @@ def _pair_candidates(
         float(stl["w"] or 0.0), float(stl["h"] or 0.0), 1e-9,
     )
 
-    def with_cells(df, bbox):
+    def with_cells(df, bbox, grow):
         return df.withColumn(
             "__cx",
             F.explode(
                 F.sequence(
-                    F.floor(F.col(f"{bbox}.xmin") / cs).cast("long"),
-                    F.floor(F.col(f"{bbox}.xmax") / cs).cast("long"),
+                    F.floor((F.col(f"{bbox}.xmin") - grow) / cs).cast("long"),
+                    F.floor((F.col(f"{bbox}.xmax") + grow) / cs).cast("long"),
                 )
             ),
         ).withColumn(
             "__cy",
             F.explode(
                 F.sequence(
-                    F.floor(F.col(f"{bbox}.ymin") / cs).cast("long"),
-                    F.floor(F.col(f"{bbox}.ymax") / cs).cast("long"),
+                    F.floor((F.col(f"{bbox}.ymin") - grow) / cs).cast("long"),
+                    F.floor((F.col(f"{bbox}.ymax") + grow) / cs).cast("long"),
                 )
             ),
         )
 
-    lc = with_cells(l, "l_bbox")
-    rc = with_cells(r, "r_bbox")
+    # pad expands only the left cover (sufficient: any pair within pad has
+    # the right bbox inside the left's padded cover)
+    lc = with_cells(l, "l_bbox", pd_)
+    rc = with_cells(r, "r_bbox", F.lit(0.0))
     return (
         lc.join(rc, ["__cx", "__cy"])
         .filter(cond)
@@ -125,10 +133,14 @@ def _clip_rings(subject: list[np.ndarray], clip: list[np.ndarray]) -> list[np.nd
     return geom.clip_general(subject, clip)
 
 
-def clip(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
+def clip(
+    spark: SparkSession, left: DataFrame, right: DataFrame, cand: DataFrame | None = None
+) -> DataFrame:
     """G2 (lib/analysis.py:54-76): left geometries clipped to right; left
-    attrs kept. Output: l_id, r_id, rings, area."""
-    cand = _pair_candidates(spark, left, right)
+    attrs kept. Output: l_id, r_id, rings, area. ``cand`` lets compositions
+    (identity) reuse one candidate join instead of recomputing it."""
+    if cand is None:
+        cand = _pair_candidates(spark, left, right)
 
     schema = T.StructType(
         [
@@ -176,12 +188,18 @@ _ERASE_SCHEMA = T.StructType(
 )
 
 
-def erase(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
+def erase(
+    spark: SparkSession, left: DataFrame, right: DataFrame, cand: DataFrame | None = None
+) -> DataFrame:
     """G3 (lib/analysis.py:79-102): left geometry minus all overlapping right
     geometry; rows with no candidates pass through (anti-join union).
     Right side may be concave, carry holes, or be multi-part — the general
-    difference kernel decomposes it (Layer.Erase scope, lib/analysis.py:100)."""
-    cand = _pair_candidates(spark, left, right)
+    difference kernel decomposes it (Layer.Erase scope, lib/analysis.py:100).
+    The candidate join feeds BOTH the difference kernel and the untouched
+    anti-join, so it is persisted for the two consumers."""
+    if cand is None:
+        cand = _pair_candidates(spark, left, right)
+    cand = cand.persist()
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pieces = geom.rings_from_cell(pdf["l_rings"].iloc[0])
@@ -217,9 +235,11 @@ def erase(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
 
 def identity(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
     """G4 (lib/analysis.py:105-131): intersection pieces carry both ids;
-    the un-overlapped remainder keeps left id with null r_id."""
-    inter = clip(spark, left, right)
-    rest = erase(spark, left, right).withColumn("r_id", F.lit(None).cast("long"))
+    the un-overlapped remainder keeps left id with null r_id. One candidate
+    join (persisted) feeds both halves."""
+    cand = _pair_candidates(spark, left, right).persist()
+    inter = clip(spark, left, right, cand=cand)
+    rest = erase(spark, left, right, cand=cand).withColumn("r_id", F.lit(None).cast("long"))
     return inter.select("l_id", "r_id", "rings", "area").unionByName(
         rest.select("l_id", "r_id", "rings", "area")
     )

@@ -144,10 +144,11 @@ def ivf_topk(
     # per-cluster top-k is sufficient — the global top-k is a member of its
     # own cluster's top-k, so the final window over <= n_probe*k candidate
     # rows per query recovers the exact same ranking the pair plan produced
+    id_type = emb.schema[id_col].dataType
     cand_schema = T.StructType(
         [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("vec_id", id_type),
+            T.StructField("neighbor_id", id_type),
             T.StructField("cos", T.DoubleType()),
         ]
     )
@@ -170,16 +171,12 @@ def ivf_topk(
         for i in range(len(qids)):
             order = np.lexsort((mids, -C[i]))[:kk]
             order = order[np.isfinite(C[i][order])]
-            rows_v.append(np.full(len(order), qids[i]))
-            rows_n.append(mids[order])
-            rows_c.append(C[i][order])
-        return pd.DataFrame(
-            {
-                "vec_id": np.concatenate(rows_v),
-                "neighbor_id": np.concatenate(rows_n),
-                "cos": np.concatenate(rows_c),
-            }
-        )
+            rows_v.extend([qids[i]] * len(order))
+            rows_n.extend(mids[order].tolist())
+            rows_c.extend(C[i][order].tolist())
+        # plain lists, not np.concatenate: id columns keep the input's type
+        # (string ids survive the Arrow cast; numeric ids unaffected)
+        return pd.DataFrame({"vec_id": rows_v, "neighbor_id": rows_n, "cos": rows_c})
 
     cand = queries.groupBy("cluster_id").cogroup(members.groupBy("cluster_id")).applyInPandas(
         rerank, cand_schema
@@ -309,9 +306,10 @@ def lsh_near_dup(
         .filter(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
-    )
+    # Arrow-batched einsum instead of an interpreted HOF fold per pair —
+    # the exact-cosine verify is the hot path once buckets produce
+    # candidates; rounding to 6 dp keeps the emitted value stable
+    cos = F.round(_cos_batch(F.col("va"), F.col("vb")), 6)
     return (
         cand.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
@@ -372,11 +370,12 @@ def lsh_topk(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("bucket", _bucket(F.col("v"), n_planes, dim))
 
+    id_type = emb.schema[id_col].dataType
     schema = T.StructType(
         [
-            T.StructField("vec_id", T.LongType()),
+            T.StructField("vec_id", id_type),
             T.StructField("rank", T.IntegerType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("neighbor_id", id_type),
         ]
     )
 
@@ -395,7 +394,8 @@ def lsh_topk(
         n = len(ids)
         vec_col_out = np.repeat(ids, kk)
         rank_col = np.tile(np.arange(1, kk + 1), n)
-        neigh = np.empty(n * kk, dtype=np.int64)
+        # dtype follows the id column (object for string ids)
+        neigh = np.empty(n * kk, dtype=ids.dtype)
         for i in range(n):
             # deterministic tie-break (-cos, neighbor_id), vectorized:
             # lexsort keys are last-key-primary

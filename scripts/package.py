@@ -27,13 +27,19 @@ def build() -> str:
             if f.endswith(".py"):
                 full = os.path.join(dirpath, f)
                 entries.append((os.path.relpath(full, ROOT), full))
-    # skip the rebuild when the existing zip is newer than every source —
-    # and write via temp + atomic os.replace so concurrent sessions (e.g.
-    # parallel bench/test processes) never observe a partially-written zip
+    # skip the rebuild when the existing zip is newer than every source AND
+    # holds exactly the current file set (a deleted/renamed module must
+    # invalidate it) — and write via temp + atomic os.replace so concurrent
+    # sessions never observe a partially-written zip
     if os.path.exists(OUT):
         newest_src = max(os.path.getmtime(full) for _, full in entries)
         if os.path.getmtime(OUT) >= newest_src:
-            return OUT
+            try:
+                with zipfile.ZipFile(OUT) as z:
+                    if sorted(z.namelist()) == sorted(arc for arc, _ in entries):
+                        return OUT
+            except zipfile.BadZipFile:
+                pass
     tmp = f"{OUT}.tmp.{os.getpid()}"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
         for arc, full in sorted(entries):

@@ -74,7 +74,10 @@ def main(names=None):
         # decimal128/float64 through the driver's arrow fetch and
         # hash-mismatch Spark's int64 even when values are equal
         try:
-            otypes = {f.name: str(f.type) for f in con.sql(osql[name]).arrow().schema}
+            otypes = {
+                f.name: str(f.type)
+                for f in con.sql(f"SELECT * FROM ({osql[name]}) LIMIT 0").arrow().schema
+            }
             widened = [c for c, t in otypes.items() if "decimal" in t]
             if widened:
                 results[name] = f"TYPE WIDENING: oracle cols {widened} are {[otypes[c] for c in widened]} (cast to BIGINT/DOUBLE in the SQL)"
