@@ -151,6 +151,17 @@ def dissolve_two_level(
         keyed = zones.withColumn("group_key", F.concat_ws("", *on_fields))
     else:
         keyed = zones.withColumn("group_key", F.lit(""))
+    # spatially coherent partials: hash-repartition on (group, coarse cell
+    # of the first vertex) so overlapping members usually land in the SAME
+    # partial and resolve locally — random partitioning spread overlaps
+    # across partials, leaving the final merge to re-difference heavily
+    # fragmented piece collections (measured 2.5x ring fragmentation and
+    # 7x merge wall on the synth clusters)
+    fx = F.col("rings")[0][0][0]
+    fy = F.col("rings")[0][0][1]
+    keyed = keyed.repartition(
+        F.col("group_key"), F.floor(fx / F.lit(5.0)), F.floor(fy / F.lit(5.0))
+    )
 
     def partial(batches):
         for pdf in batches:
