@@ -241,6 +241,18 @@ def q_overlay_symdiff(spark, sf_dir):
     return out.select("l_id", "side", npix("rings").alias("npix")).filter(F.col("npix") > 0)
 
 
+def q_overlay_update(spark, sf_dir):
+    """G8 gate: erase(base, update) ∪ update features — base pieces keep
+    only un-updated area, update zones pass through whole. Pixel-gated,
+    npix>0 (same decidability reason as identity)."""
+    from gdal_common_python_spark.operators import overlay
+
+    left, right = _zones_split(spark, sf_dir)
+    out = overlay.update(spark, left, right)
+    npix = _grid_npix_udf()
+    return out.select("l_id", npix("rings").alias("npix")).filter(F.col("npix") > 0)
+
+
 def q_dissolve_union(spark, sf_dir):
     """A2/A4 union-geometry gate: per category, the dissolved geometry is
     the TRUE member union (overlaps removed). Gated by pixel membership of
@@ -545,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_erase": q_overlay_erase,
         "overlay_identity": q_overlay_identity,
         "overlay_symdiff": q_overlay_symdiff,
+        "overlay_update": q_overlay_update,
         "mosaic": q_mosaic,
         "mosaic_mixed_grid": q_mosaic_mixed_grid,
         "media_metadata": q_media_metadata,
@@ -818,6 +831,23 @@ kept_r AS (
 SELECT zone_id AS l_id, 'left' AS side, n AS npix FROM kept_l WHERE n > 0
 UNION ALL
 SELECT zone_id AS l_id, 'right' AS side, n AS npix FROM kept_r WHERE n > 0
+"""
+
+_SQL_OVERLAY_UPDATE = f"""
+WITH {_SQL_GRID_MEMBER},
+kept AS (
+  SELECT m.zone_id, count(*) AS n FROM member m
+  WHERE m.zone_id % 2 = 0
+    AND NOT EXISTS (SELECT 1 FROM member m2
+                    WHERE m2.px = m.px AND m2.py = m.py AND m2.zone_id % 2 = 1)
+  GROUP BY m.zone_id
+),
+incoming AS (
+  SELECT zone_id, count(*) AS n FROM member WHERE zone_id % 2 = 1 GROUP BY zone_id
+)
+SELECT zone_id AS l_id, n AS npix FROM kept WHERE n > 0
+UNION ALL
+SELECT zone_id AS l_id, n AS npix FROM incoming WHERE n > 0
 """
 
 _SQL_DISSOLVE_UNION = f"""
@@ -1405,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
         "overlay_erase": _SQL_OVERLAY_ERASE,
         "overlay_identity": _SQL_OVERLAY_IDENTITY,
         "overlay_symdiff": _SQL_OVERLAY_SYMDIFF,
+        "overlay_update": _SQL_OVERLAY_UPDATE,
         "mosaic": _SQL_MOSAIC,
         "mosaic_mixed_grid": _SQL_MOSAIC_MIXED,
         "media_metadata": _SQL_MEDIA_METADATA,
