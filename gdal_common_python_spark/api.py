@@ -131,9 +131,11 @@ def extract_features(df: DataFrame, predicate: Column) -> DataFrame:
 
 intersect = _spatial_join.spatial_join_geoms  # J2 — join.intersect (lib/join.py:5-60)
 near_table = _knn.near_table  # J3 — analysis.near_table (lib/analysis.py:241-322)
+near_table_geoms = _knn.near_table_geoms  # J3 for polygon layers (geom.Distance)
 knn = _knn.knn  # J3 scale path — kNN via cell-disk + re-rank
 
 buffer = _overlay.buffer_points  # G1 — analysis.buffer (lib/analysis.py:8-51)
+buffer_layer = _overlay.buffer_layer  # G1 full surface: arbitrary polygons
 clip = _overlay.clip  # G2 — analysis.clip (lib/analysis.py:54-76)
 erase = _overlay.erase  # G3 — analysis.erase (lib/analysis.py:79-102)
 identity = _overlay.identity  # G4 — analysis.identity (lib/analysis.py:105-131)
@@ -143,10 +145,12 @@ union = _overlay.union_layers  # G7 — analysis.union (lib/analysis.py:189-212)
 update = _overlay.update  # G8 — analysis.update (lib/analysis.py:215-238)
 
 dissolve = _dissolve.dissolve  # A2/A3/A4 — dissolve.all/single_part/on_field (lib/dissolve.py)
+dissolve_two_level = _dissolve.dissolve_two_level  # A2/A4 scale path (partial+final union)
 zonal_statistics = _zonal.zonal_statistics  # A5/A6 — zonal.statistics (lib/zonal.py:11-172)
 mosaic_rasters = _mosaic.mosaic  # R8/S10 — mosaic.rasters (lib/mosaic.py:6-40)
+mosaic_merge = _mosaic.mosaic_merge  # R8 full gdal_merge surface (mixed grids, -separate/-init/-ul_lr/-tap)
 reproject = _reproject.reproject  # V1 — reproject.reproject_features (lib/reproject.py:9-48)
-resample_raster = _resample.resample_nearest  # R7 — reproject.reproject_raster (lib/reproject.py:51-127; reference impl buggy, semantics ours)
+resample_raster = _resample.resample  # R7 — reproject.reproject_raster (lib/reproject.py:51-127; reference impl buggy, semantics ours); nearest/bilinear/average
 rectify = _reproject.rectify  # V2 — _rectifyinputs (lib/_rectifyinputs.py:7-56)
 
 to_geojson = _geojson.to_feature_collection  # S9 — conversion.feature.to_geojson
