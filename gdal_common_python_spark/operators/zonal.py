@@ -109,6 +109,9 @@ def window_tiles(
     return t.join(w, ["raster_id", "band", "tile_x", "tile_y"])
 
 
+_STAT_NAMES = ("min", "max", "mean", "median", "var", "stdev", "perc90")
+
+
 def zonal_statistics(
     spark: SparkSession,
     zones: DataFrame,
@@ -116,14 +119,24 @@ def zonal_statistics(
     tiles: DataFrame,
     tile_size: int = 32,
     ignore_nodata: bool = True,
+    ignore_values=None,
+    statistics: list[str] | None = None,
     hash_safe: bool = False,
     rings_mode: str = "auto",
     broadcast_zone_limit: int = 500_000,
 ):
     """Returns (stats_df, counts_df).
 
-    stats_df: one row per zone (all zones — empty ones zero-filled).
+    stats_df: one row per zone (all zones — empty ones zero-filled),
+    restricted to the requested ``statistics`` names when given (validated
+    up front like the reference's dry-run, lib/zonal.py:112-117; names from
+    MIN/MAX/MEAN/MEDIAN/VAR/STDEV/PERC90, case-insensitive).
     counts_df: one row per (zone, raster entry) incl. zero rows.
+
+    ``ignore_values``: list of pixel values to exclude, or a callable
+    applied to the value ARRAY returning an exclusion mask — the
+    reference's list-or-callback surface (lib/zonal.py:25-28,91-97)
+    vectorized per batch instead of per pixel.
 
     rings_mode: 'broadcast' collects the zone rings once to a broadcast dict
     (dimension-sized zone layers — no per-row ring payload through the
@@ -131,6 +144,13 @@ def zonal_statistics(
     — zero driver-side zone materialization, the path for zone sides too
     large to collect. 'auto' counts the zone side and picks.
     """
+    if statistics is not None:
+        requested = [s.lower() for s in statistics]
+        bad = [s for s in requested if s not in _STAT_NAMES]
+        if bad:
+            raise ValueError(f"unknown statistics {bad}; valid: {list(_STAT_NAMES)}")
+    else:
+        requested = None
     if rings_mode == "auto":
         rings_mode = (
             "broadcast"
@@ -204,6 +224,11 @@ def zonal_statistics(
                 vals = sl[m]
                 if ignore_nodata:
                     vals = vals[vals != row.nodata]
+                if ignore_values is not None:
+                    if callable(ignore_values):
+                        vals = vals[~np.asarray(ignore_values(vals), dtype=bool)]
+                    else:
+                        vals = vals[~np.isin(vals, list(ignore_values))]
                 values.append(vals)
                 n_vals = len(vals)
             k = (row.raster_id, int(row.band))
@@ -240,13 +265,14 @@ def zonal_statistics(
         .select("zone_id", "raster_id", "band", F.coalesce("pixel_count", F.lit(0)).alias("pixel_count"))
     )
     zero = F.lit(0.0)
+    keep = list(_STAT_NAMES) if requested is None else [s for s in _STAT_NAMES if s in requested]
     stats = (
         zones.select("zone_id")
         .join(stats, "zone_id", "left")
         .select(
             "zone_id",
             F.coalesce("count_total", F.lit(0)).alias("count_total"),
-            *[F.coalesce(c, zero).alias(c) for c in ["min", "max", "mean", "median", "var", "stdev", "perc90"]],
+            *[F.coalesce(c, zero).alias(c) for c in keep],
         )
     )
     return stats, counts

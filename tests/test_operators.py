@@ -475,3 +475,22 @@ def test_near_table_geoms_matches_kernel(spark, zones):
         assert got[k] == pytest.approx(oracle[k], rel=1e-12)
     # intersecting pairs report distance 0
     assert any(v == 0.0 for v in got.values())
+
+
+def test_zonal_ignore_values_and_stat_selection(spark, zones, rasters, tiles):
+    # list form: excluding every value makes all counts zero
+    st, ct = zonal_statistics(
+        spark, zones, rasters, tiles, ignore_values=list(range(256))
+    )
+    assert ct.filter(F.col("pixel_count") > 0).count() == 0
+    # callback form: exclude values >= 128; every surviving value < 128
+    st2, ct2 = zonal_statistics(
+        spark, zones, rasters, tiles, ignore_values=lambda v: v >= 128
+    )
+    mx = st2.agg(F.max("max")).first()[0]
+    assert mx < 128
+    # stat selection: only requested columns come back; bad names raise
+    st3, _ = zonal_statistics(spark, zones, rasters, tiles, statistics=["MIN", "perc90"])
+    assert st3.columns == ["zone_id", "count_total", "min", "perc90"]
+    with pytest.raises(ValueError):
+        zonal_statistics(spark, zones, rasters, tiles, statistics=["p50"])
