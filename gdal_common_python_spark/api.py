@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 from .functions import dates as _dates, measures as _measures
-from .kernels import geom as _geom
+from .kernels import geom as _geom, raster as _raster_kernels
 from .operators import (
     dissolve as _dissolve,
     resample as _resample,
@@ -154,6 +154,34 @@ resample_raster = _resample.resample  # R7 — reproject.reproject_raster (lib/r
 rectify = _reproject.rectify  # V2 — _rectifyinputs (lib/_rectifyinputs.py:7-56)
 
 to_geojson = _geojson.to_feature_collection  # S9 — conversion.feature.to_geojson
+
+# ------------------------------------------------------------- rasters.py
+
+calc_pixel_coordinates = _raster_kernels.pixel_coordinate  # R1 (rasters.py:97-116)
+
+
+def get_transform(rasters: DataFrame, raster_id: str, band: int = 1):
+    """rasters.get_transform analog (rasters.py:79-94): (origin_x, origin_y,
+    px_x, px_y, extent_w, extent_h) from the raster metadata table."""
+    m = rasters.filter(
+        (F.col("raster_id") == raster_id) & (F.col("band") == band)
+    ).first()
+    if m is None:
+        raise ValueError(f"no raster {raster_id}/{band}")
+    return (
+        float(m.origin_x), float(m.origin_y), float(m.px_x), float(m.px_y),
+        int(m.width) * float(m.px_x), int(m.height) * float(m.px_y),
+    )
+
+
+def get_no_data_value(rasters: DataFrame, raster_id: str, band: int = 1) -> float:
+    """rasters.get_no_data_value analog (rasters.py:129-140)."""
+    m = rasters.filter(
+        (F.col("raster_id") == raster_id) & (F.col("band") == band)
+    ).first()
+    if m is None:
+        raise ValueError(f"no raster {raster_id}/{band}")
+    return float(m.nodata)
 
 # ---------------------------------------------------------------- date.py
 
