@@ -170,6 +170,20 @@ def q_zonal_stats(spark, sf_dir):
     )
 
 
+def q_zonal_counts_wide(spark, sf_dir):
+    """Reference-shaped wide counts: count_total + count_1..count_N ordered
+    by (input_rank, band) like the rasters argument order
+    (lib/zonal.py:156-157)."""
+    _, counts = zonal_ops.zonal_statistics(
+        spark,
+        _synth(spark, sf_dir, "zones"),
+        _synth(spark, sf_dir, "rasters"),
+        _synth(spark, sf_dir, "raster_tiles"),
+        hash_safe=True,
+    )
+    return zonal_ops.counts_wide(counts, _synth(spark, sf_dir, "rasters"))
+
+
 def q_knn(spark, sf_dir):
     return knn_ops.knn(spark, _synth(spark, sf_dir, "near_points"), k=5)
 
@@ -545,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_polygons_distributed": q_spatial_join_polygons_distributed,
         "tile_assignment": q_tile_assignment,
         "zonal_counts": q_zonal_counts,
+        "zonal_counts_wide": q_zonal_counts_wide,
         "zonal_stats": q_zonal_stats,
         "knn": q_knn,
         "near_table": q_near_table,
@@ -1322,6 +1337,21 @@ LEFT JOIN (SELECT zone_id, raster_id, band, count(*) AS n FROM vals GROUP BY 1,2
   ON k.zone_id = z.zone_id AND k.raster_id = r.raster_id AND k.band = r.band
 """
 
+# wide pivot of the zonal counts; column order = (input_rank, band) of the
+# synth rasters (r0/1, r1/1, r1/2, r2/1, r3/1 — deterministic seed). Sums
+# cast to BIGINT (DuckDB HUGEINT widening trap).
+_SQL_ZONAL_COUNTS_WIDE = f"""
+WITH base AS ({_SQL_ZONAL_COUNTS})
+SELECT zone_id,
+       CAST(sum(pixel_count) AS BIGINT) AS count_total,
+       CAST(sum(CASE WHEN raster_id='r0' AND band=1 THEN pixel_count ELSE 0 END) AS BIGINT) AS count_1,
+       CAST(sum(CASE WHEN raster_id='r1' AND band=1 THEN pixel_count ELSE 0 END) AS BIGINT) AS count_2,
+       CAST(sum(CASE WHEN raster_id='r1' AND band=2 THEN pixel_count ELSE 0 END) AS BIGINT) AS count_3,
+       CAST(sum(CASE WHEN raster_id='r2' AND band=1 THEN pixel_count ELSE 0 END) AS BIGINT) AS count_4,
+       CAST(sum(CASE WHEN raster_id='r3' AND band=1 THEN pixel_count ELSE 0 END) AS BIGINT) AS count_5
+FROM base GROUP BY zone_id
+"""
+
 _SQL_ZONAL_STATS = f"""
 WITH {_SQL_ZONAL_INSIDE},
 st AS (
@@ -1454,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _SQL_PRICING,
         "orders_by_segment": _SQL_ORDERS_SEGMENT,
         "zonal_counts": _SQL_ZONAL_COUNTS,
+        "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,
         "spatial_join_polygons": _SQL_SPATIAL_POLY,
         "spatial_join_polygons_distributed": _SQL_SPATIAL_POLY,

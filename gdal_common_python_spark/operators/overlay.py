@@ -1,15 +1,18 @@
 """Layer-vs-layer geometric overlays (G1-G8, lib/analysis.py) — SURVEY §2.5.
 
 Reference: OGR layer-algebra methods (Clip/Erase/Identity/Intersection/
-SymDifference/Union/Update) after auto-rectify. Engine: the J2 candidate
-machinery (cell equi-join) finds intersecting pairs, then a pairwise clip
-kernel computes the geometry. Kernel scope (documented): the clip side must
-be CONVEX per ring (Sutherland-Hodgman) — exact for the fixture classes
-(rects, convex hulls); concave clips raise. Parity checks operate on
-id-pairs, areas and counts, not overlay vertices (SURVEY §2.5 parity note).
+SymDifference/Union/Update) after auto-rectify. Engine: a size-gated
+candidate join (broadcast bbox theta join for dimension-sized sides, a
+coarse-grid cell equi-join past the gate) finds bbox-overlapping pairs,
+then the GENERAL pairwise kernels compute the geometry — concave outers,
+holes and multipolygon parts supported on either side via ear-clipping
+decomposition (kernels.geom.clip_general/difference_general). Parity is
+gated on pixel-grid membership of the OUTPUT geometry plus id-pairs,
+areas and counts (SURVEY §2.5 parity note).
 
-Buffer (G1, lib/analysis.py:8-51): points -> regular n-gon; convex rings ->
-outward edge offset with round joins (approximate arc with n segments).
+Buffer (G1, lib/analysis.py:8-51): points -> regular n-gon
+(buffer_points); arbitrary polygon layers -> Minkowski-disk union
+(buffer_layer, positive distances).
 """
 
 from __future__ import annotations
@@ -201,7 +204,7 @@ def erase(
         cand = _pair_candidates(spark, left, right)
     cand = cand.persist()
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, pdf):
         pieces = geom.rings_from_cell(pdf["l_rings"].iloc[0])
         for rr in pdf["r_rings"]:
             pieces = geom.difference_general(pieces, geom.rings_from_cell(rr))

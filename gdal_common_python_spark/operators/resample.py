@@ -153,7 +153,7 @@ def resample(
             ]
         return patch
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, pdf):
         t_tx, t_ty = int(key[0]), int(key[1])
         tw = min(tile_size, t_w - t_tx * tile_size)
         th = min(tile_size, t_h - t_ty * tile_size)
@@ -188,7 +188,7 @@ def resample(
             [dict(tile_x=t_tx, tile_y=t_ty, tile_w=tw, tile_h=th, pixels=out.ravel().tolist())]
         )
 
-    def kernel_bilinear(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel_bilinear(key, pdf):
         t_tx, t_ty = int(key[0]), int(key[1])
         tw = min(tile_size, t_w - t_tx * tile_size)
         th = min(tile_size, t_h - t_ty * tile_size)
@@ -230,7 +230,7 @@ def resample(
             [dict(tile_x=t_tx, tile_y=t_ty, tile_w=tw, tile_h=th, pixels=out.ravel().tolist())]
         )
 
-    def kernel_average(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel_average(key, pdf):
         t_tx, t_ty = int(key[0]), int(key[1])
         tw = min(tile_size, t_w - t_tx * tile_size)
         th = min(tile_size, t_h - t_ty * tile_size)
