@@ -538,6 +538,10 @@ def spatial_join_geoms(
         bc_rings = spark.sparkContext.broadcast(
             {zid: [r.tolist() for r in rings] for zid, rings in rect.items()}
         )
+        # worker-persistent zone conversion cache: the closure dict survives
+        # across Arrow batches inside one python worker, so each zone's
+        # list->ndarray + edge build happens once per worker, not per batch
+        zone_cache: dict = {}
 
         @F.pandas_udf(T.BooleanType())
         def refine(zone_id: pd.Series, wkt: pd.Series) -> pd.Series:
@@ -575,14 +579,21 @@ def spatial_join_geoms(
             zs = zi[order]
             starts = np.concatenate([[0], np.flatnonzero(np.diff(zs)) + 1, [n]])
             for s0, s1 in zip(starts[:-1], starts[1:]):
-                rings = zr.get(int(zs[s0]))
-                if rings is None:
-                    continue
-                zrings = [np.asarray(r, dtype=np.float64) for r in rings]
-                eb = geom.rings_to_edges(zrings)
-                vb = np.concatenate(zrings)
-                zxmin, zymin = float(vb[:, 0].min()), float(vb[:, 1].min())
-                zxmax, zymax = float(vb[:, 0].max()), float(vb[:, 1].max())
+                zid = int(zs[s0])
+                cached = zone_cache.get(zid)
+                if cached is None:
+                    rings = zr.get(zid)
+                    if rings is None:
+                        continue
+                    zrings = [np.asarray(r, dtype=np.float64) for r in rings]
+                    eb = geom.rings_to_edges(zrings)
+                    vb = np.concatenate(zrings)
+                    cached = zone_cache[zid] = (
+                        eb, vb,
+                        float(vb[:, 0].min()), float(vb[:, 1].min()),
+                        float(vb[:, 0].max()), float(vb[:, 1].max()),
+                    )
+                eb, vb, zxmin, zymin, zxmax, zymax = cached
                 live = [
                     i
                     for i in order[s0:s1]
