@@ -91,6 +91,7 @@ def run_queries(spark, sdir):
         "spatial_join_polygons",
         "tile_assignment",
         "zonal_stats",
+        "zonal_counts_wide",
         "knn",
         "near_table",
         "mosaic",
@@ -99,6 +100,7 @@ def run_queries(spark, sdir):
         "overlay_erase",
         "overlay_identity",
         "overlay_symdiff",
+        "overlay_update",
         "dissolve_union",
         "dissolve_union_scalable",
         "media_frames",
