@@ -82,4 +82,17 @@ def get_spark(app: str = "gdal_common_python_spark", cores: int | None = None,
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if executors is not None:
+        # belt-and-braces: spark.submit.pyFiles is only honored when the
+        # context is created fresh from this builder — a cluster session
+        # created AFTER a local one in the same process (stop + rebuild)
+        # silently lost the package and executors raised
+        # ModuleNotFoundError. addPyFile on the live context ships the zip
+        # unconditionally; guard against duplicate registration.
+        zip_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "dist", "gdal_common_python_spark.zip",
+        )
+        if os.path.exists(zip_path):
+            spark.sparkContext.addPyFile(zip_path)
     return spark
