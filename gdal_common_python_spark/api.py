@@ -130,6 +130,7 @@ def extract_features(df: DataFrame, predicate: Column) -> DataFrame:
 # -------------------------------------------------------------- lib/*.py
 
 intersect = _spatial_join.spatial_join_geoms  # J2 — join.intersect (lib/join.py:5-60)
+intersect_with_fields = _spatial_join.spatial_join_with_fields  # J2 + join-layer attrs (lib/join.py:31-33,53)
 near_table = _knn.near_table  # J3 — analysis.near_table (lib/analysis.py:241-322)
 near_table_geoms = _knn.near_table_geoms  # J3 for polygon layers (geom.Distance)
 knn = _knn.knn  # J3 scale path — kNN via cell-disk + re-rank

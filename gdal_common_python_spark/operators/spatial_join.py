@@ -660,3 +660,20 @@ def spatial_join_geoms(
         )
 
     return refined.filter(F.col("hit")).select("doc_id", "offset", "zone_id")
+
+
+def spatial_join_with_fields(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    join_fields: list[str],
+    **kwargs,
+) -> DataFrame:
+    """J2 with the reference's attribute emission (lib/join.py:31-33,53):
+    ``join.intersect`` returns the JOIN LAYER's requested field values per
+    intersecting pair, not just ids — here the pair table joins the zone
+    attributes back on zone_id (a broadcast-sized dimension join; the pair
+    table stays the big side)."""
+    pairs = spatial_join_geoms(spark, docs, zones, **kwargs)
+    attrs = zones.select("zone_id", *join_fields)
+    return pairs.join(attrs, "zone_id", "left")

@@ -494,3 +494,14 @@ def test_zonal_ignore_values_and_stat_selection(spark, zones, rasters, tiles):
     assert st3.columns == ["zone_id", "count_total", "min", "perc90"]
     with pytest.raises(ValueError):
         zonal_statistics(spark, zones, rasters, tiles, statistics=["p50"])
+
+
+def test_spatial_join_with_fields(spark, docs, zones):
+    out = sj.spatial_join_with_fields(spark, docs, zones, ["name", "category"])
+    assert set(out.columns) >= {"doc_id", "offset", "zone_id", "name", "category"}
+    rows = out.collect()
+    base = {(r.doc_id, r.offset, r.zone_id) for r in sj.spatial_join_geoms(spark, docs, zones).collect()}
+    assert {(r.doc_id, r.offset, r.zone_id) for r in rows} == base
+    zmap = {r.zone_id: (r.name, r.category) for r in zones.select("zone_id", "name", "category").collect()}
+    for r in rows:
+        assert (r.name, r.category) == zmap[r.zone_id]
