@@ -293,7 +293,7 @@ def q_dissolve_union_scalable(spark, sf_dir):
     zones = _synth(spark, sf_dir, "zones").select(
         "zone_id", "category", F.col("rings4326").alias("rings")
     )
-    out = dissolve_two_level(zones.repartition(8), on_fields=["category"])
+    out = dissolve_two_level(zones, on_fields=["category"])
     npix = _grid_npix_udf()
     return out.select(
         F.col("group_key").alias("category"), "feat_count", npix("rings").alias("npix")

@@ -162,27 +162,31 @@ calc_pixel_coordinates = _raster_kernels.pixel_coordinate  # R1 (rasters.py:97-1
 
 
 def get_transform(rasters: DataFrame, raster_id: str, band: int = 1):
-    """rasters.get_transform analog (rasters.py:79-94): (origin_x, origin_y,
-    px_x, px_y, extent_w, extent_h) from the raster metadata table."""
+    """rasters.get_transform analog (rasters.py:79-94) — reference shape:
+    ([origin_x, origin_y], [px_x, px_y], [width, height]) with the extent in
+    PIXELS (RasterXSize/RasterYSize), so reference-ported unpacking
+    ``origin, pixel_size, extent = get_transform(...)`` works verbatim."""
     m = rasters.filter(
         (F.col("raster_id") == raster_id) & (F.col("band") == band)
     ).first()
     if m is None:
         raise ValueError(f"no raster {raster_id}/{band}")
     return (
-        float(m.origin_x), float(m.origin_y), float(m.px_x), float(m.px_y),
-        int(m.width) * float(m.px_x), int(m.height) * float(m.px_y),
+        [float(m.origin_x), float(m.origin_y)],
+        [float(m.px_x), float(m.px_y)],
+        [int(m.width), int(m.height)],
     )
 
 
-def get_no_data_value(rasters: DataFrame, raster_id: str, band: int = 1) -> float:
-    """rasters.get_no_data_value analog (rasters.py:129-140)."""
+def get_no_data_value(rasters: DataFrame, raster_id: str, band: int = 1):
+    """rasters.get_no_data_value analog (rasters.py:129-140): None when the
+    band carries no nodata value, like GetNoDataValue()."""
     m = rasters.filter(
         (F.col("raster_id") == raster_id) & (F.col("band") == band)
     ).first()
     if m is None:
         raise ValueError(f"no raster {raster_id}/{band}")
-    return float(m.nodata)
+    return None if m.nodata is None else float(m.nodata)
 
 # ---------------------------------------------------------------- date.py
 

@@ -180,8 +180,11 @@ def simhash_candidate_pairs(
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     # barrier: without it the self-join re-evaluates the full fingerprint
     # HOF tree (md5 x 32 bit-votes per token) on BOTH sides per candidate
-    # pair — measured 14.5s -> sub-second at sf0.1 (cluster-side you would
-    # persist the fingerprint table, as with the MinHash signatures)
+    # pair — measured 14.5s -> sub-second at sf0.1. NOTE the cache lives
+    # for the application (Spark storage is LRU-evictable but not freed
+    # here); pipelines invoking this repeatedly should materialize the
+    # fingerprint table themselves and manage persistence, as with the
+    # MinHash signatures
     banded = banded.cache()
     a = banded.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"), "band", "bkey")
     b = banded.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"), "band", "bkey")

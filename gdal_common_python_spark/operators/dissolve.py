@@ -139,14 +139,17 @@ def dissolve_two_level(
     zones: DataFrame,
     on_fields: list[str] | None = None,
 ) -> DataFrame:
-    """Scale path for A2/A4 (no single-part split): partial union per
-    PARTITION per group (mapInPandas — no shuffle), then one groupBy merge
-    of the partials. Union is associative and commutative, so the result
+    """Scale path for A2/A4 (no single-part split): ONE spatial
+    repartition shuffle (group + coarse cell of the first vertex), then
+    partial unions per partition (mapInPandas) and one groupBy merge of
+    the partials. Union is associative and commutative, so the result
     region/areas equal the single-kernel ``dissolve``; only the piece
     decomposition differs. This removes the one-task-per-group bottleneck:
     a dissolve-all over N partitions runs N parallel partial unions and a
     final merge of N piece collections, instead of one task taking every
-    row (the classic partial+final aggregate shape, SURVEY §2.4 A2)."""
+    row (the classic partial+final aggregate shape, SURVEY §2.4 A2).
+    Callers need not pre-repartition — the internal spatial repartition
+    replaces any incoming layout."""
     if on_fields:
         keyed = zones.withColumn("group_key", F.concat_ws("", *on_fields))
     else:

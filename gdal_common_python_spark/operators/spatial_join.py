@@ -582,6 +582,8 @@ def spatial_join_geoms(
                 zid = int(zs[s0])
                 cached = zone_cache.get(zid)
                 if cached is None:
+                    if len(zone_cache) >= 50_000:
+                        zone_cache.clear()  # coarse bound: ~2x broadcast footprint max
                     rings = zr.get(zid)
                     if rings is None:
                         continue
@@ -675,5 +677,5 @@ def spatial_join_with_fields(
     attributes back on zone_id (a broadcast-sized dimension join; the pair
     table stays the big side)."""
     pairs = spatial_join_geoms(spark, docs, zones, **kwargs)
-    attrs = zones.select("zone_id", *join_fields)
+    attrs = F.broadcast(zones.select("zone_id", *join_fields))
     return pairs.join(attrs, "zone_id", "left")

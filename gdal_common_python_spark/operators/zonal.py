@@ -111,6 +111,17 @@ def window_tiles(
 
 _STAT_NAMES = ("min", "max", "mean", "median", "var", "stdev", "perc90")
 
+# reference-accepted aliases (lib/zonal.py:175-201 name dispatch)
+_STAT_ALIASES = {
+    "minimum": "min",
+    "maximum": "max",
+    "average": "mean",
+    "avg": "mean",
+    "variance": "var",
+    "stddev": "stdev",
+    "std": "stdev",
+}
+
 
 def zonal_statistics(
     spark: SparkSession,
@@ -145,12 +156,24 @@ def zonal_statistics(
     large to collect. 'auto' counts the zone side and picks.
     """
     if statistics is not None:
-        requested = [s.lower() for s in statistics]
+        if not statistics:
+            # reference raises on an empty selection (lib/zonal.py:112-113)
+            raise ValueError("No statistics supplied")
+        requested = [_STAT_ALIASES.get(s.lower(), s.lower()) for s in statistics]
         bad = [s for s in requested if s not in _STAT_NAMES]
         if bad:
-            raise ValueError(f"unknown statistics {bad}; valid: {list(_STAT_NAMES)}")
+            raise ValueError(
+                f"unknown statistics {bad}; valid: {list(_STAT_NAMES)} "
+                f"(+ aliases {sorted(_STAT_ALIASES)})"
+            )
     else:
         requested = None
+    # scalar -> list (reference wraps scalars, lib/zonal.py:92-96); convert
+    # once here, not per tile-row in the kernel
+    if ignore_values is not None and not callable(ignore_values):
+        if not isinstance(ignore_values, (list, tuple, set)):
+            ignore_values = [ignore_values]
+        ignore_values = np.asarray(list(ignore_values), dtype=np.float64)
     if rings_mode == "auto":
         rings_mode = (
             "broadcast"
@@ -228,7 +251,7 @@ def zonal_statistics(
                     if callable(ignore_values):
                         vals = vals[~np.asarray(ignore_values(vals), dtype=bool)]
                     else:
-                        vals = vals[~np.isin(vals, list(ignore_values))]
+                        vals = vals[~np.isin(vals, ignore_values)]
                 values.append(vals)
                 n_vals = len(vals)
             k = (row.raster_id, int(row.band))

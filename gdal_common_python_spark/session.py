@@ -87,8 +87,10 @@ def get_spark(app: str = "gdal_common_python_spark", cores: int | None = None,
         # context is created fresh from this builder — a cluster session
         # created AFTER a local one in the same process (stop + rebuild)
         # silently lost the package and executors raised
-        # ModuleNotFoundError. addPyFile on the live context ships the zip
-        # unconditionally; guard against duplicate registration.
+        # ModuleNotFoundError. addPyFile on the live context ships the zip;
+        # Spark ignores a re-add of the same path with a log warning, so a
+        # zip REBUILT during one context's lifetime is NOT re-shipped —
+        # restart the session after source changes.
         zip_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "dist", "gdal_common_python_spark.zip",

@@ -441,7 +441,7 @@ def test_dissolve_two_level_matches_single(spark, zones):
 
     z = zones.select("zone_id", "category", F.col("rings4326").alias("rings"))
     one = {r.group_key: r for r in dissolve(z, on_fields=["category"]).collect()}
-    two = {r.group_key: r for r in dissolve_two_level(z.repartition(8), on_fields=["category"]).collect()}
+    two = {r.group_key: r for r in dissolve_two_level(z, on_fields=["category"]).collect()}
     assert set(one) == set(two)
     for k in one:
         assert one[k].feat_count == two[k].feat_count

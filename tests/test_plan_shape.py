@@ -113,8 +113,10 @@ class TestAggAndJoinPlans:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         p = plan(dedup.simhash_docs(docs))
         assert "Generate" not in p, [ln for ln in p.splitlines() if "Generate" in ln]
-        exch = [ln for ln in p.splitlines() if "Arguments: " in ln and "artitioning" in ln]
-        assert all("RoundRobinPartitioning" in ln for ln in exch), exch
+        # data-dependent shuffles and single-partition collapses are both
+        # regressions; only the round-robin spread is acceptable
+        assert "hashpartitioning" not in p, [ln for ln in p.splitlines() if "hashpartitioning" in ln]
+        assert "rangepartitioning" not in p and "SinglePartition" not in p, p[:1500]
 
     def test_pricing_summary_partial_agg(self, spark):
         li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
