@@ -920,11 +920,12 @@ spx AS (
         FROM {_TILES} WHERE band = 1 AND raster_id IN ('r0','r3'))
 ),
 opix AS MATERIALIZED (
+  -- ranges derive from the computed output grid (not a fixed cap): the
+  -- oracle covers every output pixel at any W/H the inputs imply
   SELECT oc.oc, orr.orr, g2.*
   FROM g2,
-       (SELECT unnest(range(0, 512)) AS oc) oc,
-       (SELECT unnest(range(0, 512)) AS orr) orr
-  WHERE oc.oc < g2.W AND orr.orr < g2.H
+       LATERAL (SELECT unnest(range(0, g2.W)) AS oc) oc,
+       LATERAL (SELECT unnest(range(0, g2.H)) AS orr) orr
 ),
 sampled AS (
   SELECT o.oc, o.orr, o.fill, s.input_rank, s.v

@@ -464,6 +464,18 @@ def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
             a, b, c = r[idx[0]], r[idx[k]], r[idx[k + 1]]
             if _orient(a[0], a[1], b[0], b[1], c[0], c[1]) > eps:
                 tris.append(np.array([a, b, c]))
+        # the fan apex may see a still-concave leftover, which would emit
+        # triangles OUTSIDE the ring and silently corrupt downstream
+        # clip/union geometry — verify the area invariant and fail loudly
+        area = abs(signed_area(r))
+        tri_area = sum(signed_area(t) for t in tris)
+        if abs(tri_area - area) > max(1e-9, 1e-9 * area):
+            raise ValueError(
+                "triangulate_ring: fan fallback produced a non-covering "
+                f"triangulation (ring area {area}, triangles {tri_area}); "
+                "the input ring is likely self-intersecting — run "
+                "make_valid_rings first"
+            )
     return tris
 
 
@@ -504,7 +516,7 @@ def split_outers_holes(rings) -> list[tuple[np.ndarray, list[np.ndarray]]]:
 _MIN_PIECE_AREA = 1e-12
 
 
-def clip_general(subject_rings, clip_rings) -> list[np.ndarray]:
+def clip_general(subject_rings, clip_rings, parts_dec=None) -> list[np.ndarray]:
     """subject ∩ clip for arbitrary simple polygons (concave outers, holes,
     multipolygon parts on BOTH sides) — the full G2/G5 kernel.
 
@@ -513,16 +525,21 @@ def clip_general(subject_rings, clip_rings) -> list[np.ndarray]:
     keep their orientation through clipping, so subject holes stay holes
     (negative rings) and even-odd/area semantics compose. Clip holes are
     handled as  A ∩ (O \\ H) = (A ∩ O) with the rings of (A ∩ H) negated —
-    exact under even-odd because H ⊆ O."""
+    exact under even-odd because H ⊆ O. Pass a :func:`decompose_parts`
+    result as ``parts_dec`` to amortize the clip side's ear-clipping across
+    repeated calls (the overlay kernels clip MANY subjects by one layer
+    feature per batch)."""
+    if parts_dec is None:
+        parts_dec = decompose_parts(clip_rings)
     pieces: list[np.ndarray] = []
-    for outer, holes in split_outers_holes(clip_rings):
-        for conv in decompose_convex(outer):
+    for outer_convs, holes_convs in parts_dec:
+        for conv in outer_convs:
             for s in subject_rings:
                 res = clip_convex(s, conv)
                 if res is not None and abs(signed_area(res)) > _MIN_PIECE_AREA:
                     pieces.append(res)
-        for h in holes:
-            for conv in decompose_convex(h):
+        for hole_convs in holes_convs:
+            for conv in hole_convs:
                 for s in subject_rings:
                     res = clip_convex(s, conv)
                     if res is not None and abs(signed_area(res)) > _MIN_PIECE_AREA:

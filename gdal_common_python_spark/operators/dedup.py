@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .util import track_persisted
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition ONLY when the source is under-partitioned (a small local
@@ -111,7 +113,9 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 4, rows: int = 4) -> Dat
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     # the self-join reads this twice — cache so the shingle+md5 pipeline
-    # runs once (cluster-side you would persist the signatures table)
+    # runs once (cluster-side you would persist the signatures table). The
+    # handle rides the result: long-lived pipelines call util.release(out)
+    # after consuming it.
     banded = banded.cache()
     a = banded.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bkey")
     b = banded.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bkey")
@@ -124,7 +128,7 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 4, rows: int = 4) -> Dat
         F.size(F.filter(F.zip_with("a_sig", "b_sig", lambda x, y: x == y), lambda e: e))
         / F.size("a_sig")
     )
-    return pairs.select("a_id", "b_id", est.alias("est_jaccard"))
+    return track_persisted(pairs.select("a_id", "b_id", est.alias("est_jaccard")), banded)
 
 
 def ngram_jaccard_pairs(
@@ -156,6 +160,13 @@ def simhash_candidate_pairs(
     banding, bitwiseXOR + bit_count verify; shuffle keys are uniform band
     hashes, so the shape holds at corpus scale like the MinHash LSH path."""
     assert bits % bands == 0
+    if max_hamming >= bands:
+        # pigeonhole needs strictly fewer flipped bits than bands, else a
+        # true near-dup pair can differ in every band and silently drop
+        raise ValueError(
+            f"simhash banding requires max_hamming < bands for completeness "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
     bw = bits // bands
     banded = signed.select(
         "doc_id",
@@ -180,11 +191,10 @@ def simhash_candidate_pairs(
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     # barrier: without it the self-join re-evaluates the full fingerprint
     # HOF tree (md5 x 32 bit-votes per token) on BOTH sides per candidate
-    # pair — measured 14.5s -> sub-second at sf0.1. NOTE the cache lives
-    # for the application (Spark storage is LRU-evictable but not freed
-    # here); pipelines invoking this repeatedly should materialize the
-    # fingerprint table themselves and manage persistence, as with the
-    # MinHash signatures
+    # pair — measured 14.5s -> sub-second at sf0.1. The handle rides the
+    # result (util.release(out) frees it); pipelines invoking this
+    # repeatedly should materialize the fingerprint table themselves and
+    # manage persistence, as with the MinHash signatures
     banded = banded.cache()
     a = banded.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"), "band", "bkey")
     b = banded.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"), "band", "bkey")
@@ -194,10 +204,11 @@ def simhash_candidate_pairs(
         .dropDuplicates(["a_id", "b_id"])
     )
     ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
-    return (
+    return track_persisted(
         pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
+        .select("a_id", "b_id", "hamming"),
+        banded,
     )
 
 

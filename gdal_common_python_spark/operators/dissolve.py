@@ -100,6 +100,7 @@ def connected_components(
     ).distinct()
     sym = sym.cache()
     labels = zones.select(FF.col("zone_id"), FF.col("zone_id").alias("component"))
+    prev_cached = None
     for _ in range(max_iters):
         # each node adopts the min label among itself and its neighbours
         neigh = (
@@ -112,6 +113,10 @@ def connected_components(
             .agg(FF.min("component").alias("component"))
         )
         new_labels = new_labels.cache()
+        # fully materialize the new cache BEFORE dropping the previous one:
+        # a partial cache (e.g. from a limit-bounded probe) would recompute
+        # missing partitions through the whole unpersisted iteration chain
+        new_labels.count()
         changed = (
             labels.alias("a")
             .join(new_labels.alias("b"), "zone_id")
@@ -119,10 +124,22 @@ def connected_components(
             .limit(1)
             .count()
         )
+        if prev_cached is not None:
+            # superseded labels are dead — bound the CacheManager footprint
+            # to two tables instead of max_iters (same pattern as the knn
+            # ring loop)
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    # the returned labels stay cached (downstream consumers read them
+    # directly); sym's cache rides along as a release() handle — the labels
+    # cache is fully materialized, so sym is only re-read if that cache is
+    # evicted AND lineage replays
+    from .util import track_persisted
+
+    return track_persisted(labels, sym, labels)
 
 
 _PARTIAL_SCHEMA = T.StructType(

@@ -24,6 +24,8 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .util import broadcastable
+
 
 class ManyMatchesError(ValueError):
     pass
@@ -67,12 +69,17 @@ def attribute_join(
             fid_name = f"JOIN_FID_{i}"
         sel.append(F.col(fid_col).alias(fid_name))
     j = join.select(*sel)
+    # gate on the PROJECTED join side (keys + requested fields — pushdown-
+    # friendly, probed BEFORE the dedup window so the probe never triggers a
+    # full shuffle), by rows AND sampled bytes: a wide 1M-row dimension must
+    # not broadcast (util module rationale). The dedup below only shrinks it.
+    do_broadcast = broadcastable(j, broadcast_limit)
     if not error_if_many:
         # deterministic "last match wins": keep the max by order_col (or key order)
         ocol = order_col or (join_fields[0] if join_fields else keys[0])
         w = Window.partitionBy(*keys).orderBy(F.col(ocol).desc_nulls_last())
         j = j.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-    if join.limit(broadcast_limit + 1).count() <= broadcast_limit:
+    if do_broadcast:
         j = F.broadcast(j)
     cond = reduce(
         lambda a, b: a & b, [origin[o] == j[k] for o, k in zip(on, keys)]

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from .spatial_join import cell_expr
+from .util import track_persisted
 
 
 def _dist(x1, y1, x2, y2):
@@ -168,12 +169,15 @@ def knn(
     win = Window.partitionBy("from_id").orderBy("distance", "to_id")
     # persist: ranked (<= k rows per query point — output-sized, spillable)
     # feeds `done`, the resolution test, AND the rest chain; without it the
-    # candidate join recomputes for every ring probe and the fallback
+    # candidate join recomputes for every ring probe and the fallback.
+    # Persisted handles ride the result — util.release(out) frees them.
+    handles = []
     ranked = (
         cand.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .persist()
     )
+    handles.append(ranked)
 
     # distance from the query point to its 3x3-disk boundary: the safety bound
     cx = F.floor((F.col("ax") + 180.0) / w)
@@ -219,6 +223,7 @@ def knn(
             .filter(F.col("rank") <= k)
             .persist()
         )
+        handles.append(rranked)
         rbound = F.least(
             F.col("ax") - ((cx - ring) * w - 180.0),
             ((cx + ring + 1) * w - 180.0) - F.col("ax"),
@@ -252,7 +257,8 @@ def knn(
         .select("from_id", "rank", "to_id", "distance")
     )
     results.append(fb)
+    handles.append(rest)
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    return out
+    return track_persisted(out, *handles)

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..kernels import geom
+from .util import broadcastable
 
 _RINGS_T = T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
 
@@ -63,7 +64,10 @@ def _pair_candidates(
         & (F.col("l_bbox.ymin") - pd_ <= F.col("r_bbox.ymax"))
         & (F.col("r_bbox.ymin") - pd_ <= F.col("l_bbox.ymax"))
     )
-    if right.limit(broadcast_limit + 1).count() <= broadcast_limit:
+    # gate on the projected side that would actually broadcast: bounded row
+    # probe + sampled byte width (ring arrays are wide — a row cap alone
+    # could admit an over-sized broadcast)
+    if broadcastable(r, broadcast_limit):
         return l.join(F.broadcast(r), cond)
     # grid cell size from the LARGER of the two sides' average bbox
     # dimensions (one agg job per side): sizing to the small side only
@@ -127,21 +131,12 @@ def intersect_pairs(spark: SparkSession, left: DataFrame, right: DataFrame) -> D
     return cand.withColumn("hit", hit("l_rings", "r_rings")).filter("hit").select("l_id", "r_id")
 
 
-def _clip_rings(subject: list[np.ndarray], clip: list[np.ndarray]) -> list[np.ndarray]:
-    """Intersection geometry for arbitrary simple polygons — concave
-    outers, holes and multipolygon parts on either side (the scope of OGR
-    Layer.Clip/Intersection, lib/analysis.py:74,155). Concavity is reduced
-    to convex Sutherland-Hodgman via ear-clipping decomposition in the
-    kernel layer."""
-    return geom.clip_general(subject, clip)
-
-
 def clip(
     spark: SparkSession, left: DataFrame, right: DataFrame, cand: DataFrame | None = None
 ) -> DataFrame:
     """G2 (lib/analysis.py:54-76): left geometries clipped to right; left
     attrs kept. Output: l_id, r_id, rings, area. ``cand`` lets compositions
-    (identity) reuse one candidate join instead of recomputing it."""
+    reuse one candidate join instead of recomputing it."""
     if cand is None:
         cand = _pair_candidates(spark, left, right)
 
@@ -153,19 +148,31 @@ def clip(
             T.StructField("area", T.DoubleType()),
         ]
     )
+    # clip-side decomposition memo: the SAME right geometry appears across
+    # many candidate pairs — ear-clip it once per worker, not per pair. The
+    # dict is created per clip() call, so distinct right layers never share
+    # keys; capped like the spatial-join zone cache.
+    dec_cache: dict[int, object] = {}
 
     def kernel(batches):
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
                 subj = geom.rings_from_cell(row.l_rings)
-                clp = geom.rings_from_cell(row.r_rings)
-                pieces = _clip_rings(subj, clp)
+                rid = int(row.r_id)
+                dec = dec_cache.get(rid)
+                if dec is None:
+                    if len(dec_cache) >= 50_000:
+                        dec_cache.clear()
+                    dec = dec_cache[rid] = geom.decompose_parts(
+                        geom.rings_from_cell(row.r_rings)
+                    )
+                pieces = geom.clip_general(subj, None, parts_dec=dec)
                 if pieces:
                     rows.append(
                         dict(
                             l_id=int(row.l_id),
-                            r_id=int(row.r_id),
+                            r_id=rid,
                             rings=[p.tolist() for p in pieces],
                             area=float(sum(geom.signed_area(p) for p in pieces)),
                         )
@@ -191,23 +198,53 @@ _ERASE_SCHEMA = T.StructType(
 )
 
 
+def _joined_per_left(left: DataFrame, cand: DataFrame) -> DataFrame:
+    """LEFT-join the candidate pairs back onto the left layer so no-candidate
+    rows flow through the SAME grouped kernel (null right geometry) instead
+    of a second anti-join consumer — this is what lets erase/identity run
+    with zero persisted intermediates (the candidate join has exactly one
+    consumer). Nulls from the outer join are coalesced to sentinels
+    (r_id=-1 plus a single-vertex dummy ring, never read): a NULL or
+    zero-length value inside a deeply-nested array column segfaults the
+    Arrow->pandas conversion on the grouped-UDF input path in this
+    pyarrow build — the sentinel keeps every batch null-free and
+    non-empty."""
+    base = left.select(F.col("zone_id").alias("l_id"), F.col("rings").alias("l_rings"))
+    dummy = F.array(F.array(F.array(F.lit(0.0), F.lit(0.0))))
+    return base.join(cand.select("l_id", "r_id", "r_rings"), "l_id", "left").select(
+        "l_id",
+        "l_rings",
+        F.coalesce("r_id", F.lit(-1)).alias("r_id"),
+        F.coalesce("r_rings", dummy).alias("r_rings"),
+    )
+
+
 def erase(
     spark: SparkSession, left: DataFrame, right: DataFrame, cand: DataFrame | None = None
 ) -> DataFrame:
     """G3 (lib/analysis.py:79-102): left geometry minus all overlapping right
-    geometry; rows with no candidates pass through (anti-join union).
-    Right side may be concave, carry holes, or be multi-part — the general
-    difference kernel decomposes it (Layer.Erase scope, lib/analysis.py:100).
-    The candidate join feeds BOTH the difference kernel and the untouched
-    anti-join, so it is persisted for the two consumers."""
+    geometry; rows with no candidates pass through (null right geometry in
+    the same grouped kernel). Right side may be concave, carry holes, or be
+    multi-part — the general difference kernel decomposes it (Layer.Erase
+    scope, lib/analysis.py:100), with the clip-side decomposition memoized
+    per worker (the same right feature is subtracted from many lefts)."""
     if cand is None:
         cand = _pair_candidates(spark, left, right)
-    cand = cand.persist()
+    per_left = _joined_per_left(left, cand)
+    dec_cache: dict[int, object] = {}
 
     def kernel(key, pdf):
         pieces = geom.rings_from_cell(pdf["l_rings"].iloc[0])
-        for rr in pdf["r_rings"]:
-            pieces = geom.difference_general(pieces, geom.rings_from_cell(rr))
+        for rid, rr in zip(pdf["r_id"], pdf["r_rings"]):
+            rid = int(rid)
+            if rid < 0 or len(rr) == 0:
+                continue  # no-candidate passthrough row (sentinel)
+            dec = dec_cache.get(rid)
+            if dec is None:
+                if len(dec_cache) >= 50_000:
+                    dec_cache.clear()
+                dec = dec_cache[rid] = geom.decompose_parts(geom.rings_from_cell(rr))
+            pieces = geom.difference_general(pieces, None, parts_dec=dec)
         if not pieces:
             return pd.DataFrame(columns=["l_id", "rings", "area"])
         return pd.DataFrame(
@@ -220,32 +257,65 @@ def erase(
             ]
         )
 
-    erased = cand.groupBy("l_id").applyInPandas(kernel, _ERASE_SCHEMA)
+    return per_left.groupBy("l_id").applyInPandas(kernel, _ERASE_SCHEMA)
 
-    @F.pandas_udf(T.DoubleType())
-    def area_of(rings: pd.Series) -> pd.Series:
-        return pd.Series(
-            [geom.polygon_area(geom.rings_from_cell(r)) for r in rings]
-        )
 
-    untouched = (
-        left.join(cand.select("l_id").distinct(), left["zone_id"] == F.col("l_id"), "left_anti")
-        .select(F.col("zone_id").alias("l_id"), "rings")
-        .withColumn("area", area_of("rings"))
-    )
-    return erased.unionByName(untouched)
+_IDENTITY_SCHEMA = T.StructType(
+    [
+        T.StructField("l_id", T.LongType()),
+        T.StructField("r_id", T.LongType()),
+        T.StructField("rings", _RINGS_T),
+        T.StructField("area", T.DoubleType()),
+    ]
+)
 
 
 def identity(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
     """G4 (lib/analysis.py:105-131): intersection pieces carry both ids;
-    the un-overlapped remainder keeps left id with null r_id. One candidate
-    join (persisted) feeds both halves."""
-    cand = _pair_candidates(spark, left, right).persist()
-    inter = clip(spark, left, right, cand=cand)
-    rest = erase(spark, left, right, cand=cand).withColumn("r_id", F.lit(None).cast("long"))
-    return inter.select("l_id", "r_id", "rings", "area").unionByName(
-        rest.select("l_id", "r_id", "rings", "area")
-    )
+    the un-overlapped remainder keeps left id with null r_id. ONE candidate
+    join feeds ONE grouped kernel that emits both halves — no persisted
+    intermediate, and each right feature's convex decomposition is shared
+    between its clip piece and the running difference."""
+    cand = _pair_candidates(spark, left, right)
+    per_left = _joined_per_left(left, cand)
+    dec_cache: dict[int, object] = {}
+
+    def kernel(key, pdf):
+        subj = geom.rings_from_cell(pdf["l_rings"].iloc[0])
+        remaining = subj
+        rows = []
+        for rid, rr in zip(pdf["r_id"], pdf["r_rings"]):
+            rid = int(rid)
+            if rid < 0 or len(rr) == 0:
+                continue  # no-candidate passthrough row (sentinel)
+            dec = dec_cache.get(rid)
+            if dec is None:
+                if len(dec_cache) >= 50_000:
+                    dec_cache.clear()
+                dec = dec_cache[rid] = geom.decompose_parts(geom.rings_from_cell(rr))
+            pieces = geom.clip_general(subj, None, parts_dec=dec)
+            if pieces:
+                rows.append(
+                    dict(
+                        l_id=int(key[0]),
+                        r_id=rid,
+                        rings=[p.tolist() for p in pieces],
+                        area=float(sum(geom.signed_area(p) for p in pieces)),
+                    )
+                )
+            remaining = geom.difference_general(remaining, None, parts_dec=dec)
+        if remaining:
+            rows.append(
+                dict(
+                    l_id=int(key[0]),
+                    r_id=None,
+                    rings=[p.tolist() for p in remaining],
+                    area=float(sum(geom.signed_area(p) for p in remaining)),
+                )
+            )
+        return pd.DataFrame(rows, columns=["l_id", "r_id", "rings", "area"])
+
+    return per_left.groupBy("l_id").applyInPandas(kernel, _IDENTITY_SCHEMA)
 
 
 def symmetric_difference(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:

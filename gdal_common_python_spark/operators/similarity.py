@@ -33,6 +33,8 @@ def _norm(a):
 def _cos_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
     """Arrow-vectorized pairwise cosine — one einsum per batch instead of an
     interpreted HOF fold per pair (the candidate re-rank hot path)."""
+    if len(va) == 0:  # np.stack([]) raises on the empty Arrow batches
+        return pd.Series([], dtype=float)  # AQE-coalesced plans can emit
     A = np.stack([np.asarray(x, dtype=np.float64) for x in va])
     B = np.stack([np.asarray(x, dtype=np.float64) for x in vb])
     num = np.einsum("ij,ij->i", A, B)

@@ -273,6 +273,8 @@ def zonal_statistics(
 
     combined_schema = T.StructType(list(_COUNTS_SCHEMA.fields) + [f for f in _STATS_SCHEMA.fields if f.name != "zone_id"])
     grouped = cand.groupBy("zone_id").applyInPandas(kernel, schema=combined_schema)
+    # two consumers (counts + stats) read the expensive kernel output — a
+    # legit barrier; the handle rides both results for util.release()
     grouped = grouped.cache()
 
     counts = grouped.select("zone_id", "raster_id", "band", "pixel_count")
@@ -298,7 +300,9 @@ def zonal_statistics(
             *[F.coalesce(c, zero).alias(c) for c in keep],
         )
     )
-    return stats, counts
+    from .util import track_persisted
+
+    return track_persisted(stats, grouped), track_persisted(counts, grouped)
 
 
 def _stats_values(v: np.ndarray, hash_safe: bool) -> dict:

@@ -1,0 +1,99 @@
+"""Cache/persist hygiene: operators either persist nothing, or attach the
+persisted handles to their result so ``util.release`` frees them — repeated
+invocations in a long-lived application must not accrete executor storage.
+Assertions are RELATIVE to the persistent-RDD count at entry, so earlier
+session-scoped fixtures cannot mask a leak here."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_common_python_spark.operators.util import release
+
+
+def n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _mk_zones(spark, rows, id_offset=0):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                dict(
+                    zone_id=id_offset + i,
+                    rings=[[[x0, y0], [x1, y0], [x1, y1], [x0, y1]]],
+                    bbox=dict(xmin=x0, ymin=y0, xmax=x1, ymax=y1),
+                )
+                for i, (x0, y0, x1, y1) in enumerate(rows)
+            ]
+        )
+    )
+
+
+class TestCacheHygiene:
+    def test_erase_identity_persist_nothing(self, spark):
+        from gdal_common_python_spark.operators.overlay import erase, identity
+
+        left = _mk_zones(spark, [(0.0, 0.0, 4.0, 4.0), (10.0, 10.0, 12.0, 12.0)])
+        right = _mk_zones(spark, [(1.0, 1.0, 3.0, 3.0)], id_offset=100)
+        before = n_persistent(spark)
+        erase(spark, left, right).collect()
+        identity(spark, left, right).collect()
+        assert n_persistent(spark) == before
+
+    def test_knn_releases(self, spark, near_points):
+        from gdal_common_python_spark.operators.knn import knn
+
+        before = n_persistent(spark)
+        out = knn(spark, near_points, k=3)
+        out.count()
+        release(out)
+        assert n_persistent(spark) == before
+
+    def test_lsh_pairs_release(self, spark, sf_dir):
+        from gdal_common_python_spark.operators import dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        before = n_persistent(spark)
+        signed = dedup.minhash_docs(docs, k=16, n=3)
+        out = dedup.lsh_candidate_pairs(signed, bands=4, rows=4)
+        out.count()
+        release(out)
+        assert n_persistent(spark) == before
+
+    def test_simhash_pairs_release(self, spark, sf_dir):
+        from gdal_common_python_spark.operators import dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        before = n_persistent(spark)
+        signed = dedup.simhash_docs(docs, bits=32)
+        out = dedup.simhash_candidate_pairs(signed, bits=32, bands=4, max_hamming=3)
+        out.count()
+        release(out)
+        assert n_persistent(spark) == before
+
+    def test_connected_components_bounded_and_releases(self, spark):
+        from gdal_common_python_spark.operators.dissolve import connected_components
+
+        # chain of overlapping squares -> needs several label iterations;
+        # superseded per-iteration label tables must be unpersisted in-loop
+        zones = _mk_zones(spark, [(float(i), 0.0, float(i) + 1.5, 1.0) for i in range(8)])
+        before = n_persistent(spark)
+        out = connected_components(spark, zones)
+        got = out.collect()
+        # one component across the chain
+        assert len({r.component for r in got}) == 1
+        # while live: at most the pair table + the final labels stay cached
+        assert n_persistent(spark) <= before + 2
+        release(out)
+        assert n_persistent(spark) == before
+
+    def test_simhash_invalid_banding_raises(self, spark, sf_dir):
+        from gdal_common_python_spark.operators import dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        signed = dedup.simhash_docs(docs.limit(2), bits=32)
+        with pytest.raises(ValueError, match="max_hamming"):
+            dedup.simhash_candidate_pairs(signed, bits=32, bands=4, max_hamming=4)
