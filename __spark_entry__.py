@@ -450,6 +450,23 @@ def q_overlay_erase(spark, sf_dir):
     )
 
 
+def q_buffer_negative(spark, sf_dir):
+    """G1 negative-distance gate (geom.Buffer with d<0, lib/analysis.py:39):
+    every zone shrinks inward by 0.1 deg — holes grow, small zones collapse
+    to empty geometry (npix=0). Gated on pixel membership of the OUTPUT
+    piece collection vs the oracle's in-zone-and-outside-boundary-band test
+    on the INPUT edge/vertex tables: the morphological identity
+    P ⊖ d = P \\ (∂P ⊕ d) makes the two sets equal in real arithmetic."""
+    from gdal_common_python_spark.operators.overlay import buffer_layer
+
+    zones = _synth(spark, sf_dir, "zones").select(
+        "zone_id", F.col("rings4326").alias("rings")
+    )
+    out = buffer_layer(zones, dist=-0.1, n=16)
+    npix = _grid_npix_udf()
+    return out.select("zone_id", npix("rings").alias("npix"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), min_count=1)
 
@@ -573,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_identity": q_overlay_identity,
         "overlay_symdiff": q_overlay_symdiff,
         "overlay_update": q_overlay_update,
+        "buffer_negative": q_buffer_negative,
         "mosaic": q_mosaic,
         "mosaic_mixed_grid": q_mosaic_mixed_grid,
         "media_metadata": q_media_metadata,
@@ -863,6 +881,54 @@ incoming AS (
 SELECT zone_id AS l_id, n AS npix FROM kept WHERE n > 0
 UNION ALL
 SELECT zone_id AS l_id, n AS npix FROM incoming WHERE n > 0
+"""
+
+# negative-buffer (erosion) oracle: a pixel center survives the inward
+# setback iff it is inside the zone (shared even-odd formula) AND outside
+# the polygonal boundary band — the engine's exact band geometry is
+# reproduced algebraically: per edge the 2d-wide quad (projection within
+# the segment, squared cross within d^2*len^2), per vertex the regular
+# 16-gon with corners v + d*(cos, sin)(2*pi*k/16) — the SAME n-gon
+# parameterization kernels.geom.buffer_point builds, so the two sides
+# describe one region in real arithmetic
+_SQL_BUFFER_NEGATIVE = f"""
+WITH {_SQL_GRID_MEMBER},
+band_q AS (
+  SELECT DISTINCT m.zone_id, m.px, m.py
+  FROM member m JOIN ge ON ge.zone_id = m.zone_id
+  WHERE ((m.px - ge.ex1)*(ge.ex2 - ge.ex1) + (m.py - ge.ey1)*(ge.ey2 - ge.ey1)) >= 0
+    AND ((m.px - ge.ex1)*(ge.ex2 - ge.ex1) + (m.py - ge.ey1)*(ge.ey2 - ge.ey1))
+        <= ((ge.ex2 - ge.ex1)*(ge.ex2 - ge.ex1) + (ge.ey2 - ge.ey1)*(ge.ey2 - ge.ey1))
+    AND POWER((ge.ex2 - ge.ex1)*(m.py - ge.ey1) - (ge.ey2 - ge.ey1)*(m.px - ge.ex1), 2)
+        <= 0.1*0.1 * ((ge.ex2 - ge.ex1)*(ge.ex2 - ge.ex1) + (ge.ey2 - ge.ey1)*(ge.ey2 - ge.ey1))
+),
+verts AS (SELECT DISTINCT zone_id, ex1 AS vx, ey1 AS vy FROM ge),
+band_v AS (
+  SELECT zone_id, px, py FROM (
+    SELECT m.zone_id, m.px, m.py, v.vx, v.vy,
+           bool_and(
+             ((v.vx + 0.1*cos(2*pi()*((k.k+1)%16)/16.0)) - (v.vx + 0.1*cos(2*pi()*k.k/16.0)))
+               * (m.py - (v.vy + 0.1*sin(2*pi()*k.k/16.0)))
+           - ((v.vy + 0.1*sin(2*pi()*((k.k+1)%16)/16.0)) - (v.vy + 0.1*sin(2*pi()*k.k/16.0)))
+               * (m.px - (v.vx + 0.1*cos(2*pi()*k.k/16.0))) >= 0
+           ) AS ins
+    FROM member m JOIN verts v ON v.zone_id = m.zone_id,
+         (SELECT unnest(range(0, 16)) AS k) k
+    GROUP BY m.zone_id, m.px, m.py, v.vx, v.vy
+  ) WHERE ins
+),
+eroded AS (
+  SELECT m.zone_id, count(*) AS n
+  FROM member m
+  WHERE NOT EXISTS (SELECT 1 FROM band_q q
+                    WHERE q.zone_id = m.zone_id AND q.px = m.px AND q.py = m.py)
+    AND NOT EXISTS (SELECT 1 FROM band_v v
+                    WHERE v.zone_id = m.zone_id AND v.px = m.px AND v.py = m.py)
+  GROUP BY m.zone_id
+)
+SELECT z.zone_id, coalesce(e2.n, 0) AS npix
+FROM (SELECT zone_id FROM {_ZONES}) z
+LEFT JOIN eroded e2 ON e2.zone_id = z.zone_id
 """
 
 _SQL_DISSOLVE_UNION = f"""
@@ -1467,6 +1533,7 @@ def oracle_sql() -> dict[str, str]:
         "overlay_identity": _SQL_OVERLAY_IDENTITY,
         "overlay_symdiff": _SQL_OVERLAY_SYMDIFF,
         "overlay_update": _SQL_OVERLAY_UPDATE,
+        "buffer_negative": _SQL_BUFFER_NEGATIVE,
         "mosaic": _SQL_MOSAIC,
         "mosaic_mixed_grid": _SQL_MOSAIC_MIXED,
         "media_metadata": _SQL_MEDIA_METADATA,

@@ -101,6 +101,7 @@ def run_queries(spark, sdir):
         "overlay_identity",
         "overlay_symdiff",
         "overlay_update",
+        "buffer_negative",
         "dissolve_union",
         "dissolve_union_scalable",
         "media_frames",

@@ -281,19 +281,12 @@ def buffer_point(x: float, y: float, dist: float, n: int = 32) -> np.ndarray:
     return np.column_stack([x + dist * np.cos(th), y + dist * np.sin(th)])
 
 
-def buffer_rings(rings, dist: float, n: int = 16) -> list[np.ndarray]:
-    """Positive buffer of an arbitrary polygon (holes/multiparts included) —
-    the full geom.Buffer analog (lib/analysis.py:39) for d > 0.
-
-    Minkowski sum with a disk expressed as a union: the polygon itself,
-    a 2d-wide band quad per boundary edge, and an n-gon disk per vertex,
-    merged with :func:`union_pieces` into a disjoint piece collection
-    (region-exact up to the n-gon arc approximation). Hole boundaries get
-    the same treatment, which shrinks holes by d — the correct buffer
-    semantics. Negative distances (erosion) are out of scope (raise)."""
-    if dist <= 0:
-        raise NotImplementedError("buffer_rings: negative/zero distance unsupported")
-    members: list[list[np.ndarray]] = [[np.asarray(r, dtype=np.float64) for r in rings]]
+def boundary_band(rings, dist: float, n: int = 16) -> list[np.ndarray]:
+    """The polygonal boundary band of radius ``dist``: a 2d-wide quad per
+    boundary edge plus an n-gon disk per vertex (the Minkowski sum of the
+    boundary with a disk, up to the n-gon arc approximation). Shared by
+    dilation (union with the polygon) and erosion (subtraction from it)."""
+    members: list[np.ndarray] = []
     for r in rings:
         r = np.asarray(r, dtype=np.float64)
         nxt = np.roll(r, -1, axis=0)
@@ -311,10 +304,40 @@ def buffer_rings(rings, dist: float, n: int = 16) -> list[np.ndarray]:
             ])
             if signed_area(quad) < 0:
                 quad = quad[::-1]
-            members.append([quad])
+            members.append(quad)
         for v in r:
-            members.append([buffer_point(float(v[0]), float(v[1]), dist, n)])
-    return union_pieces(members)
+            members.append(buffer_point(float(v[0]), float(v[1]), dist, n))
+    return members
+
+
+def buffer_rings(rings, dist: float, n: int = 16) -> list[np.ndarray]:
+    """Buffer of an arbitrary polygon (holes/multiparts included) — the full
+    geom.Buffer analog (lib/analysis.py:39) for any sign of d.
+
+    d > 0 (dilation): Minkowski sum with a disk expressed as a union — the
+    polygon itself plus the boundary band, merged with :func:`union_pieces`
+    into a disjoint piece collection (region-exact up to the n-gon arc
+    approximation). Hole boundaries get the same treatment, which shrinks
+    holes by d — the correct buffer semantics.
+
+    d < 0 (erosion / inward setback): the morphological identity
+    P ⊖ d = P \\ (∂P ⊕ d) — subtract the SAME boundary band from the
+    polygon; collapsed lobes vanish through the difference kernels and
+    holes GROW by |d|. A fully-collapsed polygon returns []. d == 0
+    returns the input unchanged (OGR Buffer(0) semantics for already-valid
+    geometry)."""
+    if dist == 0:
+        return [np.asarray(r, dtype=np.float64) for r in rings]
+    if dist > 0:
+        members = [[np.asarray(r, dtype=np.float64) for r in rings]]
+        members.extend([m] for m in boundary_band(rings, dist, n))
+        return union_pieces(members)
+    pieces = [np.asarray(r, dtype=np.float64) for r in rings]
+    for m in boundary_band(rings, -dist, n):
+        if not pieces:
+            break
+        pieces = difference_general(pieces, [m])
+    return pieces
 
 
 def is_convex(ring: np.ndarray) -> bool:

@@ -11,8 +11,9 @@ gated on pixel-grid membership of the OUTPUT geometry plus id-pairs,
 areas and counts (SURVEY §2.5 parity note).
 
 Buffer (G1, lib/analysis.py:8-51): points -> regular n-gon
-(buffer_points); arbitrary polygon layers -> Minkowski-disk union
-(buffer_layer, positive distances).
+(buffer_points); arbitrary polygon layers -> Minkowski-disk union for
+d > 0 and boundary-band erosion (P ⊖ d = P \\ (∂P ⊕ d)) for d < 0
+(buffer_layer, any distance sign).
 """
 
 from __future__ import annotations
@@ -362,9 +363,11 @@ def buffer_points(points: DataFrame, dist: float, n: int = 32) -> DataFrame:
 def buffer_layer(df: DataFrame, dist: float, n: int = 16, rings_col: str = "rings") -> DataFrame:
     """G1 for polygon layers — the full geom.Buffer analog
     (lib/analysis.py:8-51): arbitrary polygons incl. concave outers, holes
-    and multiparts; attrs pass through, geometry replaced by the buffered
-    piece collection (kernels.geom.buffer_rings). Embarrassingly parallel —
-    one Arrow batch kernel per partition, no shuffle."""
+    and multiparts, ANY distance sign (d<0 erodes — inward setback, holes
+    grow, collapsed features keep their row with empty geometry); attrs
+    pass through, geometry replaced by the buffered piece collection
+    (kernels.geom.buffer_rings). Embarrassingly parallel — one Arrow batch
+    kernel per partition, no shuffle."""
 
     @F.pandas_udf(_RINGS_T)
     def buf(rings: pd.Series) -> pd.Series:

@@ -406,7 +406,65 @@ class TestBufferRings:
         assert not geom.points_in_rings(np.array([5.0]), np.array([5.0]), e)[0]  # hole center
         assert geom.points_in_rings(np.array([3.5]), np.array([3.5]), e)[0]  # old hole edge
 
-    def test_negative_distance_raises(self):
+    def test_erosion_square_exact(self):
+        # rectangle erosion is exact: the corner n-gons only touch the
+        # shrunken core at isolated boundary points
+        sq = [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])]
+        er = geom.buffer_rings(sq, -1.0, n=16)
+        assert geom.polygon_area(er) == pytest.approx(4.0, abs=1e-9)
+        e = geom.rings_to_edges(er)
+        assert geom.points_in_rings(np.array([2.0]), np.array([2.0]), e)[0]
+        assert not geom.points_in_rings(np.array([0.5]), np.array([2.0]), e)[0]
+
+    def test_erosion_collapse_empty(self):
         sq = [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])]
-        with pytest.raises(NotImplementedError):
-            geom.buffer_rings(sq, -0.5)
+        assert geom.buffer_rings(sq, -0.6, n=16) == []
+
+    def test_erosion_grows_holes(self):
+        holed = [
+            np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]),
+            np.array([[3.0, 3.0], [7.0, 3.0], [7.0, 7.0], [3.0, 7.0]])[::-1].copy(),
+        ]
+        er = geom.buffer_rings(holed, -1.0, n=64)
+        # outer shrinks to 8x8; 4x4 hole dilates to 4x4 + 16*1 + ~pi*1^2
+        assert geom.polygon_area(er) == pytest.approx(64 - 16 - 16 - np.pi, rel=2e-3)
+        e = geom.rings_to_edges(er)
+        for x, y, exp in [
+            (1.5, 5.0, True),   # band between eroded outer and grown hole
+            (2.5, 5.0, False),  # inside the grown hole
+            (0.5, 5.0, False),  # eroded away at the outer edge
+            (5.0, 5.0, False),  # original hole
+        ]:
+            assert bool(geom.points_in_rings(np.array([x]), np.array([y]), e)[0]) == exp, (x, y)
+
+    def test_erosion_subset_of_original(self):
+        L = [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 1.0], [1.0, 1.0], [1.0, 4.0], [0.0, 4.0]])]
+        er = geom.buffer_rings(L, -0.3, n=16)
+        ee, eo = geom.rings_to_edges(er), geom.rings_to_edges(L)
+        gx, gy = np.meshgrid(np.linspace(-0.5, 4.5, 41), np.linspace(-0.5, 4.5, 41))
+        inside_er = geom.points_in_rings(gx.ravel(), gy.ravel(), ee)
+        inside_o = geom.points_in_rings(gx.ravel(), gy.ravel(), eo)
+        assert not (inside_er & ~inside_o).any()
+
+    def test_erosion_convex_equals_halfplane_offset(self):
+        # classic identity: erosion of a convex ring by d == intersection of
+        # the d-inward-offset half-planes (exact even with n-gon vertex
+        # disks — every in-band interior point lies in an edge quad)
+        th = np.linspace(0.0, 2 * np.pi, 6, endpoint=False)
+        hexa = np.column_stack([3 * np.cos(th), 3 * np.sin(th)])
+        d = 0.7
+        er = geom.buffer_rings([hexa], -d, n=16)
+        nxt = np.roll(hexa, -1, axis=0)
+        lines = []
+        for a, b in zip(hexa, nxt):
+            e = b - a
+            ln = float(np.hypot(e[0], e[1]))
+            nx, ny = -e[1] / ln * d, e[0] / ln * d
+            lines.append([a[0] + nx, a[1] + ny, b[0] + nx, b[1] + ny])
+        off = geom.clip_halfplanes(hexa, np.asarray(lines))
+        assert geom.polygon_area(er) == pytest.approx(abs(geom.signed_area(off)), abs=1e-9)
+
+    def test_buffer_zero_identity(self):
+        sq = [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])]
+        out = geom.buffer_rings(sq, 0.0)
+        assert len(out) == 1 and np.allclose(out[0], sq[0])

@@ -287,6 +287,24 @@ class TestDissolveOverlayMosaic:
             ring = np.asarray([[p[0], p[1]] for p in r.rings[0]])
             assert geom.signed_area(ring) == pytest.approx(np.pi * 0.01, rel=1e-2)
 
+    def test_buffer_layer_negative(self, spark):
+        import pandas as pd
+
+        from gdal_common_python_spark.operators.overlay import buffer_layer
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    dict(zone_id=0, rings=[[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]]),
+                    dict(zone_id=1, rings=[[[10.0, 10.0], [11.0, 10.0], [11.0, 11.0], [10.0, 11.0]]]),
+                ]
+            )
+        )
+        rows = {r.zone_id: r.rings for r in buffer_layer(df, dist=-1.0, n=16).collect()}
+        area0 = geom.polygon_area(geom.rings_from_cell(rows[0]))
+        assert area0 == pytest.approx(4.0, abs=1e-9)  # 4x4 shrinks to 2x2
+        assert rows[1] == []  # 1x1 collapses; row survives with empty geometry
+
     def test_mosaic_later_wins_except_nodata(self, spark, tiles, rasters):
         m = mosaic(tiles, raster_ids=["r0", "r1", "r2"], band=1).toPandas()
         tp = tiles.toPandas()
