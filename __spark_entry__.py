@@ -484,7 +484,9 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return dedup.simhash_docs(_t(spark, sf_dir, "documents"), bits=32)
+    # single-pass profile: no self-join downstream, so the spread shuffle
+    # would only add wall (dedup.simhash_docs docstring)
+    return dedup.simhash_docs(_t(spark, sf_dir, "documents"), bits=32, spread=False)
 
 
 def q_simhash_near_dup(spark, sf_dir):

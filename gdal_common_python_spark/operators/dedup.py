@@ -212,10 +212,22 @@ def simhash_candidate_pairs(
     )
 
 
-def simhash_docs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    spread: bool = True,
+) -> DataFrame:
     """SimHash fingerprint: per token, md5-derived bit vector; per document,
     the sign of the per-bit sum. Expressed with native HOFs (one aggregate
-    over the token array — no explode blow-up)."""
+    over the token array — no explode blow-up).
+
+    ``spread`` repartitions an under-partitioned source so the md5-heavy
+    map fans out across cores — pass True when the fingerprints feed a
+    self-join/cache barrier (the banding pipeline: measured 3.3x), False
+    for a single-pass profile where the added shuffle would dominate the
+    wall (measured 2.3x overhead at sf0.1's single-split input)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # per-token bit contribution at bit b: nibble arithmetic on md5 hex so
     # the DuckDB oracle can reproduce it with the same strpos/floor formula
@@ -231,8 +243,9 @@ def simhash_docs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             lambda b: F.when(bit(b) == 1, F.lit(1)).otherwise(F.lit(-1)),
         )
 
-    docs = _spread(docs)  # small parquet arrives as 1 split; the md5-heavy
-    # fingerprint map work must fan out across cores
+    if spread:
+        docs = _spread(docs)  # small parquet arrives as 1 split; the
+        # md5-heavy fingerprint map work must fan out across cores
     votes = F.aggregate(
         toks,
         F.array_repeat(F.lit(0), bits),

@@ -102,6 +102,7 @@ def mosaic_merge(
     tap: bool = False,
     init: float | None = None,
     separate: bool = False,
+    pct: bool = False,
     tile_size: int = 32,
 ) -> DataFrame:
     """gdal_merge-equivalent mosaic supporting DIFFERENT input grids.
@@ -114,8 +115,11 @@ def mosaic_merge(
     grids already align), then rank-overlaid per tile with per-input
     nodata (:81-106). ``init`` prefills uncovered pixels (:468-474);
     ``separate`` emits one output band per input in rank order (:431-437)
-    instead of overlaying. Returns (tile_x, tile_y, tile_w, tile_h, band,
-    pixels) on the output grid.
+    instead of overlaying; ``pct`` copies the FIRST input's color table
+    onto every output tile (gdal_merge ``-pct``, lib/mosaic.py:35-36 /
+    gdal_merge:448-453 — requires a ``color_table`` column on the tile
+    table). Returns (tile_x, tile_y, tile_w, tile_h, band, pixels[,
+    color_table]) on the output grid.
 
     Scale shape: per input only source-overlapping target tiles run the
     resample kernel (clip_to_source); uncovered output tiles are backfilled
@@ -161,32 +165,50 @@ def mosaic_merge(
     grid = dict(origin_x=ulx, origin_y=uly, px_x=px_x, px_y=px_y, width=w, height=h)
     fill = float(init) if init is not None else float(metas[0].nodata)
 
-    parts = []
-    for i, m in enumerate(metas):
-        same_grid = (
-            float(m.origin_x) == ulx
-            and float(m.origin_y) == uly
-            and float(m.px_x) == px_x
-            and float(m.px_y) == px_y
-            and int(m.width) == w
-            and int(m.height) == h
+    color_table = None
+    if pct:
+        if "color_table" not in tiles.columns:
+            raise ValueError("mosaic_merge: pct=True needs a color_table column on the tile table")
+        first_ct = (
+            t.filter(F.col("raster_id") == metas[0].raster_id).select("color_table").first()
         )
-        if same_grid:
-            # the passthrough also requires the input's tile CHUNKING to
-            # match this function's tile_size (otherwise its tile keys never
-            # line up with the resampled/backfill grid) — cheap probe for a
-            # violating tile; any hit falls back to the resample kernel
-            ts_ = F.lit(tile_size)
-            bad = (
-                t.filter(F.col("raster_id") == m.raster_id)
+        color_table = list(first_ct["color_table"]) if first_ct and first_ct["color_table"] else None
+
+    # grid-matching inputs may still be chunked differently from this
+    # function's tile_size (their tile keys would never line up with the
+    # resampled/backfill grid). ONE batched aggregation finds every
+    # violating input — not a limit(1).count() probe job per raster, which
+    # serialized O(inputs) driver round-trips for many-input merges
+    grid_ids = [
+        m.raster_id
+        for m in metas
+        if float(m.origin_x) == ulx
+        and float(m.origin_y) == uly
+        and float(m.px_x) == px_x
+        and float(m.px_y) == px_y
+        and int(m.width) == w
+        and int(m.height) == h
+    ]
+    bad_chunking: set = set()
+    if grid_ids:
+        ts_ = F.lit(tile_size)
+        bad_chunking = {
+            r.raster_id
+            for r in (
+                t.filter(F.col("raster_id").isin(grid_ids))
                 .filter(
                     (F.col("tile_w") != F.least(ts_, F.lit(w) - F.col("tile_x") * ts_))
                     | (F.col("tile_h") != F.least(ts_, F.lit(h) - F.col("tile_y") * ts_))
                 )
-                .limit(1)
-                .count()
+                .select("raster_id")
+                .distinct()
+                .collect()
             )
-            same_grid = bad == 0
+        }
+
+    parts = []
+    for i, m in enumerate(metas):
+        same_grid = m.raster_id in grid_ids and m.raster_id not in bad_chunking
         if same_grid:
             # already on the output grid: the nearest kernel is an identity
             # copy (center maps to its own pixel) — pass tiles through
@@ -255,10 +277,15 @@ def mosaic_merge(
         .withColumn("tile_w", F.least(F.lit(tile_size), F.lit(w) - F.col("tile_x") * tile_size).cast("int"))
         .withColumn("tile_h", F.least(F.lit(tile_size), F.lit(h) - F.col("tile_y") * tile_size).cast("int"))
     )
-    return full.join(folded.withColumnRenamed("pixels", "__px"), ["tile_x", "tile_y", "tile_w", "tile_h", "band"], "left").select(
+    out = full.join(folded.withColumnRenamed("pixels", "__px"), ["tile_x", "tile_y", "tile_w", "tile_h", "band"], "left").select(
         "tile_x", "tile_y", "tile_w", "tile_h", "band",
         F.coalesce(
             F.col("__px"),
             F.array_repeat(F.lit(fill), (F.col("tile_w") * F.col("tile_h")).cast("int")),
         ).alias("pixels"),
     )
+    if color_table is not None:
+        # first-input-wins palette copy (-pct): raster-level metadata rides
+        # every output tile as a constant column
+        out = out.withColumn("color_table", F.lit(color_table))
+    return out

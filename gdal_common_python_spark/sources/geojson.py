@@ -8,16 +8,47 @@ no hardcoded shape. The Feature JSON builds natively (to_json over structs,
 JVM-side); ``to_feature_collection`` assembles the FeatureCollection string
 driver-side only for small results (the reference's use).
 
-Geometry representation: a ``rings`` column exports as a "Polygon" whose
-coordinates are the flat ring list (outer + holes, even-odd — multipart
-collections included; documented divergence from OGR's nested MultiPolygon
-grouping, which needs per-ring orientation grouping the flat storage does
-not carry). Point layers (x/y columns) export as "Point".
+Geometry representation: a ``rings`` column exports either as a "Polygon"
+whose coordinates are the flat ring list (outer + holes, even-odd — the
+engine's storage convention, fastest path: pure JVM to_json), or — with
+``geometry_type='MultiPolygon'`` — as a spec-shaped nested MultiPolygon:
+rings are grouped into per-part [exterior, holes...] nesting via the
+orientation/containment grouping ``kernels.geom.split_outers_holes``
+already computes, exteriors CCW and holes CW with closing vertices, per
+RFC 7946 §3.1.7/3.1.9 (OGR's ExportToJson shape). Point layers (x/y
+columns) export as "Point".
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_MP_COORDS_T = T.ArrayType(T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))))
+
+
+def multipolygon_coords(rings_col):
+    """Column expression: flat ring list -> nested MultiPolygon coordinates
+    ([[exterior, holes...], ...], rings closed, exterior CCW / holes CW)."""
+    from ..kernels import geom as G
+
+    @F.pandas_udf(_MP_COORDS_T)
+    def mp(rings: pd.Series) -> pd.Series:
+        out = []
+        for cell in rings:
+            rr = G.rings_from_cell(cell)
+            parts = []
+            for outer, holes in G.split_outers_holes(rr):
+                part = [np.vstack([outer, outer[:1]]).tolist()]  # close; CCW
+                for h in holes:
+                    hh = h[::-1]  # split_outers_holes re-oriented CCW; spec wants CW
+                    part.append(np.vstack([hh, hh[:1]]).tolist())
+                parts.append(part)
+            out.append(parts)
+        return pd.Series(out)
+
+    return mp(rings_col)
 
 
 def feature_json(
@@ -38,6 +69,12 @@ def feature_json(
         geometry = F.struct(
             F.lit("Point").alias("type"),
             F.array(F.col("x"), F.col("y")).alias("coordinates"),
+        )
+    elif geometry_type == "MultiPolygon":
+        geom_cols = {geometry_col}
+        geometry = F.struct(
+            F.lit("MultiPolygon").alias("type"),
+            multipolygon_coords(F.col(geometry_col)).alias("coordinates"),
         )
     else:
         geom_cols = {geometry_col}

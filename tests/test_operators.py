@@ -395,6 +395,56 @@ class TestDissolveOverlayMosaic:
         ulx = math.floor(m3.origin_x / m3.px_x) * m3.px_x
         assert abs(ulx / m3.px_x - round(ulx / m3.px_x)) < 1e-9
 
+    @staticmethod
+    def _many_input_tiles(spark, n_inputs, w=4, h=4):
+        import pandas as pd
+
+        rows = []
+        for i in range(n_inputs):
+            rows.append(
+                dict(
+                    raster_id=f"m{i}", band=1, input_rank=i, origin_x=0.0, origin_y=0.0,
+                    px_x=1.0, px_y=-1.0, width=w, height=h, nodata=-1.0,
+                    tile_x=0, tile_y=0, tile_w=w, tile_h=h,
+                    off_x=0, off_y=0,
+                    pixels=[float(i)] * (w * h),
+                    color_table=[i, i + 1, i + 2],
+                )
+            )
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    def test_mosaic_merge_pct_copies_first_color_table(self, spark):
+        from gdal_common_python_spark.operators.mosaic import mosaic_merge
+
+        tiles = self._many_input_tiles(spark, 3)
+        out = mosaic_merge(
+            spark, tiles, raster_ids=["m0", "m1", "m2"], band=1, pct=True, tile_size=4
+        ).collect()
+        assert all(list(r.color_table) == [0, 1, 2] for r in out)  # first input wins
+        # last rank wins on pixels (no nodata in play)
+        assert all(set(r.pixels) == {2.0} for r in out)
+
+    def test_mosaic_merge_pct_requires_column(self, spark, tiles):
+        from gdal_common_python_spark.operators.mosaic import mosaic_merge
+
+        with pytest.raises(ValueError, match="color_table"):
+            mosaic_merge(spark, tiles, raster_ids=["r0"], band=1, pct=True)
+
+    def test_mosaic_merge_many_inputs_constant_probe_jobs(self, spark):
+        from gdal_common_python_spark.operators.mosaic import mosaic_merge
+
+        tiles = self._many_input_tiles(spark, 64)
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        df = mosaic_merge(spark, tiles, band=1, tile_size=4)  # plan build only
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        # probe phase is O(1) jobs regardless of input count: metas collect
+        # + ONE batched chunking aggregation (not one probe per raster);
+        # with 64 inputs the old per-raster probe would run 64+ jobs
+        assert after - before <= 5, f"probe phase ran {after - before} jobs"
+        vals = {r.pixels[0] for r in df.collect()}
+        assert vals == {63.0}  # last-rank input wins everywhere
+
 
 class TestEquiJoin:
     def test_error_if_many(self, spark):

@@ -228,6 +228,49 @@ class TestSources:
         assert g["type"] == "Point" and g["coordinates"] == [11.5, 4.25]
         assert set(pobj["features"][0]["properties"]) == {"pid"}
 
+    def test_geojson_nested_multipolygon(self, spark):
+        # RFC 7946 shape for a holed multipart layer: per-part
+        # [exterior, holes...] nesting, closed rings, CCW exteriors / CW
+        # holes — the OGR ExportToJson grouping
+        import json
+
+        from gdal_common_python_spark.kernels import geom as G
+
+        holed_multipart = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "fid": [1],
+                    "rings": [
+                        [
+                            # part A: 10x10 outer (CCW) with a 4x4 hole (CW)
+                            [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]],
+                            [[3.0, 3.0], [3.0, 7.0], [7.0, 7.0], [7.0, 3.0]],
+                            # part B: disjoint 1x1 square (CCW)
+                            [[20.0, 20.0], [21.0, 20.0], [21.0, 21.0], [20.0, 21.0]],
+                        ]
+                    ],
+                }
+            )
+        )
+        obj = json.loads(
+            to_feature_collection(holed_multipart, geometry_type="MultiPolygon")
+        )
+        g = obj["features"][0]["geometry"]
+        assert g["type"] == "MultiPolygon"
+        parts = g["coordinates"]
+        assert len(parts) == 2
+        holed = next(p for p in parts if len(p) == 2)
+        solo = next(p for p in parts if len(p) == 1)
+        for part in parts:
+            for ring in part:
+                assert ring[0] == ring[-1]  # closed per spec
+        ext = np.asarray(holed[0][:-1])
+        hole = np.asarray(holed[1][:-1])
+        assert G.signed_area(ext) > 0  # exterior CCW
+        assert G.signed_area(hole) < 0  # hole CW
+        assert abs(G.signed_area(hole)) == pytest.approx(16.0)
+        assert abs(G.signed_area(np.asarray(solo[0][:-1]))) == pytest.approx(1.0)
+
 
 class TestMeasures:
     def test_calc_geometry(self, spark, zones):

@@ -188,6 +188,28 @@ class TestSizeGatedBroadcasts:
         assert "BroadcastHashJoin" not in p, [ln for ln in p.splitlines() if "Broadcast" in ln]
         assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p[:1500]
 
+    def test_equi_join_wide_rows_not_broadcast(self, spark):
+        # byte gate: a join side WITHIN the row cap but with wide rows
+        # (~40 KB each, ~120 MB total > the 64 MB byte limit) must fall back
+        # to a shuffle join — a row-count-only gate would have broadcast it
+        from gdal_common_python_spark.operators import equi_join
+
+        left = spark.range(100).select(F.col("id").alias("k"))
+        wide = spark.range(3000).select(
+            F.col("id").alias("kk"), F.expr("repeat('x', 40000)").alias("w")
+        )
+        with self._no_autobroadcast(spark):
+            out = equi_join.attribute_join(left, wide, "k", "kk", ["w"])
+            p = plan(out)
+        assert "BroadcastHashJoin" not in p, [ln for ln in p.splitlines() if "Broadcast" in ln]
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p[:1500]
+        # control: same row count, narrow rows -> still broadcasts
+        narrow = spark.range(3000).select(F.col("id").alias("kk"), F.lit("y").alias("w"))
+        with self._no_autobroadcast(spark):
+            out2 = equi_join.attribute_join(left, narrow, "k", "kk", ["w"])
+            p2 = plan(out2)
+        assert "BroadcastHashJoin" in p2, p2[:1500]
+
     def test_pair_candidates_grid_path_matches_broadcast(self, spark, zones):
         from gdal_common_python_spark.operators.overlay import _pair_candidates
 
