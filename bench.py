@@ -237,10 +237,13 @@ def _bench_main():
         # interleaved rep pairs and take per-level minima, so a slow patch
         # hits both levels rather than one. Fixed-N (no resample-until-pass)
         # keeps the estimator unbiased; every sample is disclosed below.
-        # 2 interleaved pairs x (warm-up + 2 timed executions) per level keeps
-        # the per-round bench under ~20 min; the canonical 3-pair/3-iter runs
-        # are recorded in BENCH/ (raise via SPARK_GRAFT_SCALE_REPS/_ITERS)
-        reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2")))
+        # 3 interleaved pairs x (warm-up + 2 timed executions) per level:
+        # the round-2 closing record showed 2 pairs is not enough insurance
+        # against a slow host window hitting both samples of one level
+        # (recorded 0.70 vs 0.81-0.94 re-measured idle at the same HEAD) —
+        # the third pair costs ~7 min and caps that risk
+        # (tune via SPARK_GRAFT_SCALE_REPS/_ITERS)
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3")))
         lows, highs = [], []
         for _ in range(reps):
             lows.append(_pinned_flagship(spec_low, cores_low, bdir))

@@ -199,52 +199,53 @@ _ERASE_SCHEMA = T.StructType(
 )
 
 
-def _joined_per_left(left: DataFrame, cand: DataFrame) -> DataFrame:
-    """LEFT-join the candidate pairs back onto the left layer so no-candidate
-    rows flow through the SAME grouped kernel (null right geometry) instead
-    of a second anti-join consumer — this is what lets erase/identity run
-    with zero persisted intermediates (the candidate join has exactly one
-    consumer). Nulls from the outer join are coalesced to sentinels
-    (r_id=-1 plus a single-vertex dummy ring, never read): a NULL or
-    zero-length value inside a deeply-nested array column segfaults the
-    Arrow->pandas conversion on the grouped-UDF input path in this
-    pyarrow build — the sentinel keeps every batch null-free and
-    non-empty."""
-    base = left.select(F.col("zone_id").alias("l_id"), F.col("rings").alias("l_rings"))
-    dummy = F.array(F.array(F.array(F.lit(0.0), F.lit(0.0))))
-    return base.join(cand.select("l_id", "r_id", "r_rings"), "l_id", "left").select(
-        "l_id",
-        "l_rings",
-        F.coalesce("r_id", F.lit(-1)).alias("r_id"),
-        F.coalesce("r_rings", dummy).alias("r_rings"),
+def _untouched_lefts(left: DataFrame, cand: DataFrame) -> DataFrame:
+    """Left rows with NO candidate pair, passed through with their original
+    geometry: an anti-join against the column-pruned candidate ids. This
+    re-derives the candidate join instead of persisting it — the anti
+    branch prunes to ids only (no ring payload moves), so the recompute is
+    a cheap native join while the storage layer stays empty (no
+    unpersist obligation on the caller)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def area_of(rings: pd.Series) -> pd.Series:
+        return pd.Series([geom.polygon_area(geom.rings_from_cell(r)) for r in rings])
+
+    return (
+        left.join(cand.select("l_id").distinct(), left["zone_id"] == F.col("l_id"), "left_anti")
+        .select(F.col("zone_id").alias("l_id"), "rings")
+        .withColumn("area", area_of("rings"))
     )
+
+
+def _dec_cached(dec_cache: dict, rid: int, rr) -> object:
+    """Per-worker memo of a right feature's convex decomposition — the same
+    right geometry is clipped from / subtracted from many lefts."""
+    dec = dec_cache.get(rid)
+    if dec is None:
+        if len(dec_cache) >= 50_000:
+            dec_cache.clear()
+        dec = dec_cache[rid] = geom.decompose_parts(geom.rings_from_cell(rr))
+    return dec
 
 
 def erase(
     spark: SparkSession, left: DataFrame, right: DataFrame, cand: DataFrame | None = None
 ) -> DataFrame:
     """G3 (lib/analysis.py:79-102): left geometry minus all overlapping right
-    geometry; rows with no candidates pass through (null right geometry in
-    the same grouped kernel). Right side may be concave, carry holes, or be
-    multi-part — the general difference kernel decomposes it (Layer.Erase
-    scope, lib/analysis.py:100), with the clip-side decomposition memoized
-    per worker (the same right feature is subtracted from many lefts)."""
+    geometry; rows with no candidates pass through (anti-join union over
+    the id-pruned candidate recompute — nothing is persisted). Right side
+    may be concave, carry holes, or be multi-part — the general difference
+    kernel decomposes it (Layer.Erase scope, lib/analysis.py:100), with the
+    decomposition memoized per worker."""
     if cand is None:
         cand = _pair_candidates(spark, left, right)
-    per_left = _joined_per_left(left, cand)
     dec_cache: dict[int, object] = {}
 
     def kernel(key, pdf):
         pieces = geom.rings_from_cell(pdf["l_rings"].iloc[0])
         for rid, rr in zip(pdf["r_id"], pdf["r_rings"]):
-            rid = int(rid)
-            if rid < 0 or len(rr) == 0:
-                continue  # no-candidate passthrough row (sentinel)
-            dec = dec_cache.get(rid)
-            if dec is None:
-                if len(dec_cache) >= 50_000:
-                    dec_cache.clear()
-                dec = dec_cache[rid] = geom.decompose_parts(geom.rings_from_cell(rr))
+            dec = _dec_cached(dec_cache, int(rid), rr)
             pieces = geom.difference_general(pieces, None, parts_dec=dec)
         if not pieces:
             return pd.DataFrame(columns=["l_id", "rings", "area"])
@@ -258,7 +259,8 @@ def erase(
             ]
         )
 
-    return per_left.groupBy("l_id").applyInPandas(kernel, _ERASE_SCHEMA)
+    erased = cand.groupBy("l_id").applyInPandas(kernel, _ERASE_SCHEMA)
+    return erased.unionByName(_untouched_lefts(left, cand))
 
 
 _IDENTITY_SCHEMA = T.StructType(
@@ -273,12 +275,12 @@ _IDENTITY_SCHEMA = T.StructType(
 
 def identity(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
     """G4 (lib/analysis.py:105-131): intersection pieces carry both ids;
-    the un-overlapped remainder keeps left id with null r_id. ONE candidate
-    join feeds ONE grouped kernel that emits both halves — no persisted
-    intermediate, and each right feature's convex decomposition is shared
-    between its clip piece and the running difference."""
+    the un-overlapped remainder keeps left id with null r_id. ONE grouped
+    kernel emits both halves per candidate left — each right feature's
+    convex decomposition is shared between its clip piece and the running
+    difference — and no-candidate lefts ride the cheap anti-join branch.
+    Nothing is persisted."""
     cand = _pair_candidates(spark, left, right)
-    per_left = _joined_per_left(left, cand)
     dec_cache: dict[int, object] = {}
 
     def kernel(key, pdf):
@@ -287,13 +289,7 @@ def identity(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFram
         rows = []
         for rid, rr in zip(pdf["r_id"], pdf["r_rings"]):
             rid = int(rid)
-            if rid < 0 or len(rr) == 0:
-                continue  # no-candidate passthrough row (sentinel)
-            dec = dec_cache.get(rid)
-            if dec is None:
-                if len(dec_cache) >= 50_000:
-                    dec_cache.clear()
-                dec = dec_cache[rid] = geom.decompose_parts(geom.rings_from_cell(rr))
+            dec = _dec_cached(dec_cache, rid, rr)
             pieces = geom.clip_general(subj, None, parts_dec=dec)
             if pieces:
                 rows.append(
@@ -316,7 +312,9 @@ def identity(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFram
             )
         return pd.DataFrame(rows, columns=["l_id", "r_id", "rings", "area"])
 
-    return per_left.groupBy("l_id").applyInPandas(kernel, _IDENTITY_SCHEMA)
+    both = cand.groupBy("l_id").applyInPandas(kernel, _IDENTITY_SCHEMA)
+    rest = _untouched_lefts(left, cand).withColumn("r_id", F.lit(None).cast("long"))
+    return both.unionByName(rest.select("l_id", "r_id", "rings", "area"))
 
 
 def symmetric_difference(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
