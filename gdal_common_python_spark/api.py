@@ -78,9 +78,10 @@ def get_extent(df: DataFrame) -> DataFrame:
 
 def make_valid(df: DataFrame, rings_col: str = "rings") -> DataFrame:
     """P10 — features.make_valid (features.py:204-223): normalize rings
-    (drop closing vertex, drop degenerate rings) AND split self-crossing
-    rings into simple CCW sub-rings (the OGR MakeValid even-odd repair —
-    kernels.geom.repair_ring)."""
+    (drop closing vertex, drop degenerate rings) AND repair self-crossing
+    rings into simple CCW sub-rings under OGR's nonzero-winding rule
+    (kernels.geom.make_valid_rings: bowtie -> two triangles, pentagram ->
+    lobes WITH the core filled)."""
 
     @F.pandas_udf(T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))))
     def norm(rings: pd.Series) -> pd.Series:

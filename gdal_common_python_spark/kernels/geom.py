@@ -637,9 +637,10 @@ def _self_intersections(ring: np.ndarray) -> list[tuple[int, float, int, float]]
 
 
 def repair_ring(ring: np.ndarray) -> list[np.ndarray]:
-    """Split a self-intersecting ring into simple sub-rings — the MakeValid
-    analog (features.py:204-223; OGR MakeValid even-odd repair scoped to
-    self-crossing rings, e.g. a bowtie -> two triangles).
+    """Split a self-intersecting ring into simple sub-rings — the raw loop
+    decomposition behind MakeValid (features.py:204-223; e.g. a bowtie ->
+    two triangles). :func:`make_valid_rings` layers the OGR nonzero-winding
+    rule on top (pentagram cores stay filled via lobe union).
 
     Crossing points are inserted into the traversal order; walking the
     augmented sequence, each time a crossing point recurs the loop between
@@ -686,15 +687,35 @@ def repair_ring(ring: np.ndarray) -> list[np.ndarray]:
     return rings_out if rings_out else [r]
 
 
-def make_valid_rings(rings) -> list[np.ndarray]:
+def make_valid_rings(rings, mode: str = "winding") -> list[np.ndarray]:
     """Full make_valid: drop closing vertices / short rings
-    (normalize_rings) then split any self-crossing ring into simple CCW
-    sub-rings (repair_ring). Non-crossing holes keep their CW orientation."""
+    (normalize_rings) then repair any self-crossing ring into simple CCW
+    sub-rings (repair_ring). Non-crossing holes keep their CW orientation.
+
+    ``mode`` picks the repair semantics for multiply-wound regions —
+    observable only on pentagram-class rings (a bowtie/figure-8 decomposes
+    to DISJOINT lobes, identical under both):
+
+    - ``"winding"`` (default): OGR MakeValid parity (features.py:204-223
+      delegates to OGR's nonzero-winding rule) — the pentagon core of a
+      pentagram stays FILLED. Implemented as the true geometric union of
+      the decomposed simple lobes (every point wound >= once is covered).
+    - ``"even-odd"``: the raw loop decomposition — a region wound twice
+      cancels (pentagram core becomes a hole). This is the round-2
+      behavior, kept for piece-level workflows that want the lobes
+      themselves."""
+    if mode not in ("winding", "even-odd"):
+        raise ValueError(f"make_valid_rings: unknown mode {mode!r}")
     out: list[np.ndarray] = []
     for r in normalize_rings(rings):
         fixed = repair_ring(r)
         if len(fixed) == 1 and fixed[0] is r:
             out.append(r)
+        elif mode == "winding":
+            # nonzero-winding region = union of the simple sub-loops; for
+            # disjoint lobes union_pieces is the identity, so only
+            # multiply-wound overlap regions (pentagram cores) differ
+            out.extend(union_pieces([[p] for p in fixed]))
         else:
             out.extend(fixed)
     return out

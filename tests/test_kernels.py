@@ -371,6 +371,47 @@ class TestMakeValidRepair:
         out = geom.make_valid_rings([bow, simple])
         assert len(out) == 3  # two lobes + untouched simple ring
 
+    @staticmethod
+    def _pentagram():
+        # classic 5-point star drawn as one self-crossing ring (every
+        # second vertex of a regular pentagon)
+        th = np.pi / 2 + 2 * np.pi * np.arange(5) * 2 / 5
+        return np.column_stack([np.cos(th), np.sin(th)])
+
+    def test_make_valid_pentagram_winding_keeps_core(self):
+        # OGR MakeValid parity fixture (features.py:204-223 delegates to
+        # OGR's nonzero-winding rule): the doubly-wound pentagon core stays
+        # FILLED; area = star outline area (lobes + core counted once)
+        star = self._pentagram()
+        out = geom.make_valid_rings([star])  # default mode="winding"
+        e = geom.rings_to_edges(out)
+        assert bool(geom.points_in_rings(np.array([0.0]), np.array([0.0]), e)[0])  # core
+        assert bool(geom.points_in_rings(np.array([0.0]), np.array([0.9]), e)[0])  # lobe
+        # area of the unit-circumradius pentagram {5/2} (lobes + core once)
+        assert geom.polygon_area(out) == pytest.approx(1.1225699414495751, abs=1e-9)
+        # region measure strictly exceeds the even-odd region (core carved):
+        # compare by grid membership — polygon_area on the raw even-odd
+        # piece list double-counts the overlap, membership does not
+        gx, gy = np.meshgrid(np.linspace(-1, 1, 201), np.linspace(-1, 1, 201))
+        n_w = geom.points_in_rings(gx.ravel(), gy.ravel(), e).sum()
+        eo = geom.rings_to_edges(geom.make_valid_rings([star], mode="even-odd"))
+        n_eo = geom.points_in_rings(gx.ravel(), gy.ravel(), eo).sum()
+        assert n_w > n_eo
+
+    def test_make_valid_pentagram_even_odd_carves_core(self):
+        star = self._pentagram()
+        out = geom.make_valid_rings([star], mode="even-odd")
+        e = geom.rings_to_edges(out)
+        assert not bool(geom.points_in_rings(np.array([0.0]), np.array([0.0]), e)[0])
+        assert bool(geom.points_in_rings(np.array([0.0]), np.array([0.9]), e)[0])
+
+    def test_make_valid_bowtie_mode_invariant(self):
+        # disjoint-lobe classes are identical under both rules
+        bow = np.array([[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0]])
+        a = geom.make_valid_rings([bow], mode="winding")
+        b = geom.make_valid_rings([bow], mode="even-odd")
+        assert geom.polygon_area(a) == pytest.approx(geom.polygon_area(b), abs=1e-12)
+
 
 class TestBufferRings:
     def test_square_buffer_area(self):
