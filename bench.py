@@ -249,26 +249,33 @@ def _bench_main():
             lows.append(_pinned_flagship(spec_low, cores_low, bdir))
             highs.append(_pinned_flagship(spec_high, cores_high, bdir))
         tp_low, tp_high = n_docs / min(lows), n_docs / min(highs)
-        # paired per-rep efficiencies: each interleaved (low, high) pair saw
-        # the same host window, so the ratio cancels slow/fast drift that the
-        # per-level min is exposed to; disclosed alongside the conservative
-        # min-based headline
+        # HEADLINE = median of the paired per-rep efficiencies: each
+        # interleaved (low, high) pair saw the same host window, so the
+        # per-pair ratio cancels the shared-VM speed drift that any
+        # cross-window estimator is exposed to (the min-based form divides
+        # a best-window low leg by a best-window high leg from DIFFERENT
+        # windows — it skews either way; round-2's 0.70 closing record vs
+        # 0.81-0.94 re-measured idle at the same commit was exactly this).
+        # The min-based figure and every raw sample stay disclosed.
         paired = sorted(lo / (4 * hi) for lo, hi in zip(lows, highs))
         result["scaling"] = {
             "mode": mode,
             f"{label_low}_docs_per_sec": round(tp_low, 1),
             f"{label_high}_docs_per_sec": round(tp_high, 1),
             "factor": 4,
-            "efficiency": round(tp_high / (4 * tp_low), 3),
+            "efficiency": round(paired[len(paired) // 2], 3),
+            "efficiency_min_based": round(tp_high / (4 * tp_low), 3),
             "efficiency_paired": [round(e, 3) for e in paired],
-            "efficiency_paired_median": round(paired[len(paired) // 2], 3),
             "samples_sec": {
                 label_low: [round(s, 2) for s in lows],
                 label_high: [round(s, 2) for s in highs],
             },
-            "method": "taskset-pinned fresh process per level, interleaved; "
-            "per-level min of steady-state execution walls (warm-up excluded); "
-            "executors mode: fixed 2-core executor JVMs, count scaled 1->4",
+            "method": "taskset-pinned fresh process per level, interleaved "
+            "pairs; headline = median of per-pair efficiencies (same-window "
+            "ratios cancel shared-host drift); per-level min disclosed as "
+            "efficiency_min_based; steady-state execution walls, warm-up "
+            "excluded; executors mode: fixed 2-core executor JVMs, count "
+            "scaled 1->4",
         }
     print(json.dumps(result))
 

@@ -137,7 +137,7 @@ near_table_geoms = _knn.near_table_geoms  # J3 for polygon layers (geom.Distance
 knn = _knn.knn  # J3 scale path — kNN via cell-disk + re-rank
 
 buffer = _overlay.buffer_points  # G1 — analysis.buffer (lib/analysis.py:8-51)
-buffer_layer = _overlay.buffer_layer  # G1 full surface: arbitrary polygons
+buffer_layer = _overlay.buffer_layer  # G1 full surface: arbitrary polygons, any distance sign
 clip = _overlay.clip  # G2 — analysis.clip (lib/analysis.py:54-76)
 erase = _overlay.erase  # G3 — analysis.erase (lib/analysis.py:79-102)
 identity = _overlay.identity  # G4 — analysis.identity (lib/analysis.py:105-131)
@@ -156,6 +156,10 @@ resample_raster = _resample.resample  # R7 — reproject.reproject_raster (lib/r
 rectify = _reproject.rectify  # V2 — _rectifyinputs (lib/_rectifyinputs.py:7-56)
 
 to_geojson = _geojson.to_feature_collection  # S9 — conversion.feature.to_geojson
+
+# cache contract: operators that persist a barrier attach its handle to the
+# result; long-lived applications free it after the consuming action
+from .operators.util import release  # noqa: E402  (operators/util.py docstring)
 
 # ------------------------------------------------------------- rasters.py
 

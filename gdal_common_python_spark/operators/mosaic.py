@@ -124,7 +124,12 @@ def mosaic_merge(
     Scale shape: per input only source-overlapping target tiles run the
     resample kernel (clip_to_source); uncovered output tiles are backfilled
     natively (array_repeat) with no Python involved; the overlay fold is
-    one groupBy on the output tile key.
+    one groupBy on the output tile key. The probe phase is O(1) jobs for
+    any input count (one metas collect + one batched chunking check), but
+    the plan still carries one resample/passthrough branch per input —
+    right for gdal_merge-scale input lists (tens to a few hundred); for
+    thousands of inputs drive the resample with a raster_id-keyed join
+    instead of per-input branches.
     """
     from .resample import resample_nearest
 
