@@ -258,12 +258,15 @@ def _bench_main():
         # 0.81-0.94 re-measured idle at the same commit was exactly this).
         # The min-based figure and every raw sample stay disclosed.
         paired = sorted(lo / (4 * hi) for lo, hi in zip(lows, highs))
+        # lower-middle for even sample counts: paired[len//2] would be the
+        # optimistic upper-middle, biasing the gate metric toward passing
+        median = paired[(len(paired) - 1) // 2]
         result["scaling"] = {
             "mode": mode,
             f"{label_low}_docs_per_sec": round(tp_low, 1),
             f"{label_high}_docs_per_sec": round(tp_high, 1),
             "factor": 4,
-            "efficiency": round(paired[len(paired) // 2], 3),
+            "efficiency": round(median, 3),
             "efficiency_min_based": round(tp_high / (4 * tp_low), 3),
             "efficiency_paired": [round(e, 3) for e in paired],
             "samples_sec": {

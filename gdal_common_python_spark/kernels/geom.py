@@ -444,6 +444,7 @@ def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
     idx = list(range(len(r)))
     tris: list[np.ndarray] = []
     stuck = 0
+    dropped_area = 0.0  # slivers removed by the stalemate path, legit loss
     while len(idx) > 3:
         n = len(idx)
         found = False
@@ -475,6 +476,9 @@ def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
                     _orient(*r[idx[(k - 1) % n]], *r[idx[k]], *r[idx[(k + 1) % n]])
                 ),
             )
+            dropped_area += 0.5 * abs(
+                _orient(*r[idx[(flat - 1) % n]], *r[idx[flat]], *r[idx[(flat + 1) % n]])
+            )
             idx.pop(flat)
         else:
             stuck = 0
@@ -489,15 +493,18 @@ def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
                 tris.append(np.array([a, b, c]))
         # the fan apex may see a still-concave leftover, which would emit
         # triangles OUTSIDE the ring and silently corrupt downstream
-        # clip/union geometry — verify the area invariant and fail loudly
+        # clip/union geometry — verify the area invariant and fail loudly.
+        # The stalemate path legitimately dropped sliver corners, so allow
+        # exactly that much loss on top of fp tolerance; a genuine
+        # mismatch means self-intersecting input (run make_valid first)
         area = abs(signed_area(r))
         tri_area = sum(signed_area(t) for t in tris)
-        if abs(tri_area - area) > max(1e-9, 1e-9 * area):
+        if abs(tri_area - area) > dropped_area + max(1e-9, 1e-9 * area):
             raise ValueError(
                 "triangulate_ring: fan fallback produced a non-covering "
-                f"triangulation (ring area {area}, triangles {tri_area}); "
-                "the input ring is likely self-intersecting — run "
-                "make_valid_rings first"
+                f"triangulation (ring area {area}, triangles {tri_area}, "
+                f"sliver allowance {dropped_area}); the input ring is "
+                "likely self-intersecting — run make_valid_rings first"
             )
     return tris
 
@@ -515,9 +522,14 @@ def decompose_convex(ring: np.ndarray) -> list[np.ndarray]:
 
 def split_outers_holes(rings) -> list[tuple[np.ndarray, list[np.ndarray]]]:
     """Group a flat ring list (CCW outers, CW holes — the engine's storage
-    convention) into (outer, [holes]) parts; each hole is attached to the
-    outer containing its first vertex and returned re-oriented CCW so it can
-    be used directly as a clip shape."""
+    convention) into (outer, [holes]) parts; holes come back re-oriented
+    CCW so they can be used directly as clip shapes.
+
+    Attachment: a hole joins the first outer containing ANY of its
+    vertices (a single boundary-touching vertex — snapped/clipped data —
+    must not orphan it); a hole whose every vertex sits on boundaries
+    falls back to bbox containment, then to the first outer, so no hole
+    is ever silently dropped."""
     outers = []
     holes = []
     for r in rings:
@@ -528,11 +540,23 @@ def split_outers_holes(rings) -> list[tuple[np.ndarray, list[np.ndarray]]]:
             holes.append(r[::-1])
     parts = [(o, []) for o in outers]
     for h in holes:
+        attached = False
         for o, hs in parts:
             e = rings_to_edges([o])
-            if points_in_rings(h[:1, 0], h[:1, 1], e)[0]:
+            if points_in_rings(h[:, 0], h[:, 1], e).any():
                 hs.append(h)
+                attached = True
                 break
+        if not attached and parts:
+            hb = rings_bbox([h])
+            for o, hs in parts:
+                ob = rings_bbox([o])
+                if hb[0] >= ob[0] and hb[1] >= ob[1] and hb[2] <= ob[2] and hb[3] <= ob[3]:
+                    hs.append(h)
+                    attached = True
+                    break
+            if not attached:
+                parts[0][1].append(h)
     return parts
 
 

@@ -177,7 +177,14 @@ def mosaic_merge(
         first_ct = (
             t.filter(F.col("raster_id") == metas[0].raster_id).select("color_table").first()
         )
-        color_table = list(first_ct["color_table"]) if first_ct and first_ct["color_table"] else None
+        if first_ct is None or first_ct["color_table"] is None:
+            # gdal_merge -pct errors when the first input has no palette —
+            # a silent no-op would also make the output schema data-dependent
+            raise ValueError(
+                "mosaic_merge: pct=True but the first-ranked input "
+                f"({metas[0].raster_id}) has no color table"
+            )
+        color_table = list(first_ct["color_table"])
 
     # grid-matching inputs may still be chunked differently from this
     # function's tile_size (their tile keys would never line up with the

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..kernels import geom
-from .util import broadcastable
+from .util import broadcastable, track_persisted
 
 _RINGS_T = T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
 
@@ -35,6 +35,17 @@ def _pair_candidates(
     broadcast_limit: int = 100_000,
     pad: float = 0.0,
 ) -> DataFrame:
+    df, _ = _pair_candidates_info(spark, left, right, broadcast_limit, pad)
+    return df
+
+
+def _pair_candidates_info(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    broadcast_limit: int = 100_000,
+    pad: float = 0.0,
+) -> tuple[DataFrame, bool]:
     """bbox-overlap candidate pairs of two zone-shaped tables (native).
 
     Dimension-sized right sides broadcast into a bbox theta join; past
@@ -69,7 +80,7 @@ def _pair_candidates(
     # probe + sampled byte width (ring arrays are wide — a row cap alone
     # could admit an over-sized broadcast)
     if broadcastable(r, broadcast_limit):
-        return l.join(F.broadcast(r), cond)
+        return l.join(F.broadcast(r), cond), True
     # grid cell size from the LARGER of the two sides' average bbox
     # dimensions (one agg job per side): sizing to the small side only
     # would explode a big left geometry into (w/cs)^2 cells
@@ -114,7 +125,7 @@ def _pair_candidates(
         .filter(cond)
         .dropDuplicates(["l_id", "r_id"])
         .drop("__cx", "__cy")
-    )
+    ), False
 
 
 def intersect_pairs(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:
@@ -161,13 +172,7 @@ def clip(
             for row in pdf.itertuples(index=False):
                 subj = geom.rings_from_cell(row.l_rings)
                 rid = int(row.r_id)
-                dec = dec_cache.get(rid)
-                if dec is None:
-                    if len(dec_cache) >= 50_000:
-                        dec_cache.clear()
-                    dec = dec_cache[rid] = geom.decompose_parts(
-                        geom.rings_from_cell(row.r_rings)
-                    )
+                dec = _dec_cached(dec_cache, rid, row.r_rings)
                 pieces = geom.clip_general(subj, None, parts_dec=dec)
                 if pieces:
                     rows.append(
@@ -201,11 +206,11 @@ _ERASE_SCHEMA = T.StructType(
 
 def _untouched_lefts(left: DataFrame, cand: DataFrame) -> DataFrame:
     """Left rows with NO candidate pair, passed through with their original
-    geometry: an anti-join against the column-pruned candidate ids. This
-    re-derives the candidate join instead of persisting it — the anti
-    branch prunes to ids only (no ring payload moves), so the recompute is
-    a cheap native join while the storage layer stays empty (no
-    unpersist obligation on the caller)."""
+    geometry: an anti-join against the column-pruned candidate ids. On the
+    broadcast candidate path this branch re-derives the join (id-pruned,
+    no ring payload — cheap native work, nothing persisted); on the grid
+    path the caller persists cand instead, because the double-explode +
+    dropDuplicates shuffle is NOT cheap to run twice per action."""
 
     @F.pandas_udf(T.DoubleType())
     def area_of(rings: pd.Series) -> pd.Series:
@@ -233,13 +238,19 @@ def erase(
     spark: SparkSession, left: DataFrame, right: DataFrame, cand: DataFrame | None = None
 ) -> DataFrame:
     """G3 (lib/analysis.py:79-102): left geometry minus all overlapping right
-    geometry; rows with no candidates pass through (anti-join union over
-    the id-pruned candidate recompute — nothing is persisted). Right side
-    may be concave, carry holes, or be multi-part — the general difference
-    kernel decomposes it (Layer.Erase scope, lib/analysis.py:100), with the
-    decomposition memoized per worker."""
+    geometry; rows with no candidates pass through (anti-join union).
+    Right side may be concave, carry holes, or be multi-part — the general
+    difference kernel decomposes it (Layer.Erase scope,
+    lib/analysis.py:100), with the decomposition memoized per worker.
+    Broadcast candidate path persists nothing; the grid path persists the
+    pair table for its two consumers (handle rides the result —
+    util.release)."""
+    handles = []
     if cand is None:
-        cand = _pair_candidates(spark, left, right)
+        cand, cheap = _pair_candidates_info(spark, left, right)
+        if not cheap:
+            cand = cand.persist()
+            handles.append(cand)
     dec_cache: dict[int, object] = {}
 
     def kernel(key, pdf):
@@ -260,7 +271,7 @@ def erase(
         )
 
     erased = cand.groupBy("l_id").applyInPandas(kernel, _ERASE_SCHEMA)
-    return erased.unionByName(_untouched_lefts(left, cand))
+    return track_persisted(erased.unionByName(_untouched_lefts(left, cand)), *handles)
 
 
 _IDENTITY_SCHEMA = T.StructType(
@@ -279,8 +290,13 @@ def identity(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFram
     kernel emits both halves per candidate left — each right feature's
     convex decomposition is shared between its clip piece and the running
     difference — and no-candidate lefts ride the cheap anti-join branch.
-    Nothing is persisted."""
-    cand = _pair_candidates(spark, left, right)
+    Broadcast candidate path persists nothing; the grid path persists the
+    pair table for its two consumers (handle rides the result)."""
+    handles = []
+    cand, cheap = _pair_candidates_info(spark, left, right)
+    if not cheap:
+        cand = cand.persist()
+        handles.append(cand)
     dec_cache: dict[int, object] = {}
 
     def kernel(key, pdf):
@@ -314,7 +330,9 @@ def identity(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFram
 
     both = cand.groupBy("l_id").applyInPandas(kernel, _IDENTITY_SCHEMA)
     rest = _untouched_lefts(left, cand).withColumn("r_id", F.lit(None).cast("long"))
-    return both.unionByName(rest.select("l_id", "r_id", "rings", "area"))
+    return track_persisted(
+        both.unionByName(rest.select("l_id", "r_id", "rings", "area")), *handles
+    )
 
 
 def symmetric_difference(spark: SparkSession, left: DataFrame, right: DataFrame) -> DataFrame:

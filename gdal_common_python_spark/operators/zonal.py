@@ -274,7 +274,8 @@ def zonal_statistics(
     combined_schema = T.StructType(list(_COUNTS_SCHEMA.fields) + [f for f in _STATS_SCHEMA.fields if f.name != "zone_id"])
     grouped = cand.groupBy("zone_id").applyInPandas(kernel, schema=combined_schema)
     # two consumers (counts + stats) read the expensive kernel output — a
-    # legit barrier; the handle rides both results for util.release()
+    # legit barrier; the SAME handle rides both results, so util.release()
+    # belongs after BOTH are consumed (util.release docstring)
     grouped = grouped.cache()
 
     counts = grouped.select("zone_id", "raster_id", "band", "pixel_count")

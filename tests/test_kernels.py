@@ -365,6 +365,16 @@ class TestMakeValidRepair:
                 geom.rings_to_edges([r])[:-1], geom.rings_to_edges([r])[1:]
             ) or len(r) == 3
 
+    def test_split_outers_holes_boundary_touching_hole(self):
+        # hole whose FIRST vertex lies exactly on the outer boundary must
+        # still attach (any-vertex test) — first-vertex-only ray casting
+        # silently dropped it
+        outer = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+        hole_cw = np.array([[0.0, 5.0], [3.0, 6.0], [3.0, 4.0]])  # CW (negative area)
+        assert geom.signed_area(hole_cw) < 0
+        parts = geom.split_outers_holes([outer, hole_cw])
+        assert len(parts) == 1 and len(parts[0][1]) == 1
+
     def test_make_valid_rings_mixed(self):
         bow = np.array([[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]])
         simple = np.array([[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0]])

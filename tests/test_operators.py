@@ -430,6 +430,17 @@ class TestDissolveOverlayMosaic:
         with pytest.raises(ValueError, match="color_table"):
             mosaic_merge(spark, tiles, raster_ids=["r0"], band=1, pct=True)
 
+    def test_mosaic_merge_pct_null_palette_raises(self, spark):
+        # gdal_merge -pct semantics: a first input WITHOUT a palette is an
+        # error, not a silent schema-changing no-op
+        from gdal_common_python_spark.operators.mosaic import mosaic_merge
+
+        tiles = self._many_input_tiles(spark, 2).withColumn(
+            "color_table", F.lit(None).cast("array<int>")
+        )
+        with pytest.raises(ValueError, match="no color table"):
+            mosaic_merge(spark, tiles, band=1, pct=True, tile_size=4)
+
     def test_mosaic_merge_many_inputs_constant_probe_jobs(self, spark):
         from gdal_common_python_spark.operators.mosaic import mosaic_merge
 
