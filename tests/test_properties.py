@@ -140,3 +140,69 @@ def test_union_bounds_and_symmetry(a, b):
     aa, ab = abs(geom.signed_area(a)), abs(geom.signed_area(b))
     assert abs(u1 - u2) < 1e-7 * max(aa + ab, 1.0)  # commutative
     assert u1 <= aa + ab + 1e-7 and u1 >= max(aa, ab) - 1e-7
+
+
+@settings(max_examples=25, deadline=None)
+@given(p=convex_polygon(), frac=st.floats(min_value=0.05, max_value=0.4))
+def test_erosion_convex_halfplane_identity(p, frac):
+    """Erosion of a convex ring by d equals the d-inward half-plane
+    intersection (exact even with n-gon vertex disks — every in-band
+    interior point of a convex polygon lies in an edge quad)."""
+    if geom.signed_area(p) <= 0 or not geom.is_convex(p):
+        return
+    # d relative to the inradius proxy so erosion usually survives
+    xmin, ymin, xmax, ymax = geom.rings_bbox([p])
+    d = frac * min(xmax - xmin, ymax - ymin)
+    if d <= 1e-6:
+        return
+    er = geom.buffer_rings([p], -d, n=16)
+    nxt = np.roll(p, -1, axis=0)
+    lines = []
+    for a, b in zip(p, nxt):
+        e = b - a
+        ln = float(np.hypot(e[0], e[1]))
+        if ln < 1e-12:
+            return
+        lines.append([a[0] - e[1] / ln * d, a[1] + e[0] / ln * d,
+                      b[0] - e[1] / ln * d, b[1] + e[0] / ln * d])
+    off = geom.clip_halfplanes(p, np.asarray(lines))
+    off_area = abs(geom.signed_area(off)) if off is not None else 0.0
+    assert abs(geom.polygon_area(er) - off_area) < 1e-7 * max(off_area, 1.0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(p=star_polygon(), frac=st.floats(min_value=0.05, max_value=0.5))
+def test_erosion_subset_and_monotone(p, frac):
+    """Erosion is contained in the original and shrinks the area; eroding
+    by more never grows the region (sampled membership)."""
+    if geom.signed_area(p) <= 0:
+        p = p[::-1]
+    xmin, ymin, xmax, ymax = geom.rings_bbox([p])
+    d = frac * min(xmax - xmin, ymax - ymin) * 0.5
+    if d <= 1e-6:
+        return
+    er1 = geom.buffer_rings([p], -d, n=12)
+    er2 = geom.buffer_rings([p], -2 * d, n=12)
+    assert geom.polygon_area(er1) <= abs(geom.signed_area(p)) + 1e-9
+    assert geom.polygon_area(er2) <= geom.polygon_area(er1) + 1e-9
+    if er1:
+        gx, gy = np.meshgrid(np.linspace(xmin, xmax, 25), np.linspace(ymin, ymax, 25))
+        e_er = geom.rings_to_edges(er1)
+        e_p = geom.rings_to_edges([p])
+        m_er = geom.points_in_rings(gx.ravel(), gy.ravel(), e_er)
+        m_p = geom.points_in_rings(gx.ravel(), gy.ravel(), e_p)
+        assert not (m_er & ~m_p).any()
+
+
+@settings(max_examples=25, deadline=None)
+@given(p=star_polygon())
+def test_make_valid_winding_covers_even_odd(p):
+    """For any ring, the winding repair's region contains the even-odd
+    repair's region (winding fills multiply-wound overlaps, never carves)."""
+    out_w = geom.make_valid_rings([p], mode="winding")
+    out_eo = geom.make_valid_rings([p], mode="even-odd")
+    xmin, ymin, xmax, ymax = geom.rings_bbox([p])
+    gx, gy = np.meshgrid(np.linspace(xmin, xmax, 21), np.linspace(ymin, ymax, 21))
+    m_w = geom.points_in_rings(gx.ravel(), gy.ravel(), geom.rings_to_edges(out_w))
+    m_eo = geom.points_in_rings(gx.ravel(), gy.ravel(), geom.rings_to_edges(out_eo))
+    assert not (m_eo & ~m_w).any()
