@@ -467,6 +467,31 @@ def q_buffer_negative(spark, sf_dir):
     return out.select("zone_id", npix("rings").alias("npix"))
 
 
+def q_make_valid(spark, sf_dir):
+    """P10 gate (features.py:204-223): a self-crossing bowtie built from
+    each zone's bbox (LL->UR->LR->UL) runs through api.make_valid; gated on
+    pixel membership of the repaired simple pieces vs the oracle's even-odd
+    crossing parity over the RAW ring's four edges — identical regions for
+    bowtie-class rings under both the winding and even-odd rules (the
+    pentagram-class winding difference is pytest-pinned)."""
+    from gdal_common_python_spark import api
+
+    z = _synth(spark, sf_dir, "zones").select(
+        "zone_id",
+        F.array(
+            F.array(
+                F.array(F.col("bbox4326.xmin"), F.col("bbox4326.ymin")),
+                F.array(F.col("bbox4326.xmax"), F.col("bbox4326.ymax")),
+                F.array(F.col("bbox4326.xmax"), F.col("bbox4326.ymin")),
+                F.array(F.col("bbox4326.xmin"), F.col("bbox4326.ymax")),
+            )
+        ).alias("rings"),
+    )
+    out = api.make_valid(z)
+    npix = _grid_npix_udf()
+    return out.select("zone_id", npix("rings").alias("npix"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), min_count=1)
 
@@ -593,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_symdiff": q_overlay_symdiff,
         "overlay_update": q_overlay_update,
         "buffer_negative": q_buffer_negative,
+        "make_valid": q_make_valid,
         "mosaic": q_mosaic,
         "mosaic_mixed_grid": q_mosaic_mixed_grid,
         "media_metadata": q_media_metadata,
@@ -931,6 +957,35 @@ eroded AS (
 SELECT z.zone_id, coalesce(e2.n, 0) AS npix
 FROM (SELECT zone_id FROM {_ZONES}) z
 LEFT JOIN eroded e2 ON e2.zone_id = z.zone_id
+"""
+
+# make_valid bowtie oracle: even-odd crossing parity over the RAW
+# self-crossing ring's edges equals the repaired region for bowtie-class
+# rings (the crossing-count formula is indifferent to self-intersection)
+_SQL_MAKE_VALID = f"""
+WITH centers AS (
+    SELECT -120.0 + (ix.ix + 0.5) * 0.15625 AS px,
+           30.0 + (iy.iy + 0.5) * 0.1171875 AS py
+    FROM (SELECT unnest(range(0, 256)) AS ix) ix,
+         (SELECT unnest(range(0, 128)) AS iy) iy
+),
+bt AS (
+  SELECT zone_id, bbox4326.xmin AS ex1, bbox4326.ymin AS ey1, bbox4326.xmax AS ex2, bbox4326.ymax AS ey2 FROM {_ZONES}
+  UNION ALL SELECT zone_id, bbox4326.xmax, bbox4326.ymax, bbox4326.xmax, bbox4326.ymin FROM {_ZONES}
+  UNION ALL SELECT zone_id, bbox4326.xmax, bbox4326.ymin, bbox4326.xmin, bbox4326.ymax FROM {_ZONES}
+  UNION ALL SELECT zone_id, bbox4326.xmin, bbox4326.ymax, bbox4326.xmin, bbox4326.ymin FROM {_ZONES}
+),
+member AS (
+  SELECT c.px, c.py, bt.zone_id
+  FROM centers c JOIN bt ON (bt.ey1 > c.py) != (bt.ey2 > c.py)
+   AND c.px < (bt.ex2 - bt.ex1) * (c.py - bt.ey1) / (bt.ey2 - bt.ey1) + bt.ex1
+  GROUP BY c.px, c.py, bt.zone_id
+  HAVING count(*) % 2 = 1
+),
+cnt AS (SELECT zone_id, count(*) AS n FROM member GROUP BY zone_id)
+SELECT z.zone_id, coalesce(c2.n, 0) AS npix
+FROM (SELECT zone_id FROM {_ZONES}) z
+LEFT JOIN cnt c2 ON c2.zone_id = z.zone_id
 """
 
 _SQL_DISSOLVE_UNION = f"""
@@ -1536,6 +1591,7 @@ def oracle_sql() -> dict[str, str]:
         "overlay_symdiff": _SQL_OVERLAY_SYMDIFF,
         "overlay_update": _SQL_OVERLAY_UPDATE,
         "buffer_negative": _SQL_BUFFER_NEGATIVE,
+        "make_valid": _SQL_MAKE_VALID,
         "mosaic": _SQL_MOSAIC,
         "mosaic_mixed_grid": _SQL_MOSAIC_MIXED,
         "media_metadata": _SQL_MEDIA_METADATA,

@@ -102,6 +102,7 @@ def run_queries(spark, sdir):
         "overlay_symdiff",
         "overlay_update",
         "buffer_negative",
+        "make_valid",
         "dissolve_union",
         "dissolve_union_scalable",
         "media_frames",
