@@ -252,14 +252,16 @@ def spatial_join_points(
     rows, mirroring what you'd do cluster-side with real size stats).
 
     The Arrow PIP kernel needs the zone rings collected once to the driver;
-    past `collect_zone_limit` zones, 'auto' dispatches to the fully
-    distributed edge-join refinement instead (identical output, no driver
-    materialization).
+    past `collect_zone_limit` zones — or past the byte cap on the sampled
+    ring payload (operators.util.broadcastable: a row cap alone admits an
+    oversized driver dict when rings are detailed) — 'auto' dispatches to
+    the fully distributed edge-join refinement instead (identical output,
+    no driver materialization).
     """
-    if (
-        strategy == "auto"
-        and zones.limit(collect_zone_limit + 1).count() > collect_zone_limit
-    ):
+    from .util import broadcastable
+
+    ring_proj = ["zone_id", "rings4326"] if "rings4326" in zones.columns else ["zone_id", "srid", "rings"]
+    if strategy == "auto" and not broadcastable(zones.select(*ring_proj), collect_zone_limit):
         return spatial_join_points_distributed(
             spark,
             docs,
@@ -501,15 +503,19 @@ def spatial_join_geoms(
     rings_mode 'broadcast' collects zone rings once into a broadcast dict
     (dimension-sized zone layers); 'join' ships rings as a joined column
     into the refinement batch — zero driver-side zone materialization, the
-    path for zone sides too large to collect. 'auto' counts and picks."""
+    path for zone sides too large to collect. 'auto' gates on rows AND
+    sampled ring bytes (operators.util.broadcastable) and picks."""
+    from .util import broadcastable
+
     spans = geo_spans(docs)
     if wkt_prefix:
         spans = spans.filter(F.col("wkt").startswith(wkt_prefix))
     if rings_mode == "auto":
+        ring_proj = (
+            ["zone_id", "rings4326"] if "rings4326" in zones.columns else ["zone_id", "srid", "rings"]
+        )
         rings_mode = (
-            "broadcast"
-            if zones.limit(broadcast_zone_limit + 1).count() <= broadcast_zone_limit
-            else "join"
+            "broadcast" if broadcastable(zones.select(*ring_proj), broadcast_zone_limit) else "join"
         )
     if res is None:
         res = pick_join_resolution(zones)

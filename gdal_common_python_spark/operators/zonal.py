@@ -175,11 +175,17 @@ def zonal_statistics(
             ignore_values = [ignore_values]
         ignore_values = np.asarray(list(ignore_values), dtype=np.float64)
     if rings_mode == "auto":
-        rings_mode = (
-            "broadcast"
-            if zones.limit(broadcast_zone_limit + 1).count() <= broadcast_zone_limit
-            else "join"
+        # byte-aware gate on the ring payload that would actually collect:
+        # a row cap alone admits an oversized driver dict when zone rings
+        # are detailed (operators.util rationale)
+        from .util import broadcastable
+
+        ring_cols = (
+            zones.select("zone_id", "rings4326")
+            if "rings4326" in zones.columns
+            else zones.select("zone_id", "srid", "rings")
         )
+        rings_mode = "broadcast" if broadcastable(ring_cols, broadcast_zone_limit) else "join"
 
     cand = window_tiles(zones, rasters, tiles, tile_size)
     if rings_mode == "broadcast":
