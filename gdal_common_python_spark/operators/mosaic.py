@@ -104,6 +104,8 @@ def mosaic_merge(
     separate: bool = False,
     pct: bool = False,
     tile_size: int = 32,
+    plan: str = "auto",
+    branch_threshold: int = 16,
 ) -> DataFrame:
     """gdal_merge-equivalent mosaic supporting DIFFERENT input grids.
 
@@ -125,11 +127,27 @@ def mosaic_merge(
     resample kernel (clip_to_source); uncovered output tiles are backfilled
     natively (array_repeat) with no Python involved; the overlay fold is
     one groupBy on the output tile key. The probe phase is O(1) jobs for
-    any input count (one metas collect + one batched chunking check), but
-    the plan still carries one resample/passthrough branch per input —
-    right for gdal_merge-scale input lists (tens to a few hundred); for
-    thousands of inputs drive the resample with a raster_id-keyed join
-    instead of per-input branches.
+    any input count (one metas collect + one batched chunking check).
+
+    ``plan`` picks the physical strategy:
+
+    - ``'branch'``: one resample/passthrough branch per input, unioned
+      (the original shape) — cheapest for gdal_merge-scale input lists
+      (a handful of rasters), where the per-branch analysis cost is
+      trivial and same-grid inputs skip the Python kernel entirely;
+    - ``'join'``: O(1) plan size for ANY input count — input grid
+      parameters become a broadcast metas table cross-joined with the
+      natively enumerated output-tile grid, per-(tile, raster) source
+      windows are computed columnar-side, ONE equi-join against the
+      source tile table on (raster_id, tile_x, tile_y) feeds a single
+      grouped kernel that resamples AND rank-folds per output tile —
+      one shuffle total, no per-input plan branches, no per-input
+      unions. This is the thousands-of-inputs scale path;
+    - ``'auto'`` (default): ``'join'`` when the input list exceeds
+      ``branch_threshold`` rasters, else ``'branch'``.
+
+    Both plans are value-identical (asserted by tests on fixtures and a
+    40-input merge).
     """
     from .resample import resample_nearest
 
@@ -186,11 +204,23 @@ def mosaic_merge(
             )
         color_table = list(first_ct["color_table"])
 
-    # grid-matching inputs may still be chunked differently from this
-    # function's tile_size (their tile keys would never line up with the
-    # resampled/backfill grid). ONE batched aggregation finds every
-    # violating input — not a limit(1).count() probe job per raster, which
-    # serialized O(inputs) driver round-trips for many-input merges
+    if plan not in ("auto", "branch", "join"):
+        raise ValueError(f"mosaic_merge: unknown plan {plan!r}")
+    if plan == "auto":
+        plan = "join" if len(metas) > branch_threshold else "branch"
+    if plan == "join":
+        folded = _merge_join_folded(
+            spark, t, metas, grid, fill, band, separate, tile_size
+        )
+        bands = list(range(1, len(metas) + 1)) if separate else [band]
+        return _merge_backfill(spark, folded, grid, fill, bands, tile_size, color_table)
+
+    # (branch plan only) grid-matching inputs may still be chunked
+    # differently from this function's tile_size (their tile keys would
+    # never line up with the resampled/backfill grid). ONE batched
+    # aggregation finds every violating input — not a limit(1).count()
+    # probe job per raster, which serialized O(inputs) driver round-trips
+    # for many-input merges
     grid_ids = [
         m.raster_id
         for m in metas
@@ -279,7 +309,20 @@ def mosaic_merge(
         folded = allr.groupBy("tile_x", "tile_y").applyInPandas(fold, _MERGE_SCHEMA)
         bands = [band]
 
-    # native backfill of output tiles no input covered
+    return _merge_backfill(spark, folded, grid, fill, bands, tile_size, color_table)
+
+
+def _merge_backfill(
+    spark: SparkSession,
+    folded: DataFrame,
+    grid: dict,
+    fill: float,
+    bands: list[int],
+    tile_size: int,
+    color_table: list | None,
+) -> DataFrame:
+    """Native backfill of output tiles no input covered (+ -pct palette)."""
+    w, h = int(grid["width"]), int(grid["height"])
     ntx = (w + tile_size - 1) // tile_size
     nty = (h + tile_size - 1) // tile_size
     full = (
@@ -301,3 +344,153 @@ def mosaic_merge(
         # every output tile as a constant column
         out = out.withColumn("color_table", F.lit(color_table))
     return out
+
+
+def _merge_join_folded(
+    spark: SparkSession,
+    t: DataFrame,
+    metas: list,
+    grid: dict,
+    fill: float,
+    band: int,
+    separate: bool,
+    tile_size: int,
+) -> DataFrame:
+    """O(1)-plan-size merge core: resample + rank-fold in ONE grouped kernel.
+
+    The per-input resample branches of the branch plan are replaced by a
+    broadcast metas table: output tiles are enumerated natively, cross-
+    joined with the (tiny) metas table, each (output tile, raster) pair's
+    source-tile window is computed columnar-side from the per-raster grid
+    columns, non-overlapping pairs are dropped (the clip_to_source
+    equivalent), and a single equi-join on (raster_id, tile_x, tile_y)
+    pulls the source pixels. One groupBy on the output tile key then
+    resamples each raster's patch (R1 trunc rule — identical math to
+    operators.resample) and folds by input_rank with per-raster nodata
+    masking — plan size and job count are independent of input count.
+    """
+    ulx, uly = float(grid["origin_x"]), float(grid["origin_y"])
+    px_x, px_y = float(grid["px_x"]), float(grid["px_y"])
+    w, h = int(grid["width"]), int(grid["height"])
+
+    mdf = spark.createDataFrame(
+        [
+            (
+                m.raster_id, int(m.input_rank), bix + 1, float(m.origin_x),
+                float(m.origin_y), float(m.px_x), float(m.px_y),
+                int(m.width), int(m.height), float(m.nodata),
+            )
+            for bix, m in enumerate(metas)
+        ],
+        "raster_id string, input_rank int, band_ix int, s_ox double, s_oy double, "
+        "s_px double, s_py double, s_w int, s_h int, nodata_in double",
+    )
+
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    tgrid = (
+        spark.range(ntx).select(F.col("id").cast("int").alias("t_tx"))
+        .crossJoin(spark.range(nty).select(F.col("id").cast("int").alias("t_ty")))
+        .crossJoin(F.broadcast(mdf))
+    )
+    # world extent of each output tile -> per-raster source pixel range
+    # (pad 1) -> source tile range, clamped; non-overlap pairs drop out
+    # (same arithmetic as operators.resample, with meta columns in place
+    # of per-call literals)
+    x0 = F.lit(ulx) + F.col("t_tx") * tile_size * px_x
+    x1 = F.lit(ulx) + F.least((F.col("t_tx") + 1) * tile_size, F.lit(w)) * px_x
+    y0 = F.lit(uly) + F.col("t_ty") * tile_size * px_y
+    y1 = F.lit(uly) + F.least((F.col("t_ty") + 1) * tile_size, F.lit(h)) * px_y
+    sx0 = F.floor((F.least(x0, x1) - F.col("s_ox")) / F.col("s_px")) - 1
+    sx1 = F.floor((F.greatest(x0, x1) - F.col("s_ox")) / F.col("s_px")) + 1
+    sy0 = F.floor((F.greatest(y0, y1) - F.col("s_oy")) / F.col("s_py")) - 1
+    sy1 = F.floor((F.least(y0, y1) - F.col("s_oy")) / F.col("s_py")) + 1
+    ts = F.lit(tile_size)
+    tgrid = (
+        tgrid.withColumn("stx0", F.greatest(sx0 / ts, F.lit(0)).cast("int"))
+        .withColumn("stx1", F.least(sx1 / ts, F.floor((F.col("s_w") - 1) / ts)).cast("int"))
+        .withColumn("sty0", F.greatest(sy0 / ts, F.lit(0)).cast("int"))
+        .withColumn("sty1", F.least(sy1 / ts, F.floor((F.col("s_h") - 1) / ts)).cast("int"))
+        .filter((F.col("stx0") <= F.col("stx1")) & (F.col("sty0") <= F.col("sty1")))
+        .withColumn("stx", F.explode(F.sequence("stx0", "stx1")))
+        .withColumn("sty", F.explode(F.sequence("sty0", "sty1")))
+    )
+    cand = tgrid.join(
+        t.select(
+            "raster_id",
+            F.col("tile_x").alias("stx"),
+            F.col("tile_y").alias("sty"),
+            "tile_w",
+            "tile_h",
+            "pixels",
+        ),
+        ["raster_id", "stx", "sty"],
+        "left",
+    ).select(
+        "t_tx", "t_ty", "raster_id", "input_rank", "band_ix", "s_ox", "s_oy",
+        "s_px", "s_py", "s_w", "s_h", "nodata_in", "stx", "sty", "tile_w",
+        "tile_h", "pixels",
+    )
+
+    def _sample_one(g: pd.DataFrame, cx: np.ndarray, cy: np.ndarray) -> tuple[np.ndarray, float]:
+        """Nearest-resample one raster's joined tiles at the output pixel
+        centers (R1 trunc rule) -> (patch, nodata_in)."""
+        m = g.iloc[0]
+        s_px_, s_py_ = float(m.s_px), float(m.s_py)
+        s_w_, s_h_ = int(m.s_w), int(m.s_h)
+        nod = float(m.nodata_in)
+        sx = np.trunc((cx - float(m.s_ox)) / s_px_).astype(np.int64)
+        sy = np.trunc((cy - float(m.s_oy)) / s_py_).astype(np.int64)
+        acc = np.full((len(cy), len(cx)), nod)
+        for row in g.itertuples(index=False):
+            if row.pixels is None:
+                continue
+            gx0 = int(row.stx) * tile_size
+            gy0 = int(row.sty) * tile_size
+            patch = np.asarray(row.pixels, dtype=np.float64).reshape(
+                int(row.tile_h), int(row.tile_w)
+            )
+            in_x = (sx >= gx0) & (sx < gx0 + int(row.tile_w))
+            in_y = (sy >= gy0) & (sy < gy0 + int(row.tile_h))
+            if not in_x.any() or not in_y.any():
+                continue
+            xi = np.where(in_x)[0]
+            yi = np.where(in_y)[0]
+            acc[np.ix_(yi, xi)] = patch[np.ix_(sy[yi] - gy0, sx[xi] - gx0)]
+        oob_x = (sx < 0) | (sx >= s_w_)
+        oob_y = (sy < 0) | (sy >= s_h_)
+        acc[:, oob_x] = nod
+        acc[oob_y, :] = nod
+        return acc, nod
+
+    def fold_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t_tx, t_ty = int(key[0]), int(key[1])
+        tw = min(tile_size, w - t_tx * tile_size)
+        th = min(tile_size, h - t_ty * tile_size)
+        cx = ulx + (t_tx * tile_size + np.arange(tw) + 0.5) * px_x
+        cy = uly + (t_ty * tile_size + np.arange(th) + 0.5) * px_y
+        rows = []
+        out = np.full((th, tw), fill)
+        for (_, _rid), g in sorted(
+            pdf.groupby(["input_rank", "raster_id"], sort=False),
+            key=lambda kv: kv[0][0],
+        ):
+            acc, nod = _sample_one(g, cx, cy)
+            if separate:
+                rows.append(
+                    dict(
+                        tile_x=t_tx, tile_y=t_ty, tile_w=tw, tile_h=th,
+                        band=int(g.iloc[0].band_ix),
+                        pixels=np.where(acc != nod, acc, fill).ravel().tolist(),
+                    )
+                )
+            else:
+                out = np.where(acc != nod, acc, out)
+        if not separate:
+            rows.append(
+                dict(tile_x=t_tx, tile_y=t_ty, tile_w=tw, tile_h=th, band=band,
+                     pixels=out.ravel().tolist())
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in _MERGE_SCHEMA.fields])
+
+    return cand.groupBy("t_tx", "t_ty").applyInPandas(fold_kernel, _MERGE_SCHEMA)

@@ -441,6 +441,57 @@ class TestDissolveOverlayMosaic:
         with pytest.raises(ValueError, match="no color table"):
             mosaic_merge(spark, tiles, band=1, pct=True, tile_size=4)
 
+    def test_mosaic_merge_join_plan_matches_branch_plan(self, spark, tiles):
+        # the O(1)-plan-size join form must be value-identical to the
+        # per-input branch form on the real mixed-grid fixture
+        from gdal_common_python_spark.operators.mosaic import mosaic_merge
+
+        for kw in (
+            dict(raster_ids=["r0", "r3"], band=1),
+            dict(raster_ids=["r0", "r3"], band=1, separate=True, init=-1.0),
+        ):
+            b = mosaic_merge(spark, tiles, plan="branch", **kw).toPandas()
+            j = mosaic_merge(spark, tiles, plan="join", **kw).toPandas()
+            key = ["tile_x", "tile_y", "band"]
+            b = b.sort_values(key).reset_index(drop=True)
+            j = j.sort_values(key).reset_index(drop=True)
+            assert b[key].equals(j[key])
+            for bp, jp in zip(b.pixels, j.pixels):
+                np.testing.assert_array_equal(np.asarray(bp), np.asarray(jp))
+
+    def test_mosaic_merge_join_plan_many_inputs(self, spark):
+        # 40 shifted grids through both plans: identical output, and the
+        # join plan's physical plan carries ONE scan of the tile table
+        # (vs 40 resample branches in the branch plan)
+        import pandas as pd
+
+        from gdal_common_python_spark.operators.mosaic import mosaic_merge
+
+        rows = []
+        for i in range(40):
+            w = h = 4
+            rows.append(
+                dict(
+                    raster_id=f"s{i}", band=1, input_rank=i,
+                    origin_x=float(i % 7), origin_y=-float(i % 5),
+                    px_x=1.0, px_y=-1.0, width=w, height=h, nodata=-1.0,
+                    tile_x=0, tile_y=0, tile_w=w, tile_h=h, off_x=0, off_y=0,
+                    pixels=[float(i) if (k + i) % 3 else -1.0 for k in range(w * h)],
+                )
+            )
+        t = spark.createDataFrame(pd.DataFrame(rows))
+        b = mosaic_merge(spark, t, band=1, tile_size=4, plan="branch").toPandas()
+        j = mosaic_merge(spark, t, band=1, tile_size=4, plan="join").toPandas()
+        key = ["tile_x", "tile_y", "band"]
+        b = b.sort_values(key).reset_index(drop=True)
+        j = j.sort_values(key).reset_index(drop=True)
+        assert b[key].equals(j[key]) and len(b) > 0
+        for bp, jp in zip(b.pixels, j.pixels):
+            np.testing.assert_array_equal(np.asarray(bp), np.asarray(jp))
+        jp_plan = mosaic_merge(spark, t, band=1, tile_size=4, plan="join")
+        n_scans = jp_plan._jdf.queryExecution().optimizedPlan().toString().count("LogicalRDD")
+        assert n_scans <= 3, f"join plan re-scans the tile table {n_scans}x"
+
     def test_mosaic_merge_many_inputs_constant_probe_jobs(self, spark):
         from gdal_common_python_spark.operators.mosaic import mosaic_merge
 
