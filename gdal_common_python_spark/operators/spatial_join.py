@@ -128,6 +128,7 @@ def zone_cells(
     res: int,
     to_srid: int = 4326,
     with_bbox: bool = False,
+    with_anchor: bool = False,
 ) -> DataFrame:
     """Explode zones by bbox cell cover at `res` -> (zone_id, cell).
 
@@ -138,6 +139,13 @@ def zone_cells(
     consumer can bbox-prefilter candidates in codegen before any exact
     refinement — edge cells of the cover admit points far outside the zone,
     and dropping them JVM-side keeps them out of the Arrow exchange.
+
+    ``with_anchor=True`` carries the cover rectangle's min corner
+    (``zix0``, ``ziy0``): because a bbox cover is a contiguous index
+    rectangle, the minimum SHARED cell of two covers is simply
+    ``(max(ix0s), max(iy0s))`` — which lets a consumer emit each
+    (span, zone) pair exactly once with a codegen filter instead of a
+    dedup shuffle (see spatial_join_geoms).
     """
     if "bbox4326" in zones.columns:
         # ingest-time rectified bbox: no runtime transform at all
@@ -172,6 +180,9 @@ def zone_cells(
         return F.least(F.greatest(F.floor((col + F.lit(lo)) / F.lit(size)), F.lit(0)), F.lit(limit - 1))
 
     carry = ["xmin", "ymin", "xmax", "ymax"] if with_bbox else []
+    anchor = (
+        [F.col("ix0").alias("zix0"), F.col("iy0").alias("ziy0")] if with_anchor else []
+    )
     z = z.select(
         "zone_id",
         idx(F.col("xmin"), 180.0, w, n).alias("ix0"),
@@ -181,8 +192,11 @@ def zone_cells(
         *carry,
     )
     return (
-        z.select("zone_id", F.explode(F.sequence("ix0", "ix1")).alias("ix"), "iy0", "iy1", *carry)
-        .select("zone_id", "ix", F.explode(F.sequence("iy0", "iy1")).alias("iy"), *carry)
+        z.select(
+            "zone_id", F.explode(F.sequence("ix0", "ix1")).alias("ix"),
+            "iy0", "iy1", "ix0", *carry,
+        )
+        .select("zone_id", "ix", F.explode(F.sequence("iy0", "iy1")).alias("iy"), "ix0", "iy0", *carry)
         .select(
             "zone_id",
             (
@@ -190,6 +204,7 @@ def zone_cells(
                 + F.col("ix").cast("long") * F.lit(1 << _IX_SHIFT).cast("long")
                 + F.col("iy").cast("long")
             ).alias("cell"),
+            *anchor,
             *carry,
         )
     )
@@ -519,21 +534,65 @@ def spatial_join_geoms(
         )
     if res is None:
         res = pick_join_resolution(zones)
-    zc = zone_cells(spark, zones, res)
+    zc = zone_cells(spark, zones, res, with_anchor=True)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def cover(wkt: pd.Series) -> pd.Series:
-        out = []
+    # span bbox via one Arrow UDF (4 doubles out — not the cover array);
+    # the cover itself is the same native rectangle explode as zone_cells
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("xmin", T.DoubleType()),
+                T.StructField("ymin", T.DoubleType()),
+                T.StructField("xmax", T.DoubleType()),
+                T.StructField("ymax", T.DoubleType()),
+            ]
+        )
+    )
+    def span_bbox(wkt: pd.Series) -> pd.DataFrame:
+        rows = []
         for w in wkt:
             _, rings = geom.parse_wkt(w)
-            xmin, ymin, xmax, ymax = geom.rings_bbox(rings)
-            out.append(cellk.cover_bbox(xmin, ymin, xmax, ymax, res).tolist())
-        return pd.Series(out)
+            rows.append(geom.rings_bbox(rings))
+        return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
+    n_ = 1 << res
+    w_, h_ = 360.0 / n_, 180.0 / n_
+
+    def _idx(col, lo, size):
+        return F.least(
+            F.greatest(F.floor((col + F.lit(lo)) / F.lit(size)), F.lit(0)), F.lit(n_ - 1)
+        )
+
+    sp = (
+        spans.withColumn("__bb", span_bbox("wkt"))
+        .select(
+            *spans.columns,
+            _idx(F.col("__bb.xmin"), 180.0, w_).alias("sx0"),
+            _idx(F.col("__bb.xmax"), 180.0, w_).alias("sx1"),
+            _idx(F.col("__bb.ymin"), 90.0, h_).alias("sy0"),
+            _idx(F.col("__bb.ymax"), 90.0, h_).alias("sy1"),
+        )
+        .withColumn("ix", F.explode(F.sequence("sx0", "sx1")))
+        .withColumn("iy", F.explode(F.sequence("sy0", "sy1")))
+        .withColumn(
+            "cell",
+            F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+            + F.col("ix").cast("long") * F.lit(1 << _IX_SHIFT).cast("long")
+            + F.col("iy").cast("long"),
+        )
+    )
+    # report-once dedup WITHOUT a shuffle: both covers are contiguous index
+    # rectangles, so each (span, zone) pair shares a rectangle of cells and
+    # the pair is emitted only at that rectangle's min corner — a codegen
+    # filter replaces the dropDuplicates aggregation (which carried the wkt
+    # payload and therefore sort-aggregated the whole candidate table)
     cand = (
-        spans.withColumn("cell", F.explode(cover("wkt")))
-        .join(F.broadcast(zc) if rings_mode == "broadcast" else zc, "cell")
-        .dropDuplicates(["doc_id", "offset", "zone_id"])
+        sp.join(F.broadcast(zc) if rings_mode == "broadcast" else zc, "cell")
+        .filter(
+            (F.col("ix") == F.greatest("sx0", "zix0"))
+            & (F.col("iy") == F.greatest("sy0", "ziy0"))
+        )
+        .drop("sx0", "sx1", "sy0", "sy1", "ix", "iy", "zix0", "ziy0", "cell")
     )
 
     if rings_mode == "broadcast":

@@ -210,6 +210,18 @@ class TestSizeGatedBroadcasts:
             p2 = plan(out2)
         assert "BroadcastHashJoin" in p2, p2[:1500]
 
+    def test_geom_join_dedup_is_shuffle_free(self, spark, docs, zones):
+        # the (span, zone) report-once dedup must be the anchor-cell codegen
+        # filter, NOT an aggregation: dropDuplicates carrying the wkt payload
+        # compiles to first(string) which falls off HashAggregate onto
+        # SortAggregate — a full sort-shuffle of the candidate table
+        out = sj.spatial_join_geoms(spark, docs, zones, wkt_prefix="POLYGON")
+        p = plan(out)
+        assert "SortAggregate" not in p, [ln for ln in p.splitlines() if "Aggregate" in ln]
+        # no aggregate of any kind between the cell join and the refine —
+        # candidate dedup costs zero shuffles
+        assert "HashAggregate" not in p, [ln for ln in p.splitlines() if "Aggregate" in ln]
+
     def test_pair_candidates_grid_path_matches_broadcast(self, spark, zones):
         from gdal_common_python_spark.operators.overlay import _pair_candidates
 
