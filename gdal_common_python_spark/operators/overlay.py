@@ -51,8 +51,8 @@ def _pair_candidates_info(
     Dimension-sized right sides broadcast into a bbox theta join; past
     `broadcast_limit` rows (bounded limit+count probe) the plan dispatches
     to a coarse-grid cell equi-join — both sides explode their bbox onto a
-    data-sized grid, join on the cell, dedupe the pair and keep the exact
-    bbox-overlap residual. Fully distributed: shuffles on uniform grid keys
+    data-sized grid, join on the cell, keep the exact bbox-overlap residual,
+    and report each pair once via a min-shared-cell filter (no dedup shuffle). Fully distributed: shuffles on uniform grid keys
     instead of materializing the right side on the driver (the scale plan
     for G2-G8 overlays and dissolve's component pairing).
 
@@ -97,34 +97,53 @@ def _pair_candidates_info(
         float(stl["w"] or 0.0), float(stl["h"] or 0.0), 1e-9,
     )
 
-    def with_cells(df, bbox, grow):
-        return df.withColumn(
-            "__cx",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col(f"{bbox}.xmin") - grow) / cs).cast("long"),
-                    F.floor((F.col(f"{bbox}.xmax") + grow) / cs).cast("long"),
-                )
-            ),
-        ).withColumn(
-            "__cy",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col(f"{bbox}.ymin") - grow) / cs).cast("long"),
-                    F.floor((F.col(f"{bbox}.ymax") + grow) / cs).cast("long"),
-                )
-            ),
+    def with_cells(df, bbox, grow, x0, y0):
+        # carry the cover rectangle's min corner (x0, y0): each pair shares
+        # a contiguous cell rectangle, so it can be report-once filtered at
+        # the min shared cell below instead of dedup-shuffled
+        return (
+            df.withColumn(
+                x0, F.floor((F.col(f"{bbox}.xmin") - grow) / cs).cast("long")
+            )
+            .withColumn(
+                y0, F.floor((F.col(f"{bbox}.ymin") - grow) / cs).cast("long")
+            )
+            .withColumn(
+                "__cx",
+                F.explode(
+                    F.sequence(
+                        F.col(x0),
+                        F.floor((F.col(f"{bbox}.xmax") + grow) / cs).cast("long"),
+                    )
+                ),
+            )
+            .withColumn(
+                "__cy",
+                F.explode(
+                    F.sequence(
+                        F.col(y0),
+                        F.floor((F.col(f"{bbox}.ymax") + grow) / cs).cast("long"),
+                    )
+                ),
+            )
         )
 
     # pad expands only the left cover (sufficient: any pair within pad has
     # the right bbox inside the left's padded cover)
-    lc = with_cells(l, "l_bbox", pd_)
-    rc = with_cells(r, "r_bbox", F.lit(0.0))
+    lc = with_cells(l, "l_bbox", pd_, "__lx0", "__ly0")
+    rc = with_cells(r, "r_bbox", F.lit(0.0), "__rx0", "__ry0")
+    # report-once WITHOUT a shuffle: both covers are contiguous cell
+    # rectangles, so the pair appears exactly once at the min shared cell —
+    # a codegen filter replaces dropDuplicates, which carried both sides'
+    # ring arrays and therefore sort-aggregated the whole candidate table
     return (
         lc.join(rc, ["__cx", "__cy"])
         .filter(cond)
-        .dropDuplicates(["l_id", "r_id"])
-        .drop("__cx", "__cy")
+        .filter(
+            (F.col("__cx") == F.greatest("__lx0", "__rx0"))
+            & (F.col("__cy") == F.greatest("__ly0", "__ry0"))
+        )
+        .drop("__cx", "__cy", "__lx0", "__ly0", "__rx0", "__ry0")
     ), False
 
 

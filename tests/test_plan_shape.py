@@ -232,3 +232,15 @@ class TestSizeGatedBroadcasts:
             for r in _pair_candidates(spark, z, z, broadcast_limit=0).select("l_id", "r_id").collect()
         }
         assert bc == grid and len(bc) > 0
+
+    def test_pair_candidates_grid_path_dedup_is_shuffle_free(self, spark, zones):
+        # the grid path's report-once dedup must be the min-shared-cell
+        # codegen filter, not dropDuplicates: the candidate table carries
+        # both sides' ring arrays, so an aggregate would sort-shuffle them
+        from gdal_common_python_spark.operators.overlay import _pair_candidates
+
+        z = zones.select("zone_id", F.col("rings4326").alias("rings"), F.col("bbox4326").alias("bbox"))
+        out = _pair_candidates(spark, z, z, broadcast_limit=0)
+        p = plan(out)
+        assert "SortAggregate" not in p, [ln for ln in p.splitlines() if "Aggregate" in ln]
+        assert "HashAggregate" not in p, [ln for ln in p.splitlines() if "Aggregate" in ln]
