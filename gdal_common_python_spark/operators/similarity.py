@@ -130,19 +130,18 @@ def ivf_topk(
     base = _spread(
         emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
     ).withColumn("probe_list", probes(F.col("v")))
-    # inverted file: every vector belongs to its NEAREST centroid's list
-    members = base.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("vb"),
-        F.element_at("probe_list", 1).alias("cluster_id"),
-    )
-    queries = base.select(
-        "vec_id", F.col("v").alias("va"), F.explode("probe_list").alias("cluster_id")
+    # ONE exploded table serves both IVF roles: pos==0 marks the vector's
+    # NEAREST centroid (its inverted-list membership); every row is a probe.
+    # Feeding a cogroup from two branches of this same lineage would scan
+    # the table and run the assignment GEMM twice — a single grouped UDF
+    # over the tagged explode does one scan and one shuffle instead
+    ex = base.select(
+        "vec_id", "v", F.posexplode("probe_list").alias("pos", "cluster_id")
     )
 
-    # per-cluster GEMM re-rank (cogroup) instead of a query x member row
-    # explosion: the shuffle carries n_probe rows per query + 1 per member
-    # (embedding payload once each), not |probe| x |list| candidate pairs;
+    # per-cluster GEMM re-rank (grouped UDF) instead of a query x member row
+    # explosion: the shuffle carries n_probe rows per query (embedding
+    # payload per probe), not |probe| x |list| candidate pairs;
     # per-cluster top-k is sufficient — the global top-k is a member of its
     # own cluster's top-k, so the final window over <= n_probe*k candidate
     # rows per query recovers the exact same ranking the pair plan produced
@@ -155,13 +154,14 @@ def ivf_topk(
         ]
     )
 
-    def rerank(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(mpdf) == 0:
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        mpdf = pdf[pdf["pos"] == 0]
+        if len(pdf) == 0 or len(mpdf) == 0:
             return pd.DataFrame(columns=["vec_id", "neighbor_id", "cos"])
-        qids = qpdf["vec_id"].to_numpy()
-        mids = mpdf["neighbor_id"].to_numpy()
-        Q = np.stack([np.asarray(x, dtype=np.float64) for x in qpdf["va"]])
-        M = np.stack([np.asarray(x, dtype=np.float64) for x in mpdf["vb"]])
+        qids = pdf["vec_id"].to_numpy()
+        mids = mpdf["vec_id"].to_numpy()
+        Q = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in mpdf["v"]])
         qn = np.linalg.norm(Q, axis=1)
         mn = np.linalg.norm(M, axis=1)
         qn[qn == 0] = 1.0
@@ -180,9 +180,7 @@ def ivf_topk(
         # (string ids survive the Arrow cast; numeric ids unaffected)
         return pd.DataFrame({"vec_id": rows_v, "neighbor_id": rows_n, "cos": rows_c})
 
-    cand = queries.groupBy("cluster_id").cogroup(members.groupBy("cluster_id")).applyInPandas(
-        rerank, cand_schema
-    )
+    cand = ex.groupBy("cluster_id").applyInPandas(rerank, cand_schema)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))

@@ -460,7 +460,11 @@ def spatial_join_points_distributed(
         zone_edges = zone_edges_df(zones)
     edges = zone_edges.select("zone_id", "ex1", "ey1", "ex2", "ey2")
     if strategy == "broadcast" or (
-        strategy == "auto" and edges.count() <= broadcast_edge_limit
+        # bounded probe: limit(N+1).count() early-stops at N+1 rows, so the
+        # dispatch never pays a full scan of the exploded edge table (which
+        # is proportional to total ring vertices on a big zone side)
+        strategy == "auto"
+        and edges.limit(broadcast_edge_limit + 1).count() <= broadcast_edge_limit
     ):
         edges = F.broadcast(edges)
     crossing = ((F.col("ey1") > F.col("y")) != (F.col("ey2") > F.col("y"))) & (
