@@ -19,6 +19,8 @@ At 100 TB these shapes hold: everything is a groupBy/join on a hash key
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, functions as F
 
 from .util import track_persisted
@@ -119,10 +121,21 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 4, rows: int = 4) -> Dat
     banded = banded.cache()
     a = banded.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bkey")
     b = banded.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bkey")
+    # report-once WITHOUT a dedup shuffle: a pair matching several bands is
+    # kept only at its MINIMUM agreeing band, decided in codegen from the
+    # two signatures already on the row (slice equality per lower band)
+    def _band_agree(k: int):
+        return F.slice("a_sig", k * rows + 1, rows) == F.slice("b_sig", k * rows + 1, rows)
+
+    lower_agrees = reduce(
+        lambda acc, k: acc | ((F.col("band") > k) & _band_agree(k)),
+        range(bands - 1),
+        F.lit(False),
+    )
     pairs = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
+        .filter(~lower_agrees)
     )
     est = (
         F.size(F.filter(F.zip_with("a_sig", "b_sig", lambda x, y: x == y), lambda e: e))
@@ -198,10 +211,26 @@ def simhash_candidate_pairs(
     banded = banded.cache()
     a = banded.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"), "band", "bkey")
     b = banded.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"), "band", "bkey")
+    # report-once WITHOUT a dedup shuffle: keep the pair only at its MINIMUM
+    # agreeing band — lower-band agreement is plain shift/mask equality on
+    # the two fingerprints already on the row, so a codegen filter replaces
+    # the dropDuplicates aggregation
+    def _band_agree(k: int):
+        m = F.lit((1 << bw) - 1)
+        return (
+            F.shiftright("a_sig", k * bw).bitwiseAND(m)
+            == F.shiftright("b_sig", k * bw).bitwiseAND(m)
+        )
+
+    lower_agrees = reduce(
+        lambda acc, k: acc | ((F.col("band") > k) & _band_agree(k)),
+        range(bands - 1),
+        F.lit(False),
+    )
     pairs = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
+        .filter(~lower_agrees)
     )
     ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
     return track_persisted(

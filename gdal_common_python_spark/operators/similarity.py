@@ -16,6 +16,8 @@ the LSH plan is a bucket groupBy (uniform hash keys) + per-bucket re-rank.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
@@ -289,22 +291,44 @@ def lsh_near_dup(
     )
     for t in range(n_tables):
         v = v.withColumn(f"b{t}", _bucket(F.col("v"), n_planes, dim, salt=f"t{t}:"))
+    # all table buckets ride through the explode: lower-table agreement is
+    # then a plain int equality on the joined row, so the report-once dedup
+    # (keep the pair only at its MINIMUM colliding table) is a codegen
+    # filter instead of a dropDuplicates shuffle of vector payloads
+    blist = [f"b{t}" for t in range(n_tables)]
     tabs = v.select(
         "vec_id",
         "v",
+        *blist,
         F.explode(
             F.array(*[
                 F.struct(F.lit(t).alias("tab"), F.col(f"b{t}").alias("bucket"))
                 for t in range(n_tables)
             ])
         ).alias("tb"),
-    ).select("vec_id", "v", F.col("tb.tab").alias("tab"), F.col("tb.bucket").alias("bucket"))
-    a = tabs.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "tab", "bucket")
-    b = tabs.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "tab", "bucket")
+    ).select(
+        "vec_id", "v", *blist,
+        F.col("tb.tab").alias("tab"), F.col("tb.bucket").alias("bucket"),
+    )
+    a = tabs.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+        *[F.col(c).alias(f"a_{c}") for c in blist], "tab", "bucket",
+    )
+    b = tabs.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+        *[F.col(c).alias(f"b_{c}") for c in blist], "tab", "bucket",
+    )
+    lower_collides = reduce(
+        lambda acc, t: acc
+        | ((F.col("tab") > t) & (F.col(f"a_b{t}") == F.col(f"b_b{t}"))),
+        range(n_tables - 1),
+        F.lit(False),
+    )
     cand = (
         a.join(b, ["tab", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
+        .filter(~lower_collides)
+        .drop(*[f"a_{c}" for c in blist], *[f"b_{c}" for c in blist])
     )
     # Arrow-batched einsum instead of an interpreted HOF fold per pair —
     # the exact-cosine verify is the hot path once buckets produce
