@@ -40,6 +40,9 @@ def get_spark(app: str = "gdal_common_python_spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.files.maxPartitionBytes", "32m")
+        # iterative operators (connected_components) reliable-checkpoint per
+        # round; clean the files when their RDDs are GC'd
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # this sandbox kernel (firecracker-style) degrades badly under
