@@ -122,7 +122,9 @@ def connected_components(
     ).distinct()
     sym = sym.cache()
     labels = zones.select(FF.col("zone_id"), FF.col("zone_id").alias("component"))
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # each node adopts the min label among itself and its neighbours
         neigh = (
             sym.join(labels, sym["r_id"] == labels["zone_id"])
@@ -166,7 +168,10 @@ def connected_components(
     # handle
     from .util import track_persisted
 
-    return track_persisted(labels, sym)
+    out = track_persisted(labels, sym)
+    # diagnostics for tests/monitoring: rounds to converge (O(log diameter))
+    out._gcp_cc_rounds = rounds
+    return out
 
 
 _PARTIAL_SCHEMA = T.StructType(

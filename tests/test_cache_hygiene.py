@@ -78,15 +78,24 @@ class TestCacheHygiene:
         from gdal_common_python_spark.operators.dissolve import connected_components
 
         # chain of overlapping squares -> needs several label iterations;
-        # superseded per-iteration label tables must be unpersisted in-loop
+        # per-iteration label tables are reliable-checkpointed, not cached
         zones = _mk_zones(spark, [(float(i), 0.0, float(i) + 1.5, 1.0) for i in range(8)])
         before = n_persistent(spark)
         out = connected_components(spark, zones)
         got = out.collect()
         # one component across the chain
         assert len({r.component for r in got}) == 1
-        # while live: at most the pair table + the final labels stay cached
-        assert n_persistent(spark) <= before + 2
+        # while live: only the symmetric pair table stays cached
+        assert n_persistent(spark) <= before + 1
+        # path halving converges in O(log diameter), not O(diameter):
+        # a diameter-7 chain must finish well under 7 propagation rounds
+        assert out._gcp_cc_rounds <= 5
+        # the returned plan is checkpoint-truncated — NOT the exponential
+        # iteration lineage (regression guard: pre-fix, analysis cost of the
+        # full chain plan reached minutes)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan
+        assert len(plan) < 4000
         release(out)
         assert n_persistent(spark) == before
 
