@@ -122,6 +122,19 @@ def connected_components(
     ).distinct()
     sym = sym.cache()
     labels = zones.select(FF.col("zone_id"), FF.col("zone_id").alias("component"))
+
+    def _label_sum(df) -> object:
+        # labels decrease monotonically pointwise (every update is a min of
+        # current values; the halving hop maps L -> label[L] <= L), so the
+        # label-sum strictly decreases iff ANY label changed — an O(1)-state
+        # aggregate convergence probe on the just-checkpointed table instead
+        # of a join against the previous round. decimal(38) keeps the sum
+        # exact at any row count (1e12 rows x int64 ids < 1e38).
+        return df.agg(
+            FF.sum(FF.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
@@ -153,16 +166,11 @@ def connected_components(
             # (see docstring); adds no persistent-RDD storage
             .checkpoint(eager=True)
         )
-        changed = (
-            labels.alias("a")
-            .join(new_labels.alias("b"), "zone_id")
-            .filter(FF.col("a.component") != FF.col("b.component"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     # labels is checkpoint-backed (reads replay from checkpoint files, never
     # through the iteration chain); sym's cache rides along as the release()
     # handle
