@@ -550,6 +550,34 @@ def q_text_profile(spark, sf_dir):
     return text_ops.text_profile(_t(spark, sf_dir, "documents"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Training-set decontamination: corpus docs sharing any word 3-gram
+    with the benchmark slice (doc_id % 97 == 0) — per-doc distinct-shingle
+    hit counts via a size-gated broadcast semi join on md5(shingle)."""
+    from gdal_common_python_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    out = curation.decontaminate(corpus, bench, n=3)
+    return out.select(
+        "doc_id", "n_hits", F.col("n_shingles").cast("long").alias("n_shingles"), "hit_frac"
+    )
+
+
+def q_quota_sample(spark, sf_dir):
+    """Deterministic per-language mixing sample: keep iff the md5-derived
+    uniform draw falls under the language's quota (zh rate 0 -> dropped).
+    Pure narrow filter — stable under repartitioning and resume."""
+    from gdal_common_python_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.125}
+    return curation.quota_sample(docs, rates, group_col="lang").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_events_dates(spark, sf_dir):
     # the driver owns the session; timestamp semantics must not depend on
     # its timezone — force UTC (runtime-settable) like the oracle's naive ts
@@ -635,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "text_profile": q_text_profile,
+        "decontaminate": q_decontaminate,
+        "quota_sample": q_quota_sample,
         "events_dates": q_events_dates,
         "pricing_summary": q_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
@@ -1193,6 +1223,25 @@ SELECT p.a_id, p.b_id,
 FROM pairs p JOIN sh sa ON sa.doc_id = p.a_id JOIN sh sb ON sb.doc_id = p.b_id
 """
 
+_SQL_DECONTAMINATE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+doc AS (SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s
+        FROM sh WHERE doc_id % 97 <> 0)
+SELECT d.doc_id, count(*) AS n_hits, any_value(d.n_shingles) AS n_shingles,
+       CAST(count(*) AS DOUBLE) / any_value(d.n_shingles) AS hit_frac
+FROM doc d JOIN bench b ON d.s = b.s
+GROUP BY d.doc_id
+"""
+
+_SQL_QUOTA_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      / 4294967296.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                  WHEN 'fr' THEN 0.125 WHEN 'es' THEN 0.125 ELSE 0.0 END
+"""
+
 _SQL_SIMHASH = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
@@ -1606,6 +1655,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING_COSINE,
         "text_profile": _SQL_TEXT_PROFILE,
+        "decontaminate": _SQL_DECONTAMINATE,
+        "quota_sample": _SQL_QUOTA_SAMPLE,
         "events_dates": _SQL_EVENTS_DATES,
         "pricing_summary": _SQL_PRICING,
         "orders_by_segment": _SQL_ORDERS_SEGMENT,

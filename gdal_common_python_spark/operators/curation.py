@@ -1,0 +1,106 @@
+"""Training-data curation operators beyond the reference's surface:
+benchmark decontamination and deterministic quota (mixing) sampling.
+
+These are LLM-pipeline first-class ops (brief: dedup/similarity/text suite).
+The reference has no analog — cited scope is the engine's documents table
+(TESTDATA.md) and the shingle machinery shared with operators.dedup.
+
+Scale shape:
+- decontaminate: the benchmark/eval set is tiny next to the corpus, so its
+  distinct n-gram hash set broadcasts into a map-side semi join against the
+  exploded corpus shingles — corpus-side work is one narrow projection +
+  one partial-aggregated groupBy(doc_id); no corpus self-join, no skew key
+  (md5 keys are uniform). Past the byte gate the join degrades to a
+  shuffle hash join on the same uniform keys.
+- quota_sample: a pure narrow filter on md5(salt:id) — zero shuffle, exactly
+  reproducible across runs, partitioning and cluster sizes, and restartable
+  for free (the keep decision is a pure function of the row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import shingles_col
+from .util import broadcastable
+
+__all__ = ["decontaminate", "quota_sample"]
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 1_000_000,
+) -> DataFrame:
+    """Flag corpus docs sharing any word n-gram with a benchmark/eval table
+    (training-set decontamination). Returns one row per contaminated doc:
+    (doc_id, n_hits, n_shingles, hit_frac) where n_hits counts the doc's
+    DISTINCT shingles that appear anywhere in the benchmark.
+
+    Joins on md5(shingle) (fixed-width uniform keys) rather than raw
+    n-gram strings; the benchmark side is distinct-reduced before the
+    size-gated broadcast.
+    """
+    bench_sh = (
+        benchmark.select(F.explode(shingles_col(text_col, n)).alias("__sh"))
+        .select(F.md5("__sh").alias("__h"))
+        .distinct()
+    )
+    if broadcastable(bench_sh, broadcast_limit):
+        bench_sh = F.broadcast(bench_sh)
+    # one-element explode barrier around the shingle build (same trick as
+    # spatial_join.geo_points): referencing the array from BOTH size() and
+    # explode() in one projection lets codegen re-inline the whole
+    # array_distinct(transform(...)) per exploded row once the join's
+    # constraints propagate — measured 20x slowdown. Below a Generate the
+    # array is a bound attribute and is computed exactly once per doc.
+    doc_arr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(F.struct(shingles_col(text_col, n).alias("arr")))).alias("__b"),
+    ).select("doc_id", F.col("__b.arr").alias("__arr"))
+    doc_sh = doc_arr.select(
+        "doc_id",
+        F.size("__arr").alias("n_shingles"),
+        F.explode("__arr").alias("__sh"),
+    ).withColumn("__h", F.md5("__sh"))
+    return (
+        doc_sh.join(bench_sh, "__h")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_shingles",
+            (F.col("n_hits").cast("double") / F.col("n_shingles")).alias("hit_frac"),
+        )
+    )
+
+
+def quota_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix1",
+) -> DataFrame:
+    """Deterministic per-group quota sampling for training-data mixing:
+    keep a row iff frac(md5(salt:id)) < rate(group), where frac reads the
+    first 8 hex digits as a uniform draw in [0, 1). Groups missing from
+    `rates` are dropped (rate 0). Unlike df.sample, the keep decision is a
+    pure row function: stable under repartitioning, retries and resume.
+    """
+    draw = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 32))
+    if not rates:
+        return docs.filter(F.lit(False))
+    mapping = F.create_map(
+        *[x for key, val in sorted(rates.items()) for x in (F.lit(key), F.lit(float(val)))]
+    )
+    rate = F.coalesce(mapping[F.col(group_col)], F.lit(0.0))
+    return docs.filter(draw < rate)

@@ -1,0 +1,57 @@
+"""Curation operators: benchmark decontamination + deterministic quota
+sampling (training-data mixing). Driver gates pin these hash-exact against
+DuckDB; here we pin the planted-case semantics and the determinism contract.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+class TestCuration:
+    def test_decontaminate_planted(self, spark):
+        from gdal_common_python_spark.operators.curation import decontaminate
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    dict(doc_id=1, text="a b c d e f"),  # shares "b c d","c d e"
+                    dict(doc_id=2, text="x y z w q r"),  # disjoint
+                    dict(doc_id=3, text="c d e x x x"),  # shares "c d e" only
+                ]
+            )
+        )
+        bench = spark.createDataFrame(pd.DataFrame([dict(doc_id=9, text="b c d e")]))
+        out = {r.doc_id: r for r in decontaminate(docs, bench, n=3).collect()}
+        assert set(out) == {1, 3}
+        assert out[1].n_hits == 2 and out[3].n_hits == 1
+        assert out[1].n_shingles == 4
+        assert abs(out[1].hit_frac - 0.5) < 1e-12
+
+    def test_quota_sample_deterministic_and_rated(self, spark):
+        from gdal_common_python_spark.operators.curation import quota_sample
+
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+        )
+        out = quota_sample(docs, {"en": 0.5}, group_col="lang")
+        rows = {(r.doc_id, r.lang) for r in out.collect()}
+        # groups with no configured rate are dropped entirely
+        assert all(lang == "en" for _, lang in rows)
+        # md5 draw ~ Uniform(0,1): 1000 en docs at rate 0.5
+        assert 350 < len(rows) < 650
+        # the keep decision is a pure row function: repartitioning must not
+        # change the sample (df.sample would)
+        again = {
+            (r.doc_id, r.lang)
+            for r in quota_sample(
+                docs.repartition(7), {"en": 0.5}, group_col="lang"
+            ).collect()
+        }
+        assert rows == again
+
+    def test_quota_sample_empty_rates(self, spark):
+        from gdal_common_python_spark.operators.curation import quota_sample
+
+        docs = spark.range(10).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+        assert quota_sample(docs, {}, group_col="lang").count() == 0
