@@ -550,6 +550,12 @@ def q_text_profile(spark, sf_dir):
     return text_ops.text_profile(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style repetition signals (dup n-gram fractions, top-token
+    share, threshold flag) — narrow HOF arithmetic + one uniform-key agg."""
+    return text_ops.repetition_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_decontaminate(spark, sf_dir):
     """Training-set decontamination: corpus docs sharing any word 3-gram
     with the benchmark slice (doc_id % 97 == 0) — per-doc distinct-shingle
@@ -663,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "text_profile": q_text_profile,
+        "repetition_profile": q_repetition_profile,
         "decontaminate": q_decontaminate,
         "quota_sample": q_quota_sample,
         "events_dates": q_events_dates,
@@ -1223,6 +1230,43 @@ SELECT p.a_id, p.b_id,
 FROM pairs p JOIN sh sa ON sa.doc_id = p.a_id JOIN sh sb ON sb.doc_id = p.b_id
 """
 
+_SQL_REPETITION = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         len(trim(text)) = 0 AS blank
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, max(c) / sum(c) AS top_tok_frac
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM d WHERE NOT blank)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+g AS (
+  SELECT doc_id, blank,
+         CASE WHEN blank THEN 0 ELSE len(toks) END AS n_tokens,
+         list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) AS g2,
+         list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) AS g3
+  FROM d
+)
+SELECT g.doc_id, g.n_tokens,
+       coalesce(fr.top_tok_frac, 0.0) AS top_tok_frac,
+       CASE WHEN g.blank OR len(g.g2) <= 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2) END
+         AS dup_2gram_frac,
+       CASE WHEN g.blank OR len(g.g3) <= 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(g.g3)) AS DOUBLE) / len(g.g3) END
+         AS dup_3gram_frac,
+       (coalesce(fr.top_tok_frac, 0.0) > 0.3
+        OR CASE WHEN g.blank OR len(g.g2) <= 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2) END > 0.2)
+         AS flagged
+FROM g LEFT JOIN fr ON fr.doc_id = g.doc_id
+"""
+
 _SQL_DECONTAMINATE = f"""
 WITH sh AS ({_SQL_SHINGLES}),
 bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
@@ -1655,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING_COSINE,
         "text_profile": _SQL_TEXT_PROFILE,
+        "repetition_profile": _SQL_REPETITION,
         "decontaminate": _SQL_DECONTAMINATE,
         "quota_sample": _SQL_QUOTA_SAMPLE,
         "events_dates": _SQL_EVENTS_DATES,

@@ -75,6 +75,69 @@ def fingerprint(text: Column, length: int = 16) -> Column:
     return F.substring(F.md5(norm), 1, length)
 
 
+def _ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams WITH duplicates (repetition signals need multiplicity;
+    dedup's shingles_col distinct-reduces)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def repetition_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition signals per doc:
+    (doc_id, n_tokens, top_tok_frac, dup_2gram_frac, dup_3gram_frac,
+    flagged). dup_Ngram_frac = 1 - distinct/total n-grams; top_tok_frac =
+    most frequent token's share; flagged applies the usual repetition
+    thresholds (top token > 0.3 or duplicated 2-grams > 0.2).
+
+    Scale shape: the n-gram fractions are pure narrow HOF arithmetic (zero
+    shuffle); the token-frequency mode is one partial-aggregated
+    groupBy(doc, token) + one groupBy(doc) — shuffle keys are (doc, token),
+    uniform by construction. Blank docs profile as zeros, unflagged.
+    """
+    # one-element explode barrier: the token array feeds four consumers —
+    # without the Generate, CollapseProject re-inlines the regexp split
+    # into every usage (see curation.decontaminate for the measured cost)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(F.struct(tokens(F.col(text_col)).alias("t")))).alias("__b"),
+        (F.length(F.trim(F.col(text_col))) == 0).alias("__blank"),
+    ).select("doc_id", F.col("__b.t").alias("__toks"), "__blank")
+
+    def dup_frac(n: int) -> Column:
+        g = _ngrams(F.col("__toks"), n)
+        total = F.size(g).cast("double")
+        return F.when(
+            F.col("__blank") | (total <= 0), F.lit(0.0)
+        ).otherwise(1.0 - F.size(F.array_distinct(g)).cast("double") / total)
+
+    grams = base.select(
+        "doc_id",
+        F.when(F.col("__blank"), F.lit(0)).otherwise(F.size("__toks")).alias("n_tokens"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+    freq = (
+        base.filter(~F.col("__blank"))
+        .select("doc_id", F.explode("__toks").alias("__tok"))
+        .groupBy("doc_id", "__tok")
+        .count()
+        .groupBy("doc_id")
+        .agg((F.max("count") / F.sum("count")).alias("top_tok_frac"))
+    )
+    return (
+        grams.join(freq, "doc_id", "left")
+        .withColumn("top_tok_frac", F.coalesce("top_tok_frac", F.lit(0.0)))
+        .withColumn(
+            "flagged",
+            (F.col("top_tok_frac") > 0.3) | (F.col("dup_2gram_frac") > 0.2),
+        )
+    )
+
+
 def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     t = F.col(text_col)
     return docs.select(

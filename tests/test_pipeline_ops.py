@@ -159,6 +159,27 @@ class TestText:
         assert 0.0 <= out["d1"].quality <= 1.0
         assert out["d1"].fp == out["d2"].fp != out["d3"].fp
 
+    def test_repetition_profile_planted(self, spark):
+        import pandas as pd
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    # "a b" 2-gram repeats: 2-grams = [ab, ba, ab, ba, ab] -> 2/5 distinct
+                    dict(doc_id=1, text="a b a b a b"),
+                    dict(doc_id=2, text="w x y z"),  # all distinct
+                    dict(doc_id=3, text=" "),  # blank
+                ]
+            )
+        )
+        out = {r.doc_id: r for r in text_ops.repetition_profile(docs).collect()}
+        assert out[1].n_tokens == 6
+        assert abs(out[1].dup_2gram_frac - (1 - 2 / 5)) < 1e-12
+        assert abs(out[1].top_tok_frac - 0.5) < 1e-12
+        assert out[1].flagged
+        assert out[2].dup_2gram_frac == 0.0 and not out[2].flagged
+        assert out[3].n_tokens == 0 and out[3].top_tok_frac == 0.0 and not out[3].flagged
+
 
 class TestMultimodal:
     def test_media_features_plumbing(self, docs):
