@@ -49,15 +49,20 @@ def exact_duplicates(
     )
 
 
+def ngrams_col(toks, n: int):
+    """Word n-grams WITH duplicates over a token-array column (native HOFs).
+    The single source of the n-gram formula — the DuckDB oracles mirror it,
+    so every consumer (shingles, repetition stats) must share it."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
 def shingles_col(text_col: str = "text", n: int = 3):
     """Word n-gram shingles as a distinct array column (native HOFs)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    return F.array_distinct(ngrams_col(toks, n))
 
 
 def minhash_docs(docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

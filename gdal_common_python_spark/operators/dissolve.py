@@ -123,18 +123,35 @@ def connected_components(
     sym = sym.cache()
     labels = zones.select(FF.col("zone_id"), FF.col("zone_id").alias("component"))
 
+    # labels decrease monotonically pointwise (every update is a min of
+    # current values; the halving hop maps L -> label[L] <= L), so for
+    # NUMERIC ids the label-sum strictly decreases iff ANY label changed —
+    # an O(1)-state aggregate convergence probe on the just-checkpointed
+    # table instead of a join against the previous round. decimal(38)
+    # keeps the sum exact at any row count (1e12 rows x int64 ids < 1e38).
+    # Non-numeric ids (string zone keys) have no sum image that preserves
+    # the lexicographic min order — those keep the inequality-join probe.
+    numeric_ids = isinstance(
+        zones.schema["zone_id"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
+
     def _label_sum(df) -> object:
-        # labels decrease monotonically pointwise (every update is a min of
-        # current values; the halving hop maps L -> label[L] <= L), so the
-        # label-sum strictly decreases iff ANY label changed — an O(1)-state
-        # aggregate convergence probe on the just-checkpointed table instead
-        # of a join against the previous round. decimal(38) keeps the sum
-        # exact at any row count (1e12 rows x int64 ids < 1e38).
         return df.agg(
             FF.sum(FF.col("component").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
 
-    prev_sum = _label_sum(labels)
+    def _changed(prev_df, new_df) -> bool:
+        return (
+            prev_df.alias("a")
+            .join(new_df.alias("b"), "zone_id")
+            .filter(FF.col("a.component") != FF.col("b.component"))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
@@ -166,11 +183,15 @@ def connected_components(
             # (see docstring); adds no persistent-RDD storage
             .checkpoint(eager=True)
         )
-        cur_sum = _label_sum(new_labels)
+        if numeric_ids:
+            cur_sum = _label_sum(new_labels)
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = not _changed(labels, new_labels)
         labels = new_labels
-        if cur_sum == prev_sum:
+        if converged:
             break
-        prev_sum = cur_sum
     # labels is checkpoint-backed (reads replay from checkpoint files, never
     # through the iteration chain); sym's cache rides along as the release()
     # handle

@@ -75,15 +75,6 @@ def fingerprint(text: Column, length: int = 16) -> Column:
     return F.substring(F.md5(norm), 1, length)
 
 
-def _ngrams(toks: Column, n: int) -> Column:
-    """Word n-grams WITH duplicates (repetition signals need multiplicity;
-    dedup's shingles_col distinct-reduces)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-
-
 def repetition_profile(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -108,7 +99,9 @@ def repetition_profile(
     ).select("doc_id", F.col("__b.t").alias("__toks"), "__blank")
 
     def dup_frac(n: int) -> Column:
-        g = _ngrams(F.col("__toks"), n)
+        from .dedup import ngrams_col
+
+        g = ngrams_col(F.col("__toks"), n)
         total = F.size(g).cast("double")
         return F.when(
             F.col("__blank") | (total <= 0), F.lit(0.0)

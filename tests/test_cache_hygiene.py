@@ -99,6 +99,19 @@ class TestCacheHygiene:
         release(out)
         assert n_persistent(spark) == before
 
+    def test_connected_components_string_ids(self, spark):
+        # non-numeric zone ids have no sum image preserving the min order —
+        # the convergence probe must fall back to the inequality join
+        # (regression: a null decimal cast made round 1 look converged)
+        from gdal_common_python_spark.operators.dissolve import connected_components
+
+        zones = _mk_zones(
+            spark, [(float(i), 0.0, float(i) + 1.5, 1.0) for i in range(5)]
+        ).withColumn("zone_id", F.concat(F.lit("z"), F.col("zone_id")))
+        got = connected_components(spark, zones).collect()
+        assert len(got) == 5
+        assert {r.component for r in got} == {"z0"}
+
     def test_simhash_invalid_banding_raises(self, spark, sf_dir):
         from gdal_common_python_spark.operators import dedup
 
