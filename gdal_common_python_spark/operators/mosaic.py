@@ -369,6 +369,8 @@ def _merge_join_folded(
     operators.resample) and folds by input_rank with per-raster nodata
     masking — plan size and job count are independent of input count.
     """
+    from .resample import source_tile_window
+
     ulx, uly = float(grid["origin_x"]), float(grid["origin_y"])
     px_x, px_y = float(grid["px_x"]), float(grid["px_y"])
     w, h = int(grid["width"]), int(grid["height"])
@@ -393,24 +395,15 @@ def _merge_join_folded(
         .crossJoin(spark.range(nty).select(F.col("id").cast("int").alias("t_ty")))
         .crossJoin(F.broadcast(mdf))
     )
-    # world extent of each output tile -> per-raster source pixel range
-    # (pad 1) -> source tile range, clamped; non-overlap pairs drop out
-    # (same arithmetic as operators.resample, with meta columns in place
-    # of per-call literals)
-    x0 = F.lit(ulx) + F.col("t_tx") * tile_size * px_x
-    x1 = F.lit(ulx) + F.least((F.col("t_tx") + 1) * tile_size, F.lit(w)) * px_x
-    y0 = F.lit(uly) + F.col("t_ty") * tile_size * px_y
-    y1 = F.lit(uly) + F.least((F.col("t_ty") + 1) * tile_size, F.lit(h)) * px_y
-    sx0 = F.floor((F.least(x0, x1) - F.col("s_ox")) / F.col("s_px")) - 1
-    sx1 = F.floor((F.greatest(x0, x1) - F.col("s_ox")) / F.col("s_px")) + 1
-    sy0 = F.floor((F.greatest(y0, y1) - F.col("s_oy")) / F.col("s_py")) - 1
-    sy1 = F.floor((F.least(y0, y1) - F.col("s_oy")) / F.col("s_py")) + 1
-    ts = F.lit(tile_size)
+    # per-raster source tile windows from the SHARED arithmetic (meta
+    # columns in place of resample's per-call literals); non-overlap pairs
+    # drop out (the clip_to_source equivalent)
     tgrid = (
-        tgrid.withColumn("stx0", F.greatest(sx0 / ts, F.lit(0)).cast("int"))
-        .withColumn("stx1", F.least(sx1 / ts, F.floor((F.col("s_w") - 1) / ts)).cast("int"))
-        .withColumn("sty0", F.greatest(sy0 / ts, F.lit(0)).cast("int"))
-        .withColumn("sty1", F.least(sy1 / ts, F.floor((F.col("s_h") - 1) / ts)).cast("int"))
+        source_tile_window(
+            tgrid, ulx, uly, px_x, px_y, w, h,
+            F.col("s_ox"), F.col("s_oy"), F.col("s_px"), F.col("s_py"),
+            F.col("s_w"), F.col("s_h"), tile_size,
+        )
         .filter((F.col("stx0") <= F.col("stx1")) & (F.col("sty0") <= F.col("sty1")))
         .withColumn("stx", F.explode(F.sequence("stx0", "stx1")))
         .withColumn("sty", F.explode(F.sequence("sty0", "sty1")))

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 _SCHEMA = T.StructType(
     [
@@ -31,6 +31,49 @@ _SCHEMA = T.StructType(
         T.StructField("pixels", T.ArrayType(T.DoubleType())),
     ]
 )
+
+
+def source_tile_window(
+    df: DataFrame,
+    t_ox: float,
+    t_oy: float,
+    t_px: float,
+    t_py: float,
+    t_w: int,
+    t_h: int,
+    s_ox,
+    s_oy,
+    s_px,
+    s_py,
+    s_w,
+    s_h,
+    tile_size: int,
+) -> DataFrame:
+    """Shared columnar source-window arithmetic (single source of truth for
+    resample AND mosaic's join-folded merge): given target tile coords
+    (t_tx, t_ty) on `df` and a target grid (driver floats) plus a SOURCE
+    grid (Columns or literals), add the clamped overlapped source-tile
+    range columns stx0/stx1/sty0/sty1. World extent of each target tile ->
+    source pixel index range (pad 1) -> source tile range; north-up grids:
+    larger y -> smaller row index."""
+    s_ox, s_oy, s_px, s_py, s_w, s_h = (
+        c if isinstance(c, Column) else F.lit(c) for c in (s_ox, s_oy, s_px, s_py, s_w, s_h)
+    )
+    x0 = F.lit(t_ox) + F.col("t_tx") * tile_size * t_px
+    x1 = F.lit(t_ox) + F.least((F.col("t_tx") + 1) * tile_size, F.lit(t_w)) * t_px
+    y0 = F.lit(t_oy) + F.col("t_ty") * tile_size * t_py
+    y1 = F.lit(t_oy) + F.least((F.col("t_ty") + 1) * tile_size, F.lit(t_h)) * t_py
+    sx0 = F.floor((F.least(x0, x1) - s_ox) / s_px) - 1
+    sx1 = F.floor((F.greatest(x0, x1) - s_ox) / s_px) + 1
+    sy0 = F.floor((F.greatest(y0, y1) - s_oy) / s_py) - 1
+    sy1 = F.floor((F.least(y0, y1) - s_oy) / s_py) + 1
+    ts = F.lit(tile_size)
+    return (
+        df.withColumn("stx0", F.greatest(sx0 / ts, F.lit(0)).cast("int"))
+        .withColumn("stx1", F.least(sx1 / ts, F.floor((s_w - 1) / ts)).cast("int"))
+        .withColumn("sty0", F.greatest(sy0 / ts, F.lit(0)).cast("int"))
+        .withColumn("sty1", F.least(sy1 / ts, F.floor((s_h - 1) / ts)).cast("int"))
+    )
 
 
 def resample_nearest(
@@ -94,22 +137,9 @@ def resample(
         spark.range(ntx).select(F.col("id").cast("int").alias("t_tx"))
         .crossJoin(spark.range(nty).select(F.col("id").cast("int").alias("t_ty")))
     )
-    # world extent of each target tile -> source pixel index range (pad 1)
-    x0 = t_ox + F.col("t_tx") * tile_size * t_px
-    x1 = t_ox + F.least((F.col("t_tx") + 1) * tile_size, F.lit(t_w)) * t_px
-    y0 = t_oy + F.col("t_ty") * tile_size * t_py
-    y1 = t_oy + F.least((F.col("t_ty") + 1) * tile_size, F.lit(t_h)) * t_py
-    sx0 = F.floor((F.least(x0, x1) - F.lit(s_ox)) / F.lit(s_px)) - 1
-    sx1 = F.floor((F.greatest(x0, x1) - F.lit(s_ox)) / F.lit(s_px)) + 1
-    # north-up grids: larger y -> smaller row index
-    sy0 = F.floor((F.greatest(y0, y1) - F.lit(s_oy)) / F.lit(s_py)) - 1
-    sy1 = F.floor((F.least(y0, y1) - F.lit(s_oy)) / F.lit(s_py)) + 1
-    ts = F.lit(tile_size)
-    tgrid = (
-        tgrid.withColumn("stx0", F.greatest(sx0 / ts, F.lit(0)).cast("int"))
-        .withColumn("stx1", F.least(sx1 / ts, F.lit((s_w - 1) // tile_size)).cast("int"))
-        .withColumn("sty0", F.greatest(sy0 / ts, F.lit(0)).cast("int"))
-        .withColumn("sty1", F.least(sy1 / ts, F.lit((s_h - 1) // tile_size)).cast("int"))
+    tgrid = source_tile_window(
+        tgrid, t_ox, t_oy, t_px, t_py, t_w, t_h,
+        s_ox, s_oy, s_px, s_py, s_w, s_h, tile_size,
     )
     if clip_to_source:
         # drop target tiles with no source overlap (their clamped ranges
