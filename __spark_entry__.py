@@ -571,6 +571,15 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (32-token windows, 8 overlap) — narrow
+    HOF-only plan, no shuffle; chunks keep original token case."""
+    from gdal_common_python_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.chunk_documents(docs, max_tokens=32, overlap=8)
+
+
 def q_quota_sample(spark, sf_dir):
     """Deterministic per-language mixing sample: keep iff the md5-derived
     uniform draw falls under the language's quota (zh rate 0 -> dropped).
@@ -672,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "decontaminate": q_decontaminate,
         "quota_sample": q_quota_sample,
+        "chunk_documents": q_chunk_documents,
         "events_dates": q_events_dates,
         "pricing_summary": q_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
@@ -1278,6 +1288,23 @@ FROM doc d JOIN bench b ON d.s = b.s
 GROUP BY d.doc_id
 """
 
+_SQL_CHUNK_DOCUMENTS = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE len(trim(text)) > 0
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(1, (len(toks) - 8 + 23) // 24))) AS chunk_ix
+  FROM d
+)
+SELECT doc_id, chunk_ix, chunk_ix * 24 AS start_tok,
+       len(list_slice(toks, chunk_ix * 24 + 1, chunk_ix * 24 + 32)) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_ix * 24 + 1, chunk_ix * 24 + 32), ' ')
+         AS chunk_text
+FROM c
+"""
+
 _SQL_QUOTA_SAMPLE = """
 SELECT doc_id, lang, source FROM documents
 WHERE CAST('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
@@ -1702,6 +1729,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_profile": _SQL_REPETITION,
         "decontaminate": _SQL_DECONTAMINATE,
         "quota_sample": _SQL_QUOTA_SAMPLE,
+        "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "events_dates": _SQL_EVENTS_DATES,
         "pricing_summary": _SQL_PRICING,
         "orders_by_segment": _SQL_ORDERS_SEGMENT,

@@ -79,6 +79,55 @@ def decontaminate(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap (context-window prep):
+    chunk i covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; every token lands in >=1 chunk and each
+    doc emits ceil((n - overlap) / stride) chunks (min 1; blank docs none).
+    Returns (doc_id, chunk_ix, start_tok, n_chunk_tokens, chunk_text).
+
+    Pure narrow plan: tokenization once per doc behind the explode barrier,
+    windows via sequence+slice HOFs — no shuffle, output partitioning
+    follows the input. Tokens keep their original case (unlike the
+    dedup/repetition profiles, chunks feed training — don't normalize).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(F.struct(toks.alias("t")))).alias("__b"),
+    ).select("doc_id", F.col("__b.t").alias("__toks"))
+    n = F.size("__toks")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast("int"),
+    )
+    return (
+        base.withColumn("chunk_ix", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            F.col("chunk_ix").cast("long").alias("chunk_ix"),
+            (F.col("chunk_ix") * stride).cast("long").alias("start_tok"),
+            F.slice("__toks", F.col("chunk_ix") * stride + 1, max_tokens).alias("__w"),
+        )
+        .select(
+            "doc_id",
+            "chunk_ix",
+            "start_tok",
+            F.size("__w").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "__w").alias("chunk_text"),
+        )
+    )
+
+
 def quota_sample(
     docs: DataFrame,
     rates: dict[str, float],

@@ -50,6 +50,38 @@ class TestCuration:
         }
         assert rows == again
 
+    def test_chunk_documents_coverage(self, spark):
+        from gdal_common_python_spark.operators.curation import chunk_documents
+
+        words = " ".join(f"w{i}" for i in range(25))
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    dict(doc_id=1, text=words),  # 25 toks, W=10 o=2 -> 3 chunks
+                    dict(doc_id=2, text="a b"),  # under one window
+                    dict(doc_id=3, text="  "),  # blank -> no chunks
+                ]
+            )
+        )
+        out = chunk_documents(docs, max_tokens=10, overlap=2)
+        rows = sorted(
+            ((r.doc_id, r.chunk_ix, r.start_tok, r.n_chunk_tokens) for r in out.collect())
+        )
+        assert rows == [
+            (1, 0, 0, 10),
+            (1, 1, 8, 10),
+            (1, 2, 16, 9),
+            (2, 0, 0, 2),
+        ]
+        # overlap contract: chunk i+1 starts `overlap` tokens inside chunk i
+        chunks = {r.chunk_ix: r.chunk_text.split(" ") for r in out.collect() if r.doc_id == 1}
+        assert chunks[0][-2:] == chunks[1][:2]
+        # every token covered exactly (union of windows == doc tokens)
+        covered = set()
+        for ci, toks in chunks.items():
+            covered.update(range(ci * 8, ci * 8 + len(toks)))
+        assert covered == set(range(25))
+
     def test_quota_sample_empty_rates(self, spark):
         from gdal_common_python_spark.operators.curation import quota_sample
 
