@@ -114,6 +114,10 @@ def run_queries(spark, sdir):
         "embedding_ann_ivf",
         "dedup_embedding_cosine",
         "text_profile",
+        "repetition_profile",
+        "decontaminate",
+        "quota_sample",
+        "chunk_documents",
         "pricing_summary",
     ]
     qs = entrymod.queries()

@@ -82,6 +82,31 @@ class TestCuration:
             covered.update(range(ci * 8, ci * 8 + len(toks)))
         assert covered == set(range(25))
 
+    def test_chunk_documents_coverage_sweep(self, spark):
+        # every token count from 1..40 in one DataFrame: coverage and count
+        # formula hold across the under-window / exact / straddling cases
+        from gdal_common_python_spark.operators.curation import chunk_documents
+
+        W, O, S = 10, 3, 7
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [dict(doc_id=n, text=" ".join(f"t{i}" for i in range(n))) for n in range(1, 41)]
+            )
+        )
+        rows = chunk_documents(docs, max_tokens=W, overlap=O).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for n in range(1, 41):
+            chunks = sorted(by_doc[n], key=lambda r: r.chunk_ix)
+            expect = max(1, -(-(n - O) // S))
+            assert len(chunks) == expect, (n, len(chunks), expect)
+            covered = set()
+            for r in chunks:
+                assert r.n_chunk_tokens == len(r.chunk_text.split(" "))
+                covered.update(range(r.start_tok, r.start_tok + r.n_chunk_tokens))
+            assert covered == set(range(n)), n
+
     def test_quota_sample_empty_rates(self, spark):
         from gdal_common_python_spark.operators.curation import quota_sample
 
