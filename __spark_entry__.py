@@ -37,6 +37,7 @@ from gdal_common_python_spark.operators import (
     multimodal,
     similarity,
     spatial_join as sj,
+    temporal,
     text as text_ops,
     tile_assign as ta,
     zonal as zonal_ops,
@@ -609,6 +610,70 @@ def q_events_dates(spark, sf_dir):
     )
 
 
+def q_asof_clicks_views(spark, sf_dir):
+    # each click attributed to the user's most recent view at-or-before it
+    # (left outer: first-session clicks keep nulls). Join-free one-shuffle
+    # as-of; micros + raw parquet doubles only, hash-safe.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("view_value"),
+    )
+    out = temporal.asof_join(clicks, views, on="ts", by=["user_id"])
+    return out.select(
+        "click_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_ts_us"),
+        "view_id",
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("view_ts_us"),
+        "view_value",
+    )
+
+
+def q_interval_overlaps(spark, sf_dir):
+    # view dwell intervals [ts, ts + value minutes] x click attribution
+    # windows [ts, ts + 30 min] per user — the bucketed (scale-path)
+    # interval join with 10-minute buckets; anchor-bucket report-once
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        us.alias("v_start"),
+        (us + F.floor(F.col("value") * 60_000_000.0).cast("long")).alias("v_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        us.alias("c_start"),
+        (us + F.lit(1_800_000_000)).alias("c_end"),
+    )
+    pairs = temporal.interval_join(
+        views,
+        clicks,
+        l_start="v_start",
+        l_end="v_end",
+        r_start="c_start",
+        r_end="c_end",
+        by=["user_id"],
+        bucket_width=600_000_000,
+        broadcast_limit=0,
+    )
+    return pairs.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (F.least("v_end", "c_end") - F.greatest("v_start", "c_start")).alias("overlap_us"),
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = _t(spark, sf_dir, "lineitem")
@@ -683,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "chunk_documents": q_chunk_documents,
         "events_dates": q_events_dates,
+        "asof_clicks_views": q_asof_clicks_views,
+        "interval_overlaps": q_interval_overlaps,
         "pricing_summary": q_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
     }
@@ -1513,6 +1580,28 @@ SELECT event_id,
 FROM events
 """
 
+_SQL_ASOF_CLICKS_VIEWS = """
+WITH c AS (SELECT event_id AS click_id, user_id, ts
+           FROM events WHERE event_type = 'click'),
+     v AS (SELECT event_id AS view_id, user_id, ts, value AS view_value
+           FROM events WHERE event_type = 'view')
+SELECT c.click_id, c.user_id, epoch_us(c.ts) AS click_ts_us,
+       v.view_id, epoch_us(v.ts) AS view_ts_us, v.view_value
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+_SQL_INTERVAL_OVERLAPS = """
+WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS s,
+                  epoch_us(ts) + CAST(FLOOR(value * 60000000.0) AS BIGINT) AS e
+           FROM events WHERE event_type = 'view'),
+     c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS s2,
+                  epoch_us(ts) + 1800000000 AS e2
+           FROM events WHERE event_type = 'click')
+SELECT v.view_id, c.click_id, v.user_id,
+       least(v.e, c.e2) - greatest(v.s, c.s2) AS overlap_us
+FROM v JOIN c ON v.user_id = c.user_id AND v.s <= c.e2 AND c.s2 <= v.e
+"""
+
 _SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
@@ -1731,6 +1820,8 @@ def oracle_sql() -> dict[str, str]:
         "quota_sample": _SQL_QUOTA_SAMPLE,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "events_dates": _SQL_EVENTS_DATES,
+        "asof_clicks_views": _SQL_ASOF_CLICKS_VIEWS,
+        "interval_overlaps": _SQL_INTERVAL_OVERLAPS,
         "pricing_summary": _SQL_PRICING,
         "orders_by_segment": _SQL_ORDERS_SEGMENT,
         "zonal_counts": _SQL_ZONAL_COUNTS,

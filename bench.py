@@ -118,6 +118,8 @@ def run_queries(spark, sdir):
         "decontaminate",
         "quota_sample",
         "chunk_documents",
+        "asof_clicks_views",
+        "interval_overlaps",
         "pricing_summary",
     ]
     qs = entrymod.queries()

@@ -1,0 +1,223 @@
+"""Temporal joins the reference (and stock Spark SQL) lack: as-of join and
+interval-overlap (range) join.
+
+No reference analog (the reference has no temporal surface at all; cited
+scope is the brief's custom-operator list). Both are compositions of
+existing DataFrame ops — no UDF, no collect:
+
+- ``asof_join``: the classic "latest right row at or before each left row"
+  merge, JOIN-FREE — tag both sides, union, and take a running
+  ``last(right, ignorenulls=True)`` over a per-key window. Exactly ONE hash
+  shuffle on the by-keys (the window exchange); within-partition sort does
+  the merge. At 100 TB this is the minimum possible data movement for a
+  keyed as-of (every exact algorithm must co-locate each key's rows), and
+  the running-frame ``last`` is evaluated incrementally (no frame rescan).
+- ``interval_join``: all pairs of overlapping intervals. Small right side:
+  broadcast hash join on the by-keys with the range predicate as residual.
+  Scale path: bucketize both sides (explode into fixed-width buckets),
+  equi-join on (keys..., bucket), and report each pair exactly once via the
+  anchor-bucket filter ``bucket == floor(max(starts)/width)`` — the same
+  report-once trick the spatial cell join uses, so there is NO
+  distinct/dropDuplicates shuffle. Shuffle volume ∝ interval-length/width
+  per row; pick ``bucket_width`` near the typical interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+
+from .util import broadcastable
+
+__all__ = ["asof_join", "interval_join"]
+
+
+def _epoch(col: Column, dtype) -> Column:
+    """Orderable numeric image of a timestamp/numeric column (micros for
+    timestamps so integer arithmetic stays exact)."""
+    if isinstance(dtype, T.TimestampNTZType):
+        # NTZ → TZ is wall-clock identity under a UTC session (the engine
+        # default); unix_micros then reads naive micros like epoch_us
+        return F.unix_micros(col.cast("timestamp"))
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col)
+    if isinstance(dtype, T.DateType):
+        return F.datediff(col, F.lit("1970-01-01")).cast("long")
+    return col
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | tuple[str, ...] = (),
+    direction: str = "backward",
+    tolerance: float | int | None = None,
+    suffix: str = "_r",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Left-outer as-of join: for each left row, attach the right row with
+    the greatest ``on`` <= left's ``on`` (direction='backward'; ties at
+    equal ``on`` match) or the least ``on`` >= left's (direction='forward'),
+    within the same ``by`` keys. Unmatched left rows keep nulls — the
+    DuckDB ``ASOF LEFT JOIN`` contract.
+
+    ``tolerance`` drops matches farther than the given gap (seconds for
+    timestamp ``on`` columns, same units as the column otherwise).
+    ``tie_break`` names a right column whose LARGEST value wins among right
+    rows sharing identical (by, on) — without it such ties are
+    plan-dependent (DuckDB's are too).
+
+    Right columns are carried over, renamed ``f"{name}{suffix}"`` on
+    collision with a left column (the right ``on`` always collides).
+
+    Scale: one hash shuffle on ``by`` + a per-key sort; no join node at all
+    (pinned by tests/test_temporal.py plan-shape check). With empty ``by``
+    the window is a single partition — fine for a dimension-sized right
+    side, not a corpus; give keys at scale.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by)
+    lcols, rcols = left.columns, right.columns
+    for k in by + [on]:
+        if k not in lcols or k not in rcols:
+            raise ValueError(f"column {k!r} must exist on both sides")
+    rvals = [c for c in rcols if c not in by]
+    dtype_l = left.schema[on].dataType
+    dtype_r = right.schema[on].dataType
+
+    lside = left.select(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(by)],
+        _epoch(F.col(on), dtype_l).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("double").alias("__tie"),
+        F.struct(*lcols).alias("__lrow"),
+    )
+    tie = (
+        F.col(tie_break).cast("double")
+        if tie_break is not None
+        else F.lit(0.0)
+    )
+    rside = right.select(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(by)],
+        _epoch(F.col(on), dtype_r).alias("__t"),
+        F.lit(0).alias("__side"),
+        tie.alias("__tie"),
+        F.struct(*rvals).alias("__rrow"),
+    )
+    u = lside.unionByName(rside, allowMissingColumns=True)
+
+    keys = [F.col(f"__k{i}") for i in range(len(by))]
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__side").asc(), F.col("__tie").asc_nulls_last()]
+    else:
+        order = [F.col("__t").desc(), F.col("__side").asc(), F.col("__tie").asc_nulls_last()]
+    w = (
+        Window.partitionBy(*keys).orderBy(*order)
+        if keys
+        else Window.orderBy(*order)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    matched = (
+        u.withColumn("__m", F.last("__rrow", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance is not None:
+        scale = (
+            1_000_000
+            if isinstance(dtype_l, (T.TimestampType, T.TimestampNTZType))
+            else 1
+        )
+        gap = F.abs(F.col("__t") - _epoch(F.col(f"__m.{on}"), dtype_r))
+        matched = matched.withColumn(
+            "__m",
+            F.when(gap <= F.lit(tolerance) * F.lit(scale), F.col("__m")),
+        )
+
+    def _rname(c: str) -> str:
+        return f"{c}{suffix}" if c in lcols else c
+
+    return matched.select(
+        F.col("__lrow.*"),
+        *[F.col(f"__m.{c}").alias(_rname(c)) for c in rvals],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "start",
+    r_end: str = "end",
+    by: list[str] | tuple[str, ...] = (),
+    bucket_width: float | int | None = None,
+    suffix: str = "_r",
+    broadcast_limit: int = 200_000,
+) -> DataFrame:
+    """Inner join on closed-interval overlap:
+    ``l_start <= r_end AND r_start <= l_end`` (touching endpoints match),
+    plus equality on the ``by`` keys. Bounds are numeric columns (epoch
+    seconds/micros — cast timestamps upstream so both sides agree on units).
+
+    Plan: if the right side passes the byte/row broadcast gate, a broadcast
+    join on ``by`` with the range predicate as a residual (a broadcast
+    nested-loop when ``by`` is empty — fine for dimension-sized sides).
+    Otherwise both sides explode into fixed-width buckets
+    (``sequence(floor(start/w), floor(end/w))``), equi-join on
+    (by..., bucket), and keep a pair only in its ANCHOR bucket
+    ``floor(greatest(l_start, r_start)/w)`` — which both sides provably
+    cover whenever the intervals overlap — so each pair is emitted exactly
+    once with no dedup shuffle. Row expansion is interval_length/w + 1 per
+    side: pick ``bucket_width`` near the typical interval length (default:
+    4x the seeded-sample median right-interval length).
+
+    Right columns renamed ``f"{name}{suffix}"`` on collision.
+    """
+    by = list(by)
+    lcols, rcols = left.columns, right.columns
+
+    def _rname(c: str) -> str:
+        return f"{c}{suffix}" if c in lcols else c
+
+    rsel = [F.col(c).alias(_rname(c)) for c in rcols if c not in by]
+    rn_start, rn_end = _rname(r_start), _rname(r_end)
+    overlap = (F.col(l_start) <= F.col(rn_end)) & (F.col(rn_start) <= F.col(l_end))
+
+    if broadcastable(right, broadcast_limit):
+        r = F.broadcast(right.select(*by, *rsel))
+        if by:
+            return left.join(r, on=by, how="inner").filter(overlap)
+        return left.join(r, on=overlap, how="inner")
+
+    if bucket_width is None:
+        sample = (
+            right.select((F.col(r_end) - F.col(r_start)).cast("double").alias("__len"))
+            .sample(fraction=0.01, seed=7)
+            .limit(4096)
+            .collect()
+        )
+        lens = sorted(abs(r["__len"]) for r in sample if r["__len"] is not None)
+        med = lens[len(lens) // 2] if lens else 1.0
+        bucket_width = max(med * 4.0, 1e-9)
+    wlit = F.lit(float(bucket_width))
+
+    def _bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / wlit).cast("long"),
+                    F.floor(F.col(e) / wlit).cast("long"),
+                )
+            ),
+        )
+
+    lb = _bucketed(left, l_start, l_end)
+    rb = _bucketed(right.select(*by, *rsel), rn_start, rn_end)
+    anchor = F.floor(F.greatest(F.col(l_start), F.col(rn_start)) / wlit).cast("long")
+    return (
+        lb.join(rb, on=by + ["__bk"], how="inner")
+        .filter(overlap & (F.col("__bk") == anchor))
+        .drop("__bk")
+    )
