@@ -674,6 +674,23 @@ def q_interval_overlaps(spark, sf_dir):
     )
 
 
+def q_event_sessions(spark, sf_dir):
+    # 30-min-gap sessionization per user, then per-session rollup. One
+    # shuffle for the session windows; the rollup groups on the session id
+    # (already co-partitioned by user, so AQE keeps it cheap). Counts and
+    # micros only — hash-safe.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    s = temporal.sessionize(ev, on="ts", by=["user_id"], gap=1800)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return s.groupBy("session_id", "user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_clicks"),
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = _t(spark, sf_dir, "lineitem")
@@ -750,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dates": q_events_dates,
         "asof_clicks_views": q_asof_clicks_views,
         "interval_overlaps": q_interval_overlaps,
+        "event_sessions": q_event_sessions,
         "pricing_summary": q_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
     }
@@ -1602,6 +1620,29 @@ SELECT v.view_id, c.click_id, v.user_id,
 FROM v JOIN c ON v.user_id = c.user_id AND v.s <= c.e2 AND c.s2 <= v.e
 """
 
+_SQL_EVENT_SESSIONS = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                   > 1800000000 THEN 1 ELSE 0 END AS nf
+  FROM events
+),
+s AS (
+  SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS seq
+  FROM o
+)
+SELECT CAST(user_id AS VARCHAR) || '#' || CAST(seq AS VARCHAR) AS session_id,
+       user_id,
+       count(*) AS n_events,
+       min(t) AS start_us,
+       max(t) AS end_us,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicks
+FROM s GROUP BY 1, 2
+"""
+
 _SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
@@ -1822,6 +1863,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dates": _SQL_EVENTS_DATES,
         "asof_clicks_views": _SQL_ASOF_CLICKS_VIEWS,
         "interval_overlaps": _SQL_INTERVAL_OVERLAPS,
+        "event_sessions": _SQL_EVENT_SESSIONS,
         "pricing_summary": _SQL_PRICING,
         "orders_by_segment": _SQL_ORDERS_SEGMENT,
         "zonal_counts": _SQL_ZONAL_COUNTS,

@@ -120,6 +120,7 @@ def run_queries(spark, sdir):
         "chunk_documents",
         "asof_clicks_views",
         "interval_overlaps",
+        "event_sessions",
         "pricing_summary",
     ]
     qs = entrymod.queries()

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 from .util import broadcastable
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "sessionize"]
 
 
 def _epoch(col: Column, dtype) -> Column:
@@ -140,6 +140,52 @@ def asof_join(
     return matched.select(
         F.col("__lrow.*"),
         *[F.col(f"__m.{c}").alias(_rname(c)) for c in rvals],
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    on: str = "ts",
+    by: list[str] | tuple[str, ...] = ("user_id",),
+    gap: float | int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: within each ``by`` key, order events by
+    ``on`` and start a new session whenever the gap from the previous event
+    exceeds ``gap`` (seconds for timestamp columns, column units otherwise;
+    a gap EXACTLY equal stays in-session). Appends two columns:
+    ``session_seq`` (0-based per-key session ordinal — a running sum of
+    new-session flags) and ``session_id`` (key-qualified string id).
+
+    Pure window composition — lag + conditional running count — so the
+    whole plan is ONE hash shuffle on the by-keys plus an in-partition
+    sort; no UDF, no join, no second pass. Equal-``on`` ties always share
+    a session (their gap is 0), so the assignment is deterministic even
+    though their relative sort order is not.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("sessionize needs at least one by-key")
+    dtype = events.schema[on].dataType
+    scale = (
+        1_000_000
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType))
+        else 1
+    )
+    t = _epoch(F.col(on), dtype)
+    w = Window.partitionBy(*by).orderBy(t.asc())
+    new_flag = (
+        F.when(
+            (t - F.lag(t).over(w)) > F.lit(gap) * F.lit(scale), 1
+        )
+        .otherwise(0)
+    )
+    run = Window.partitionBy(*by).orderBy(t.asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = events.withColumn("session_seq", F.sum(new_flag).over(run).cast("long"))
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in by])
+    return out.withColumn(
+        "session_id", F.concat(key_str, F.lit("#"), F.col("session_seq"))
     )
 
 

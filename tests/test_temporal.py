@@ -167,6 +167,46 @@ def test_interval_auto_width_and_keyless(spark):
     assert got2 == got
 
 
+def test_sessionize_matches_brute_force(spark):
+    random.seed(31)
+    rows = [(i, i % 4, random.randint(0, 500)) for i in range(200)]
+    df = spark.createDataFrame(rows, "eid int, u int, ts int")
+    got = {
+        (r.eid): (r.session_seq, r.session_id)
+        for r in temporal.sessionize(df, on="ts", by=["u"], gap=20).collect()
+    }
+    for u in range(4):
+        evs = sorted((ts, eid) for eid, uu, ts in rows if uu == u)
+        seq, prev = 0, None
+        for ts, eid in evs:
+            if prev is not None and ts - prev > 20:
+                seq += 1
+            prev = ts
+            assert got[eid] == (seq, f"{u}#{seq}")
+
+
+def test_sessionize_gap_boundary_and_singletons(spark):
+    # gap EXACTLY equal stays in-session; lone events are session 0
+    df = spark.createDataFrame(
+        [(0, 1, 0), (1, 1, 20), (2, 1, 41), (3, 2, 99)], "eid int, u int, ts int"
+    )
+    got = {r.eid: r.session_seq for r in temporal.sessionize(df, by=["u"], gap=20).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 0}
+
+
+def test_sessionize_single_shuffle_plan(spark):
+    df = spark.createDataFrame([(0, 1, 0)], "eid int, u int, ts int")
+    plan = (
+        temporal.sessionize(df, by=["u"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("hashpartitioning") <= 1 and "Join" not in plan
+    with pytest.raises(ValueError, match="by-key"):
+        temporal.sessionize(df, by=[])
+
+
 def test_asof_timestamp_and_date_epochs(spark):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     L = spark.createDataFrame(
