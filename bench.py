@@ -147,29 +147,138 @@ def run_queries(spark, sdir):
     return times
 
 
-def _pinned_flagship(spec, cores: int, bdir: str) -> float:
-    """Run the flagship steady-state in a fresh process pinned to `cores`
-    CPUs; `spec` picks the session shape (local[N] or xK executor cluster).
-    Returns best wall seconds. Falls back to in-process (unpinned) when
-    taskset is unavailable."""
+def _parse_pinned(out) -> float:
+    for line in out.stdout.strip().splitlines()[::-1]:
+        if line.startswith("PINNED_SEC="):
+            return float(line.split("=")[1])
+    raise RuntimeError(f"pinned run failed: {out.stdout[-500:]} {out.stderr[-500:]}")
+
+
+def _leg_cmd_env(spec, driver_cpus: list[int], exec_cpus: list[int] | None, bdir: str):
+    """(argv, env) for one pinned scaling leg. Cluster legs ('xK') pin the
+    driver python+JVM to `driver_cpus` (constant infrastructure, like a
+    real cluster's driver node) and re-pin executor processes to
+    `exec_cpus` — only THAT budget scales between levels. Thread legs pin
+    the whole tree to driver_cpus+exec_cpus (no separate processes)."""
+    env = dict(os.environ)
+    if isinstance(spec, str) and spec.startswith("x") and exec_cpus:
+        pin = ",".join(str(i) for i in driver_cpus)
+        env["SPARK_GRAFT_EXEC_CPUS"] = ",".join(str(i) for i in exec_cpus)
+    else:
+        pin = ",".join(str(i) for i in driver_cpus + (exec_cpus or []))
+        env.pop("SPARK_GRAFT_EXEC_CPUS", None)
+    argv = ["taskset", "-c", pin, sys.executable, os.path.abspath(__file__),
+            "--pinned-flagship", str(spec), bdir]
+    return argv, env
+
+
+def _pinned_flagship(spec, driver_cpus: list[int], exec_cpus: list[int] | None,
+                     bdir: str) -> float:
+    """Run the flagship steady-state in a fresh pinned process; returns
+    best wall seconds. Falls back to in-process (unpinned) when taskset is
+    unavailable."""
     import shutil
     import subprocess
 
     if shutil.which("taskset"):
-        cpu_list = ",".join(str(i) for i in range(cores))
-        out = subprocess.run(
-            ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
-             "--pinned-flagship", str(spec), bdir],
-            capture_output=True, text=True, timeout=1800,
-        )
-        for line in out.stdout.strip().splitlines()[::-1]:
-            if line.startswith("PINNED_SEC="):
-                return float(line.split("=")[1])
-        raise RuntimeError(f"pinned run failed: {out.stdout[-500:]} {out.stderr[-500:]}")
+        argv, env = _leg_cmd_env(spec, driver_cpus, exec_cpus, bdir)
+        out = subprocess.run(argv, capture_output=True, text=True,
+                             timeout=1800, env=env)
+        return _parse_pinned(out)
     spark = make_session(spec)
     _, _, dt = flagship_steady(spark, bdir, iters=3)
     spark.stop()
     return dt
+
+
+def _pinned_pair_concurrent(
+    spec_low, alloc_low, spec_high, alloc_high, bdir: str
+) -> tuple[float, float]:
+    """Run BOTH scaling legs at the same time on DISJOINT pinned CPU sets
+    and return (low_sec, high_sec). The idea: concurrent legs see the
+    IDENTICAL host window, so their ratio cancels shared-VM drift by
+    construction. MEASURED OUTCOME on this kernel (2026-08-18, idle host,
+    back-to-back with serial controls): the legs interfere ACROSS
+    processes even on disjoint CPU sets — serial x4 read 30.4 s while
+    concurrent x4 read 47.6 s in the same window (x1 129→145 s) — this
+    firecracker kernel's concurrent-JVM degradation is host-global, not
+    per-CPU-set, and it punishes the wider leg harder, biasing efficiency
+    DOWN (0.63-0.76 concurrent vs 0.93+ serial, same code, same hour).
+    Therefore NOT the default; kept behind SPARK_GRAFT_SCALE_CONCURRENT=1
+    as the documented failed experiment."""
+    import shutil
+    import subprocess
+
+    if not shutil.which("taskset"):
+        return (
+            _pinned_flagship(spec_low, *alloc_low, bdir),
+            _pinned_flagship(spec_high, *alloc_high, bdir),
+        )
+
+    def _start(spec, alloc):
+        argv, env = _leg_cmd_env(spec, alloc[0], alloc[1], bdir)
+        return subprocess.Popen(
+            argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env,
+        )
+
+    p_lo, p_hi = _start(spec_low, alloc_low), _start(spec_high, alloc_high)
+    outs = []
+    for p in (p_lo, p_hi):
+        stdout, stderr = p.communicate(timeout=1800)
+        outs.append(type("R", (), {"stdout": stdout, "stderr": stderr})())
+    return _parse_pinned(outs[0]), _parse_pinned(outs[1])
+
+
+def _descendants(pid: int) -> list[int]:
+    """All descendant pids via /proc/<pid>/task/*/children (recursive)."""
+    import glob
+
+    out, stack = [], [pid]
+    while stack:
+        p = stack.pop()
+        for f in glob.glob(f"/proc/{p}/task/*/children"):
+            try:
+                kids = open(f).read().split()
+            except OSError:
+                continue
+            for k in kids:
+                out.append(int(k))
+                stack.append(int(k))
+    return out
+
+
+def _pin_executor_procs(exec_cpus: str, n_expected: int, timeout_s: float = 45.0):
+    """Re-pin the session's EXECUTOR processes (separate JVMs in
+    local-cluster mode) to `exec_cpus`, leaving the driver JVM + python on
+    the dedicated driver set they were exec'd with. This mirrors a real
+    cluster, where the driver is a constant separate node and a resize
+    changes only executor capacity; without it the driver's fixed per-stage
+    work competes with the leg's scaled CPU budget and distorts the
+    1-vs-4 ratio (an artifact of single-host pinning, not of the engine).
+    Python UDF workers fork from the executors later and inherit the mask."""
+    import subprocess
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    pinned = set()
+    while _time.monotonic() < deadline and len(pinned) < n_expected:
+        for pid in _descendants(os.getpid()):
+            if pid in pinned:
+                continue
+            try:
+                cmdline = open(f"/proc/{pid}/cmdline").read()
+            except OSError:
+                continue
+            if "CoarseGrainedExecutorBackend" in cmdline.replace("\x00", " "):
+                subprocess.run(
+                    ["taskset", "-apc", exec_cpus, str(pid)],
+                    capture_output=True,
+                )
+                pinned.add(pid)
+        if len(pinned) < n_expected:
+            _time.sleep(0.5)
+    return len(pinned)
 
 
 def main():
@@ -177,6 +286,10 @@ def main():
         spec, bdir = sys.argv[2], sys.argv[3]
         iters = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "2")))
         spark = make_session(spec)
+        exec_cpus = os.environ.get("SPARK_GRAFT_EXEC_CPUS", "")
+        if exec_cpus and isinstance(spec, str) and spec.startswith("x"):
+            n = _pin_executor_procs(exec_cpus, int(spec[1:]))
+            print(f"PINNED_EXECUTORS={n}")
         _, _, dt = flagship_steady(spark, bdir, iters=iters)
         spark.stop()
         print(f"PINNED_SEC={dt:.4f}")
@@ -252,10 +365,39 @@ def _bench_main():
         # the third pair costs ~7 min and caps that risk
         # (tune via SPARK_GRAFT_SCALE_REPS/_ITERS)
         reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3")))
+        # legs run SERIALLY, interleaved (x1 then x4 back-to-back per pair,
+        # ~3 min apart — close enough that the per-pair ratio bounds window
+        # drift). The concurrent-legs variant (both legs at once on
+        # disjoint CPU sets, intended to cancel drift exactly) was tried
+        # and REJECTED: this kernel degrades concurrent JVMs host-globally
+        # (serial x4 30.4 s vs concurrent 47.6 s in the same window),
+        # biasing efficiency down 0.93→0.63-0.76. It stays available as
+        # SPARK_GRAFT_SCALE_CONCURRENT=1 for reproduction.
+        concurrent = os.environ.get("SPARK_GRAFT_SCALE_CONCURRENT", "0") == "1"
+        # CPU allocation per leg: a DRIVER set (constant infrastructure —
+        # a real cluster resize never scales the driver node) + an
+        # EXECUTOR set sized to the level's 2*K budget. Disjoint across
+        # legs so concurrent pairs can't touch each other's CPUs:
+        #   low:  driver [0,1]                exec [2 .. 2+2K)
+        #   high: driver [2+2K, 4+2K)         exec [4+2K .. 4+10K)
+        drv = 2
+        alloc_low = (list(range(drv)), list(range(drv, drv + cores_low)))
+        base = drv + cores_low
+        alloc_high = (
+            list(range(base, base + drv)),
+            list(range(base + drv, base + drv + cores_high)),
+        )
         lows, highs = [], []
         for _ in range(reps):
-            lows.append(_pinned_flagship(spec_low, cores_low, bdir))
-            highs.append(_pinned_flagship(spec_high, cores_high, bdir))
+            if concurrent:
+                lo, hi = _pinned_pair_concurrent(
+                    spec_low, alloc_low, spec_high, alloc_high, bdir
+                )
+            else:
+                lo = _pinned_flagship(spec_low, *alloc_low, bdir)
+                hi = _pinned_flagship(spec_high, *alloc_high, bdir)
+            lows.append(lo)
+            highs.append(hi)
         tp_low, tp_high = n_docs / min(lows), n_docs / min(highs)
         # HEADLINE = median of the paired per-rep efficiencies: each
         # interleaved (low, high) pair saw the same host window, so the
@@ -281,12 +423,19 @@ def _bench_main():
                 label_low: [round(s, 2) for s in lows],
                 label_high: [round(s, 2) for s in highs],
             },
-            "method": "taskset-pinned fresh process per level, interleaved "
-            "pairs; headline = median of per-pair efficiencies (same-window "
-            "ratios cancel shared-host drift); per-level min disclosed as "
-            "efficiency_min_based; steady-state execution walls, warm-up "
-            "excluded; executors mode: fixed 2-core executor JVMs, count "
-            "scaled 1->4",
+            "method": "taskset-pinned fresh process per level; driver "
+            "JVM+python pinned to a constant 2-CPU driver set per leg "
+            "(a cluster resize scales executors, not the driver node), "
+            "executor processes re-pinned to the level's 2K-CPU budget; "
+            + ("pair legs run CONCURRENTLY on disjoint CPU sets (NON-"
+               "DEFAULT: measured to self-interfere on this kernel, biases "
+               "efficiency down)" if concurrent else
+               "pair legs run serially, interleaved back-to-back (the "
+               "per-pair ratio bounds window drift)")
+            + "; headline = median of per-pair efficiencies; per-level min "
+            "disclosed as efficiency_min_based; steady-state execution "
+            "walls, warm-up excluded; executors mode: fixed 2-core executor "
+            "JVMs, count scaled 1->4",
         }
     print(json.dumps(result))
 
