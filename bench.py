@@ -147,6 +147,42 @@ def run_queries(spark, sdir):
     return times
 
 
+def _hard_stop(spark):
+    """Stop the session AND terminate the py4j gateway JVM process.
+
+    `spark.stop()` alone leaves the gateway JVM (here: a 24g-heap local[32]
+    JVM that just ran the full query suite, with its thread and python-daemon
+    history) alive until this python process exits. Every full-run closing
+    record to date was captured with that JVM lingering through the scaling
+    legs, and every one of them showed the same signature — x1 legs at their
+    idle-host walls but x4 legs 1.4-1.5x slow, steady across pairs (r2:
+    0.696/0.718; r3 attempts: 0.623, 0.68/0.683/0.801) — while standalone
+    legs minutes apart read 0.87-1.05. This kernel degrades co-resident JVM
+    process trees (see the concurrent-legs experiment in BENCH/BASELINE.md);
+    the scaling phase must start with ZERO other JVMs on the host."""
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    spark.stop()
+    if gw is not None:
+        try:
+            gw.shutdown()
+        except Exception:
+            pass
+        proc = getattr(gw, "proc", None)
+        if proc is not None:
+            try:
+                proc.terminate()
+                proc.wait(timeout=15)
+            except Exception:
+                try:
+                    proc.kill()
+                except Exception:
+                    pass
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+
+
 def _parse_pinned(out) -> float:
     for line in out.stdout.strip().splitlines()[::-1]:
         if line.startswith("PINNED_SEC="):
@@ -331,7 +367,7 @@ def _bench_main():
     result["queries"] = queries
     result["value"] = round(sum(queries.values()), 3)
 
-    spark.stop()
+    _hard_stop(spark)
     if DO_SCALING:
         # north-rule scaling evidence, sandbox form: the SAME job on an
         # N-executor and a 4N-executor cluster. Default mode 'executors'
@@ -388,11 +424,17 @@ def _bench_main():
             list(range(base + drv, base + drv + cores_high)),
         )
         lows, highs = [], []
-        for _ in range(reps):
+        for rep in range(reps):
             if concurrent:
                 lo, hi = _pinned_pair_concurrent(
                     spec_low, alloc_low, spec_high, alloc_high, bdir
                 )
+            elif rep % 2:
+                # alternate leg ORDER per pair: under a monotone host-speed
+                # drift, lo-first pairs bias the ratio one way and hi-first
+                # pairs the other, so the median over pairs sheds the trend
+                hi = _pinned_flagship(spec_high, *alloc_high, bdir)
+                lo = _pinned_flagship(spec_low, *alloc_low, bdir)
             else:
                 lo = _pinned_flagship(spec_low, *alloc_low, bdir)
                 hi = _pinned_flagship(spec_high, *alloc_high, bdir)
@@ -430,8 +472,12 @@ def _bench_main():
             + ("pair legs run CONCURRENTLY on disjoint CPU sets (NON-"
                "DEFAULT: measured to self-interfere on this kernel, biases "
                "efficiency down)" if concurrent else
-               "pair legs run serially, interleaved back-to-back (the "
-               "per-pair ratio bounds window drift)")
+               "pair legs run serially, interleaved back-to-back with "
+               "alternating order per pair (the per-pair ratio bounds "
+               "window drift; order alternation sheds monotone trends)")
+            + "; suite gateway JVM hard-terminated before the scaling "
+            "phase (co-resident JVM trees degrade each other on this "
+            "kernel)"
             + "; headline = median of per-pair efficiencies; per-level min "
             "disclosed as efficiency_min_based; steady-state execution "
             "walls, warm-up excluded; executors mode: fixed 2-core executor "
