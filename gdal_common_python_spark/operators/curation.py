@@ -7,11 +7,12 @@ The reference has no analog — cited scope is the engine's documents table
 
 Scale shape:
 - decontaminate: the benchmark/eval set is tiny next to the corpus, so its
-  distinct n-gram hash set broadcasts into a map-side semi join against the
+  distinct n-gram set broadcasts into a map-side semi join against the
   exploded corpus shingles — corpus-side work is one narrow projection +
-  one partial-aggregated groupBy(doc_id); no corpus self-join, no skew key
-  (md5 keys are uniform). Past the byte gate the join degrades to a
-  shuffle hash join on the same uniform keys.
+  one partial-aggregated groupBy(doc_id); no corpus self-join. Past the
+  byte gate the join degrades to a shuffle join where hot n-grams are real
+  skew keys (hashing would NOT fix that — same key frequency) — AQE skew
+  handling covers them.
 - quota_sample: a pure narrow filter on md5(salt:id) — zero shuffle, exactly
   reproducible across runs, partitioning and cluster sizes, and restartable
   for free (the keep decision is a pure function of the row).
@@ -21,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import shingles_col
+from .dedup import ngram_structs_col, shingle_structs_col
 from .util import broadcastable
 
 __all__ = ["decontaminate", "quota_sample"]
@@ -40,13 +41,15 @@ def decontaminate(
     (doc_id, n_hits, n_shingles, hit_frac) where n_hits counts the doc's
     DISTINCT shingles that appear anywhere in the benchmark.
 
-    Joins on md5(shingle) (fixed-width uniform keys) rather than raw
-    n-gram strings; the benchmark side is distinct-reduced before the
-    size-gated broadcast.
+    Joins on the n-gram STRUCT key (see dedup.ngram_structs_col) — the gram
+    text never materializes and no hash is computed. Hashing the key buys
+    nothing here: it uniformizes the key SPACE, not key FREQUENCY, so a hot
+    n-gram stays one hot key hashed or not; the broadcast path is
+    skew-immune anyway and the shuffle fallback leans on AQE skew handling.
+    The benchmark side is distinct-reduced before the size-gated broadcast.
     """
     bench_sh = (
-        benchmark.select(F.explode(shingles_col(text_col, n)).alias("__sh"))
-        .select(F.md5("__sh").alias("__h"))
+        benchmark.select(F.explode(shingle_structs_col(text_col, n)).alias("__h"))
         .distinct()
     )
     if broadcastable(bench_sh, broadcast_limit):
@@ -59,13 +62,13 @@ def decontaminate(
     # array is a bound attribute and is computed exactly once per doc.
     doc_arr = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array(F.struct(shingles_col(text_col, n).alias("arr")))).alias("__b"),
+        F.explode(F.array(F.struct(shingle_structs_col(text_col, n).alias("arr")))).alias("__b"),
     ).select("doc_id", F.col("__b.arr").alias("__arr"))
     doc_sh = doc_arr.select(
         "doc_id",
         F.size("__arr").alias("n_shingles"),
-        F.explode("__arr").alias("__sh"),
-    ).withColumn("__h", F.md5("__sh"))
+        F.explode("__arr").alias("__h"),
+    )
     return (
         doc_sh.join(bench_sh, "__h")
         .groupBy("doc_id", "n_shingles")

@@ -49,20 +49,45 @@ def exact_duplicates(
     )
 
 
-def ngrams_col(toks, n: int):
-    """Word n-grams WITH duplicates over a token-array column (native HOFs).
-    The single source of the n-gram formula — the DuckDB oracles mirror it,
-    so every consumer (shingles, repetition stats) must share it."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+def ngram_structs_col(toks, n: int):
+    """Word n-grams WITH duplicates over a token-array column, as
+    array<struct<g0..g{n-1}>> — gram i zips the token array against its own
+    n-1 shifted slices. The single source of the n-gram formula — the DuckDB
+    oracles mirror its string form (`ngram_string` of each struct), so every
+    consumer (shingles, repetition stats, decontamination) must share it.
+
+    Why structs and not strings: the natural string form
+    (`transform(sequence(...), i -> concat_ws(' ', slice(toks, i+1, n)))`)
+    evaluates the lambda INTERPRETED per element — measured 8x slower than
+    this zip form on the sf0.1 corpus (4.10 s vs 0.49 s for the exploded
+    3-gram stream), and n-gram construction is the dominant cost of every
+    shingle consumer at corpus scale. arrays_zip/slice are plain expressions
+    (no lambda), and the string only ever materializes AFTER the explode,
+    one codegen'd concat_ws per row.
+
+    Semantics (identical to the lambda form, equality-tested in
+    tests/test_pipeline_ops.py): docs with >= n tokens yield size-n grams;
+    shorter docs yield ONE gram padded with NULL fields, and concat_ws
+    skips nulls, reproducing the shortened final gram ("a b" for a 2-token
+    doc at n=3). Struct equality treats the null padding consistently, so
+    distinct/intersect/join on structs == distinct/intersect/join on the
+    joined strings (tokens are split on whitespace and can't contain the
+    separator)."""
+    m = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    return F.arrays_zip(*[F.slice(toks, i + 1, m).alias(f"g{i}") for i in range(n)])
 
 
-def shingles_col(text_col: str = "text", n: int = 3):
-    """Word n-gram shingles as a distinct array column (native HOFs)."""
+def ngram_string(struct_col, n: int):
+    """Materialize the gram text of one (exploded) n-gram struct — a plain
+    codegen concat_ws; null padding of short docs drops out."""
+    c = F.col(struct_col) if isinstance(struct_col, str) else struct_col
+    return F.concat_ws(" ", *[c[f"g{i}"] for i in range(n)])
+
+
+def shingle_structs_col(text_col: str = "text", n: int = 3):
+    """Word n-gram shingles as a DISTINCT array of n-gram structs."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    return F.array_distinct(ngrams_col(toks, n))
+    return F.array_distinct(ngram_structs_col(toks, n))
 
 
 def minhash_docs(docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -81,9 +106,10 @@ def minhash_docs(docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text
     assert k % 4 == 0
     ex = (
         _spread(docs)
-        .select(F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("shingles"))
+        .select(F.col(id_col).alias("doc_id"), shingle_structs_col(text_col, n).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .select("doc_id", F.explode("shingles").alias("__sh"))
+        .select("doc_id", F.explode("shingles").alias("__s"))
+        .select("doc_id", ngram_string("__s", n).alias("__sh"))
     )
     hashed = ex.select(
         "doc_id",
@@ -152,8 +178,12 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 4, rows: int = 4) -> Dat
 def ngram_jaccard_pairs(
     docs: DataFrame, pairs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard for given (a_id, b_id) pairs."""
-    sh = docs.select(F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh"))
+    """Exact word-n-gram Jaccard for given (a_id, b_id) pairs.
+
+    Intersection/union sizes run directly on the n-gram STRUCT arrays
+    (struct equality == joined-string equality, see ngram_structs_col) —
+    the gram text never materializes."""
+    sh = docs.select(F.col(id_col).alias("doc_id"), shingle_structs_col(text_col, n).alias("sh"))
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
         .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")

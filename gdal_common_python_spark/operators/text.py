@@ -99,9 +99,10 @@ def repetition_profile(
     ).select("doc_id", F.col("__b.t").alias("__toks"), "__blank")
 
     def dup_frac(n: int) -> Column:
-        from .dedup import ngrams_col
+        # struct-form n-grams: size/array_distinct need no gram text at all
+        from .dedup import ngram_structs_col
 
-        g = ngrams_col(F.col("__toks"), n)
+        g = ngram_structs_col(F.col("__toks"), n)
         total = F.size(g).cast("double")
         return F.when(
             F.col("__blank") | (total <= 0), F.lit(0.0)

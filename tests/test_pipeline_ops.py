@@ -47,6 +47,30 @@ class TestDedup:
         assert 0.0 < out[("d1", "d3")] < 1.0
         assert out[("d1", "d5")] == 0.0
 
+    def test_ngram_structs_match_lambda_form(self, spark):
+        """The zip/struct n-gram builder must reproduce the interpreted
+        transform() lambda formula string-for-string (the DuckDB oracles
+        mirror that formula) — including short docs (< n tokens, null
+        padding + concat_ws skip) and duplicate grams."""
+        rows = [
+            ("a", "x y z x y z x y"),  # dup grams
+            ("b", "one two"),  # shorter than n=3
+            ("c", "solo"),  # single token
+            ("d", "  padded   whitespace  runs "),  # \s+ runs
+        ]
+        docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        for n in (2, 3):
+            lam = F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+            old = docs.select("doc_id", F.posexplode(lam))
+            new = docs.select(
+                "doc_id", F.posexplode(dedup.ngram_structs_col(toks, n)).alias("pos", "s")
+            ).select("doc_id", "pos", dedup.ngram_string("s", n))
+            assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+
     def test_simhash_similarity_order(self, texts):
         out = {r.doc_id: r.simhash for r in dedup.simhash_docs(texts, bits=32).collect()}
         def ham(a, b):
