@@ -502,6 +502,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.lsh_candidate_pairs(signed, bands=4, rows=4)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERING: transitive closure over the LSH pair
+    graph (minhash est >= 0.5), one canonical doc per cluster — the
+    keep/drop decision step of a corpus dedup pipeline. Oracle reproduces
+    the closure with a recursive CTE over the same bit-exact signatures."""
+    return dedup.near_dup_clusters(
+        _t(spark, sf_dir, "documents"), threshold=0.5, k=16, n=3, bands=4, rows=4
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     signed = dedup.minhash_docs(docs, k=16, n=3)
@@ -753,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -1297,6 +1308,35 @@ _SQL_BANDED = (
     f"  WITH signed AS ({_SQL_MINHASH_SIGNED}),\n  banded AS (\n"
     + "    SELECT doc_id, sig, b.band, md5(array_to_string(list_slice(sig, b.band*4 + 1, b.band*4 + 4), '|')) AS bkey\n"
     + "    FROM signed, (SELECT unnest([0,1,2,3]) AS band) b\n  )"
+)
+
+# transitive closure over the same banded pair graph (est >= 0.5), via a
+# recursive CTE: component of a doc = min doc_id it can reach. Mirrors
+# dedup.near_dup_clusters (min-label propagation) on bit-exact signatures.
+_SQL_DEDUP_CLUSTERS = (
+    _SQL_BANDED.replace("WITH signed", "WITH RECURSIVE signed", 1)
+    + """,
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(range(1, 17), i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS DOUBLE) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM cpairs
+  UNION ALL
+  SELECT b_id, a_id FROM cpairs
+),
+reach(src, dst) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+),
+comp AS (SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS BIGINT) AS cluster_id,
+       least(d.doc_id, coalesce(c.min_reach, d.doc_id)) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
 )
 
 _SQL_DEDUP_MINHASH = f"""
@@ -1851,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "simhash": _SQL_SIMHASH,
         "simhash_near_dup": _SQL_SIMHASH_NEAR_DUP,
         "embedding_topk": _SQL_EMBEDDING_TOPK,

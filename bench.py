@@ -108,6 +108,7 @@ def run_queries(spark, sdir):
         "media_frames",
         "dissolve_components",
         "dedup_minhash_lsh",
+        "dedup_clusters",
         "simhash",
         "simhash_near_dup",
         "embedding_ann_lsh",

@@ -193,6 +193,64 @@ def ngram_jaccard_pairs(
     return j.select("a_id", "b_id", (inter / union).alias("jaccard"))
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 16,
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Corpus-level near-duplicate CLUSTERING — the step after pair
+    generation that a real training-data pipeline runs: transitive closure
+    over the LSH near-dup pair graph, one canonical document per cluster.
+    Returns one row per input doc: (doc_id, cluster_id, is_canonical) with
+    cluster_id = min doc_id reachable through pairs whose minhash-estimated
+    Jaccard >= threshold (singletons cluster as themselves, canonical).
+
+    Keep `is_canonical` rows and the corpus is near-dup-free with the
+    lowest-id representative retained — deterministic under any
+    partitioning, so reruns and resumes pick the same survivors.
+
+    Scale shape: LSH banding bounds the pair graph (never all-pairs);
+    components run in graph.min_label_components (O(log diameter) rounds,
+    checkpointed, O(1)-state convergence probe). Near-dup clusters are
+    small and dense in practice, so the round count stays at 2-3; a
+    pathological duplicate-chain still converges in log rounds via the
+    path-halving hop.
+    """
+    from .graph import min_label_components
+
+    signed = minhash_docs(docs, k=k, n=n, text_col=text_col, id_col=id_col)
+    cand = lsh_candidate_pairs(signed, bands=bands, rows=rows)
+    # .filter() returns a fresh DataFrame without cand's release handles —
+    # keep cand in scope so its banded cache is forwarded below
+    pairs = cand.filter(F.col("est_jaccard") >= threshold)
+    edges = pairs.select(F.col("a_id").alias("l_id"), F.col("b_id").alias("r_id"))
+    labels = min_label_components(
+        docs.sparkSession,
+        docs.select(F.col(id_col).alias("doc_id")),
+        edges,
+        id_col="doc_id",
+        max_iters=max_iters,
+    )
+    out = labels.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("doc_id")).alias("is_canonical"),
+    )
+    out._gcp_cc_rounds = getattr(labels, "_gcp_cc_rounds", None)
+    # carry the components' + banding's release handles forward
+    return track_persisted(
+        out,
+        *getattr(labels, "_gcp_persisted_handles", ()),
+        *getattr(cand, "_gcp_persisted_handles", ()),
+    )
+
+
 def simhash_candidate_pairs(
     signed: DataFrame,
     bits: int = 32,

@@ -68,17 +68,6 @@ _SCHEMA = T.StructType(
 )
 
 
-def _ensure_checkpoint_dir(spark) -> None:
-    """Reliable-checkpoint dir for iterative operators, set lazily (a real
-    deployment points this at durable shared storage via setCheckpointDir
-    before calling; the sandbox default is a session-scoped temp dir)."""
-    sc = spark.sparkContext
-    if sc.getCheckpointDir() is None:
-        import tempfile
-
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="gcp-ckpt-"))
-
-
 def connected_components(
     spark, zones: DataFrame, group_col: str | None = None, max_iters: int = 50
 ) -> DataFrame:
@@ -100,12 +89,14 @@ def connected_components(
     The pair table comes from the overlay candidate machinery (bbox
     prefilter + exact kernel), i.e. the J2 self-join — at web scale swap the
     bbox broadcast for the cell-partitioned join; semantics are unchanged.
+    The propagation loop itself (checkpoint discipline, path-halving hop,
+    O(1)-state convergence probe) lives in graph.min_label_components,
+    shared with the near-duplicate document clustering operator.
     """
     from pyspark.sql import functions as FF
 
+    from .graph import min_label_components
     from .overlay import intersect_pairs
-
-    _ensure_checkpoint_dir(spark)
 
     pairs = intersect_pairs(spark, zones, zones).filter(FF.col("l_id") != FF.col("r_id"))
     if group_col is not None:
@@ -117,90 +108,9 @@ def connected_components(
             .filter(FF.col("__gl") == FF.col("__gr"))
             .select("l_id", "r_id")
         )
-    sym = pairs.unionByName(
-        pairs.select(FF.col("r_id").alias("l_id"), FF.col("l_id").alias("r_id"))
-    ).distinct()
-    sym = sym.cache()
-    labels = zones.select(FF.col("zone_id"), FF.col("zone_id").alias("component"))
-
-    # labels decrease monotonically pointwise (every update is a min of
-    # current values; the halving hop maps L -> label[L] <= L), so for
-    # NUMERIC ids the label-sum strictly decreases iff ANY label changed —
-    # an O(1)-state aggregate convergence probe on the just-checkpointed
-    # table instead of a join against the previous round. decimal(38)
-    # keeps the sum exact at any row count (1e12 rows x int64 ids < 1e38).
-    # Non-numeric ids (string zone keys) have no sum image that preserves
-    # the lexicographic min order — those keep the inequality-join probe.
-    numeric_ids = isinstance(
-        zones.schema["zone_id"].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    return min_label_components(
+        spark, zones.select("zone_id"), pairs, id_col="zone_id", max_iters=max_iters
     )
-
-    def _label_sum(df) -> object:
-        return df.agg(
-            FF.sum(FF.col("component").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-
-    def _changed(prev_df, new_df) -> bool:
-        return (
-            prev_df.alias("a")
-            .join(new_df.alias("b"), "zone_id")
-            .filter(FF.col("a.component") != FF.col("b.component"))
-            .limit(1)
-            .count()
-            > 0
-        )
-
-    prev_sum = _label_sum(labels) if numeric_ids else None
-    rounds = 0
-    for _ in range(max_iters):
-        rounds += 1
-        # each node adopts the min label among itself and its neighbours
-        neigh = (
-            sym.join(labels, sym["r_id"] == labels["zone_id"])
-            .select(FF.col("l_id").alias("zone_id"), "component")
-        )
-        mn = (
-            labels.unionByName(neigh)
-            .groupBy("zone_id")
-            .agg(FF.min("component").alias("component"))
-        )
-        # path-halving hop: jump to the label's own label (labels are zone
-        # ids, so every component value is a valid key). Turns the
-        # one-hop-per-round propagation (O(diameter) rounds on a chain)
-        # into O(log(diameter)).
-        hop = mn.select(
-            FF.col("zone_id").alias("__cz"), FF.col("component").alias("__cc")
-        )
-        new_labels = (
-            mn.alias("x")
-            .join(hop, FF.col("x.component") == FF.col("__cz"), "left")
-            .select(
-                FF.col("x.zone_id").alias("zone_id"),
-                FF.coalesce(FF.col("__cc"), FF.col("x.component")).alias("component"),
-            )
-            # eager reliable checkpoint: materializes AND truncates lineage
-            # (see docstring); adds no persistent-RDD storage
-            .checkpoint(eager=True)
-        )
-        if numeric_ids:
-            cur_sum = _label_sum(new_labels)
-            converged = cur_sum == prev_sum
-            prev_sum = cur_sum
-        else:
-            converged = not _changed(labels, new_labels)
-        labels = new_labels
-        if converged:
-            break
-    # labels is checkpoint-backed (reads replay from checkpoint files, never
-    # through the iteration chain); sym's cache rides along as the release()
-    # handle
-    from .util import track_persisted
-
-    out = track_persisted(labels, sym)
-    # diagnostics for tests/monitoring: rounds to converge (O(log diameter))
-    out._gcp_cc_rounds = rounds
-    return out
 
 
 _PARTIAL_SCHEMA = T.StructType(

@@ -47,6 +47,34 @@ class TestDedup:
         assert 0.0 < out[("d1", "d3")] < 1.0
         assert out[("d1", "d5")] == 0.0
 
+    def test_near_dup_clusters_transitive_and_released(self, spark):
+        """A~B and B~C must land in ONE cluster (transitive closure), the
+        canonical member is the min id, singletons self-cluster, and every
+        cache the operator takes is released by util.release()."""
+        from gdal_common_python_spark.operators.util import release
+
+        rows = [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "alpha beta gamma delta epsilon zeta eta theta"),  # = 10
+            (12, "alpha beta gamma delta epsilon zeta eta theta"),  # = 10
+            (13, "totally different words live in this document here"),
+        ]
+        docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        # earlier tests may hold their own (unreleased) caches — measure
+        # relative to the pre-op level, not absolute zero
+        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        out = dedup.near_dup_clusters(docs, threshold=0.5, bands=8, rows=2)
+        got = {r.doc_id: (r.cluster_id, r.is_canonical) for r in out.collect()}
+        assert got == {
+            10: (10, True),
+            11: (10, False),
+            12: (10, False),
+            13: (13, True),
+        }
+        assert out._gcp_cc_rounds >= 1
+        release(out)
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
     def test_ngram_structs_match_lambda_form(self, spark):
         """The zip/struct n-gram builder must reproduce the interpreted
         transform() lambda formula string-for-string (the DuckDB oracles
