@@ -561,6 +561,29 @@ def q_text_profile(spark, sf_dir):
     return text_ops.text_profile(_t(spark, sf_dir, "documents"))
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII redaction pass: plant deterministic PII-shaped spans (email, ip,
+    ssn, card) into 2/3 of the docs, then scrub — per-category counts on the
+    original text, sequential category replacement. The oracle mirrors the
+    plant expression and the exact regexes (Java-regex/RE2-common syntax)."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".3.7 ssn 123-45-6789 card 4111111111111111"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return text_ops.scrub_pii(planted)
+
+
 def q_repetition_profile(spark, sf_dir):
     """Gopher-style repetition signals (dup n-gram fractions, top-token
     share, threshold flag) — narrow HOF arithmetic + one uniform-key agg."""
@@ -772,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "text_profile": q_text_profile,
         "repetition_profile": q_repetition_profile,
+        "scrub_pii": q_scrub_pii,
         "decontaminate": q_decontaminate,
         "quota_sample": q_quota_sample,
         "chunk_documents": q_chunk_documents,
@@ -1365,6 +1389,34 @@ SELECT p.a_id, p.b_id,
 FROM pairs p JOIN sh sa ON sa.doc_id = p.a_id JOIN sh sb ON sb.doc_id = p.b_id
 """
 
+def _sql_scrub_pii() -> str:
+    """Built from the SAME pattern constants the engine applies, so the two
+    sides cannot drift; DuckDB standard strings keep backslashes literal."""
+    pats = text_ops.PII_PATTERNS
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{rx}')) AS BIGINT) AS n_{name}"
+        for name, rx, _tok in pats
+    )
+    scrub = "text"
+    for _name, rx, tok in pats:
+        scrub = f"regexp_replace({scrub}, '{rx}', '{tok}', 'g')"
+    return (
+        "WITH planted AS (\n"
+        "  SELECT doc_id,\n"
+        "         CASE WHEN doc_id % 3 <> 0 THEN text || ' contact user' ||\n"
+        "              CAST(doc_id AS VARCHAR) || '@mail.example.org from 10.' ||\n"
+        "              CAST(doc_id % 200 AS VARCHAR) ||\n"
+        "              '.3.7 ssn 123-45-6789 card 4111111111111111'\n"
+        "         ELSE text END AS text\n"
+        "  FROM documents\n"
+        "),\n"
+        f"scr AS (\n  SELECT doc_id, {scrub} AS scrubbed,\n       {counts}\n  FROM planted\n)\n"
+        "SELECT doc_id, scrubbed AS text, n_email, n_ipv4, n_ssn, n_card FROM scr"
+    )
+
+
+_SQL_SCRUB_PII = _sql_scrub_pii()
+
 _SQL_REPETITION = """
 WITH d AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks,
@@ -1898,6 +1950,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _SQL_DEDUP_EMBEDDING_COSINE,
         "text_profile": _SQL_TEXT_PROFILE,
         "repetition_profile": _SQL_REPETITION,
+        "scrub_pii": _SQL_SCRUB_PII,
         "decontaminate": _SQL_DECONTAMINATE,
         "quota_sample": _SQL_QUOTA_SAMPLE,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,

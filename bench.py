@@ -116,6 +116,7 @@ def run_queries(spark, sdir):
         "dedup_embedding_cosine",
         "text_profile",
         "repetition_profile",
+        "scrub_pii",
         "decontaminate",
         "quota_sample",
         "chunk_documents",

@@ -142,3 +142,46 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.round(quality_score(t), 9).alias("quality"),
         fingerprint(t).alias("fp"),
     )
+
+
+# PII redaction patterns: (name, regex, replacement token), applied in this
+# fixed order. The regexes use only syntax with IDENTICAL semantics in Java
+# regex (Spark) and RE2 (DuckDB) — character classes, bounded repetition,
+# word boundaries — so the oracle can mirror them verbatim. Categories are
+# deliberately simple/high-precision (the C4/Dolma-style scrub pass);
+# callers with stricter needs pass their own list.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b\d{13,16}\b", "<CARD>"),
+]
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans (training-data scrub pass): returns
+    (doc_id, text, n_<category>...) with every match replaced by its
+    category token and per-category match counts measured on the ORIGINAL
+    text (categories count independently; replacement applies sequentially
+    in pattern order, so an earlier category's token is never re-matched).
+
+    Pure narrow plan — one projection of regexp_count/regexp_replace
+    expressions, no shuffle, no Python; output partitioning follows the
+    input, so the scrub composes with any downstream op for free.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, rx, tok in pats:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(rx)).cast("long").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, rx, tok)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), scrubbed.alias(text_col), *counts
+    )

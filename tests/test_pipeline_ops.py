@@ -211,6 +211,26 @@ class TestText:
         assert 0.0 <= out["d1"].quality <= 1.0
         assert out["d1"].fp == out["d2"].fp != out["d3"].fp
 
+    def test_scrub_pii(self, spark):
+        """Counts measure the ORIGINAL text per category; replacement is
+        sequential in pattern order (an earlier category's token is never
+        re-matched by a later pattern); clean text passes through."""
+        rows = [
+            (1, "mail a.b-c@x.co and 10.0.0.1 ssn 123-45-6789 card 4111111111111111"),
+            (2, "two mails p@q.io r@s.net one ip 192.168.1.1"),
+            (3, "nothing sensitive here"),
+            (4, ""),
+        ]
+        docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        out = {r.doc_id: r for r in text_ops.scrub_pii(docs).collect()}
+        assert out[1].text == "mail <EMAIL> and <IP> ssn <SSN> card <CARD>"
+        assert (out[1].n_email, out[1].n_ipv4, out[1].n_ssn, out[1].n_card) == (1, 1, 1, 1)
+        assert out[2].text == "two mails <EMAIL> <EMAIL> one ip <IP>"
+        assert out[2].n_email == 2 and out[2].n_ipv4 == 1
+        assert out[3].text == "nothing sensitive here"
+        assert (out[3].n_email, out[3].n_ipv4, out[3].n_ssn, out[3].n_card) == (0, 0, 0, 0)
+        assert out[4].text == ""
+
     def test_repetition_profile_planted(self, spark):
         import pandas as pd
 
