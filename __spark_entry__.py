@@ -512,6 +512,17 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_corpus_overlap(spark, sf_dir):
+    """Cross-corpus near-match join (train/eval fuzzy overlap): LSH band
+    join between the two halves of the corpus (odd ids vs even ids — a
+    split near-dup pairs actually cross), minhash-estimated Jaccard
+    >= 0.25 (exact 4/16 — float-safe in both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 != 0)
+    bench = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.minhash_similarity_join(corpus, bench, threshold=0.25)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     signed = dedup.minhash_docs(docs, k=16, n=3)
@@ -787,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_overlap": q_corpus_overlap,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -1333,6 +1345,21 @@ _SQL_BANDED = (
     + "    SELECT doc_id, sig, b.band, md5(array_to_string(list_slice(sig, b.band*4 + 1, b.band*4 + 4), '|')) AS bkey\n"
     + "    FROM signed, (SELECT unnest([0,1,2,3]) AS band) b\n  )"
 )
+
+_SQL_CORPUS_OVERLAP = f"""
+{_SQL_BANDED},
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0
+),
+signed2 AS ({_SQL_MINHASH_SIGNED})
+SELECT * FROM (
+  SELECT p.a_id, p.b_id,
+         CAST(len(list_filter(range(1, 17), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 16.0 AS est_jaccard
+  FROM cpairs p JOIN signed2 sa ON sa.doc_id = p.a_id JOIN signed2 sb ON sb.doc_id = p.b_id
+) WHERE est_jaccard >= 0.25
+"""
 
 # transitive closure over the same banded pair graph (est >= 0.5), via a
 # recursive CTE: component of a doc = min doc_id it can reach. Mirrors
@@ -1944,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
+        "corpus_overlap": _SQL_CORPUS_OVERLAP,
         "simhash": _SQL_SIMHASH,
         "simhash_near_dup": _SQL_SIMHASH_NEAR_DUP,
         "embedding_topk": _SQL_EMBEDDING_TOPK,

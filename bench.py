@@ -109,6 +109,7 @@ def run_queries(spark, sdir):
         "dissolve_components",
         "dedup_minhash_lsh",
         "dedup_clusters",
+        "corpus_overlap",
         "simhash",
         "simhash_near_dup",
         "embedding_ann_lsh",

@@ -127,10 +127,10 @@ def minhash_docs(docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text
     )
 
 
-def lsh_candidate_pairs(signed: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
-    """(a_id, b_id, est_jaccard) for pairs sharing >=1 LSH band bucket.
-    est_jaccard = fraction of equal minhash components."""
-    banded = signed.select(
+def _banded_sig(signed: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, sig, band, bkey): one row per doc per band, band key =
+    md5 of the signature slice."""
+    return signed.select(
         "doc_id",
         "sig",
         F.explode(
@@ -145,6 +145,35 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 4, rows: int = 4) -> Dat
             )
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
+def _lower_band_agrees(rows: int, bands: int):
+    """Report-once predicate WITHOUT a dedup shuffle: a pair matching
+    several bands is kept only at its MINIMUM agreeing band, decided in
+    codegen from the two signatures already on the row (slice equality per
+    lower band)."""
+
+    def _band_agree(k: int):
+        return F.slice("a_sig", k * rows + 1, rows) == F.slice("b_sig", k * rows + 1, rows)
+
+    return reduce(
+        lambda acc, k: acc | ((F.col("band") > k) & _band_agree(k)),
+        range(bands - 1),
+        F.lit(False),
+    )
+
+
+def _est_jaccard():
+    return (
+        F.size(F.filter(F.zip_with("a_sig", "b_sig", lambda x, y: x == y), lambda e: e))
+        / F.size("a_sig")
+    )
+
+
+def lsh_candidate_pairs(signed: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+    """(a_id, b_id, est_jaccard) for pairs sharing >=1 LSH band bucket.
+    est_jaccard = fraction of equal minhash components."""
+    banded = _banded_sig(signed, bands, rows)
     # the self-join reads this twice — cache so the shingle+md5 pipeline
     # runs once (cluster-side you would persist the signatures table). The
     # handle rides the result: long-lived pipelines call util.release(out)
@@ -152,27 +181,53 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 4, rows: int = 4) -> Dat
     banded = banded.cache()
     a = banded.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bkey")
     b = banded.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bkey")
-    # report-once WITHOUT a dedup shuffle: a pair matching several bands is
-    # kept only at its MINIMUM agreeing band, decided in codegen from the
-    # two signatures already on the row (slice equality per lower band)
-    def _band_agree(k: int):
-        return F.slice("a_sig", k * rows + 1, rows) == F.slice("b_sig", k * rows + 1, rows)
-
-    lower_agrees = reduce(
-        lambda acc, k: acc | ((F.col("band") > k) & _band_agree(k)),
-        range(bands - 1),
-        F.lit(False),
-    )
     pairs = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(~lower_agrees)
+        .filter(~_lower_band_agrees(rows, bands))
     )
-    est = (
-        F.size(F.filter(F.zip_with("a_sig", "b_sig", lambda x, y: x == y), lambda e: e))
-        / F.size("a_sig")
+    return track_persisted(
+        pairs.select("a_id", "b_id", _est_jaccard().alias("est_jaccard")), banded
     )
-    return track_persisted(pairs.select("a_id", "b_id", est.alias("est_jaccard")), banded)
+
+
+def minhash_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.0,
+    k: int = 16,
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 1_000_000,
+) -> DataFrame:
+    """Cross-corpus near-match join — the fuzzy complement to exact n-gram
+    decontamination: (a_id from left, b_id from right, est_jaccard) for
+    document pairs whose minhash signatures agree on >=1 LSH band and whose
+    estimated Jaccard >= threshold. Train/eval overlap estimation at corpus
+    scale runs THIS, not an all-pairs comparison.
+
+    Scale shape: band keys bound the candidate set exactly as in the
+    self-join case; each side is read ONCE (no cache needed — unlike
+    lsh_candidate_pairs there is no self-join), the smaller right side
+    broadcasts under the row gate, and the min-agreeing-band predicate
+    reports each pair once without a dedup shuffle.
+    """
+    a = _banded_sig(minhash_docs(left, k=k, n=n, text_col=text_col, id_col=id_col), bands, rows)
+    b = _banded_sig(minhash_docs(right, k=k, n=n, text_col=text_col, id_col=id_col), bands, rows)
+    a = a.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bkey")
+    b = b.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bkey")
+    from .util import broadcastable
+
+    if broadcastable(b, broadcast_limit):
+        b = F.broadcast(b)
+    pairs = a.join(b, ["band", "bkey"]).filter(~_lower_band_agrees(rows, bands))
+    out = pairs.select("a_id", "b_id", _est_jaccard().alias("est_jaccard"))
+    if threshold > 0.0:
+        out = out.filter(F.col("est_jaccard") >= threshold)
+    return out
 
 
 def ngram_jaccard_pairs(

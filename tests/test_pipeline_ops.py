@@ -47,6 +47,27 @@ class TestDedup:
         assert 0.0 < out[("d1", "d3")] < 1.0
         assert out[("d1", "d5")] == 0.0
 
+    def test_minhash_similarity_join_cross_table(self, spark):
+        """Cross-table LSH join finds left-right near matches, never
+        left-left or right-right pairs, reports each pair once, and takes
+        no cache (each side is read once)."""
+        rows_l = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely unrelated text about distributed engines"),
+        ]
+        rows_r = [
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (6, "some other unrelated benchmark sentence entirely"),
+        ]
+        left = spark.createDataFrame(pd.DataFrame(rows_l, columns=["doc_id", "text"]))
+        right = spark.createDataFrame(pd.DataFrame(rows_r, columns=["doc_id", "text"]))
+        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        out = dedup.minhash_similarity_join(left, right, threshold=0.5, bands=8, rows=2)
+        got = sorted((r.a_id, r.b_id, r.est_jaccard) for r in out.collect())
+        assert got == [(1, 2, 1.0), (1, 4, 1.0)]
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
     def test_near_dup_clusters_transitive_and_released(self, spark):
         """A~B and B~C must land in ONE cluster (transitive closure), the
         canonical member is the min id, singletons self-cluster, and every
