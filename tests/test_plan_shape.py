@@ -102,6 +102,15 @@ class TestAggAndJoinPlans:
         assert len(aggs) >= 2 and exchs, tree
         assert any(a > exchs[0] for a in aggs), tree
 
+    def test_scrub_pii_no_shuffle(self, spark):
+        # PII scrubbing is one narrow projection: any Exchange in the plan
+        # means a refactor added a shuffle to a shuffle-free op
+        from gdal_common_python_spark.operators import text as text_ops
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = plan(text_ops.scrub_pii(docs))
+        assert "Exchange" not in p, p
+
     def test_simhash_no_explode(self, spark):
         # simhash folds token arrays with native HOFs: the plan must contain
         # no Generate (explode) — an explode here blows the row count up by
@@ -147,6 +156,32 @@ class TestSizeGatedBroadcasts:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
         return ctx()
+
+    def test_similarity_join_broadcasts_small_side(self, spark):
+        # the cross-corpus LSH join must broadcast a small right side (the
+        # typical eval/benchmark corpus) — no shuffle of the big left side
+        from gdal_common_python_spark.operators import dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = dedup.minhash_similarity_join(
+            docs, docs.filter(F.col("doc_id") % 50 == 0), threshold=0.25
+        )
+        p = plan(out)
+        assert "BroadcastHashJoin" in p, p
+
+    def test_similarity_join_large_side_not_broadcast(self, spark):
+        # past the row gate the op must not HINT a broadcast (suppress the
+        # optimizer's auto-broadcast so only the explicit hint could appear)
+        from gdal_common_python_spark.operators import dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with self._no_autobroadcast(spark):
+            out = dedup.minhash_similarity_join(
+                docs, docs, threshold=0.25, broadcast_limit=10
+            )
+            p = plan(out)
+        assert "BroadcastHashJoin" not in p, p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
 
     def test_equi_join_large_side_not_broadcast(self, spark):
         from gdal_common_python_spark.operators import equi_join
