@@ -401,6 +401,9 @@ def difference_convex(subject: np.ndarray, clip_ring: np.ndarray) -> list[np.nda
     clip = _drop_degenerate_edges(np.asarray(clip_ring, dtype=np.float64))
     if len(clip) < 3:
         return [np.asarray(subject, dtype=np.float64)]
+    subj = np.asarray(subject, dtype=np.float64)
+    if len(subj) and _bbox_disjoint(subj, clip):
+        return [subj]  # disjoint: subtraction is the identity
     k = len(clip)
     edges = [(clip[i], clip[(i + 1) % k]) for i in range(k)]
     pieces = []
@@ -781,6 +784,17 @@ def union_pieces(ringsets: list[list[np.ndarray]]) -> list[np.ndarray]:
     return out
 
 
+def _bbox_disjoint(a: np.ndarray, b: np.ndarray) -> bool:
+    """Strictly-disjoint bbox test (touching falls through to the exact
+    kernels — a shared boundary yields only sub-_MIN_PIECE_AREA slivers)."""
+    return bool(
+        a[:, 0].min() > b[:, 0].max()
+        or a[:, 0].max() < b[:, 0].min()
+        or a[:, 1].min() > b[:, 1].max()
+        or a[:, 1].max() < b[:, 1].min()
+    )
+
+
 def clip_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None:
     """Sutherland–Hodgman clip of an arbitrary ring by a CONVEX CCW ring.
 
@@ -790,6 +804,8 @@ def clip_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None
     Returns the clipped ring or None if empty.
     """
     out = np.asarray(subject, dtype=np.float64)
+    if len(out) and _bbox_disjoint(out, np.asarray(clip_ring, dtype=np.float64)):
+        return None
     clip = _drop_degenerate_edges(np.asarray(clip_ring, dtype=np.float64))
     for i in range(len(clip)):
         if len(out) == 0:
