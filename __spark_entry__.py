@@ -763,6 +763,58 @@ def q_orders_by_segment(spark, sf_dir):
     )
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Morton (Z-order) locality keys for every geo point — the key behind
+    layout_by_zorder's range-clustered files (parquet min/max pruning at
+    corpus scale). Pure integer codegen; formula mirrored in the oracle."""
+    from gdal_common_python_spark.operators import layout
+
+    pts = sj.geo_points(_synth(spark, sf_dir, "documents_spans"))
+    return pts.select(
+        "doc_id",
+        "offset",
+        layout.zorder_key(F.col("x"), F.col("y"), res=12).alias("zkey"),
+    )
+
+
+def q_cell_rollup(spark, sf_dir):
+    """Multi-resolution cell-count pyramid (H3-style res 7->12 rollup):
+    one wide agg at res 12, then parent-sum folds — each coarser level
+    aggregates the PREVIOUS level, never the raw table. The oracle
+    recomputes every level independently from the raw points."""
+    from gdal_common_python_spark.operators import layout
+
+    pts = sj.geo_points(_synth(spark, sf_dir, "documents_spans"))
+    return layout.cell_rollup(pts, "x", "y", res_fine=12, res_coarse=7)
+
+
+def q_vocabulary(spark, sf_dir):
+    """Corpus vocabulary, top-200 by (count desc, token asc): the table
+    behind tokenizer training / frequency filters. One partial-aggregated
+    token shuffle; the cap sorts only the aggregated table."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.vocabulary(docs, top_k=200)
+
+
+def q_surprisal(spark, sf_dir):
+    """Integer-quantized unigram surprisal per doc (bits): deterministic
+    LM-quality signal; integer sums keep it partitioning-invariant."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.surprisal_bits(docs, vocab_top_k=1 << 15)
+
+
+def q_stratified_split(spark, sf_dir):
+    """Deterministic per-language train/val/test assignment via the
+    md5-draw ladder — pure row function, stable under repartitioning."""
+    from gdal_common_python_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.stratified_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, group_col="lang"
+    )
+    return out.select("doc_id", "lang", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_pip": q_spatial_join_pip,
@@ -817,6 +869,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "pricing_summary": q_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
+        "zorder_layout": q_zorder_layout,
+        "cell_rollup": q_cell_rollup,
+        "vocabulary": q_vocabulary,
+        "surprisal": q_surprisal,
+        "stratified_split": q_stratified_split,
     }
 
 
@@ -1929,6 +1986,98 @@ SELECT DISTINCT doc_id, off AS "offset", zone_id FROM (
 )
 """
 
+# shared pts CTE body: POINT geo spans parsed to doubles (same as the PIP gate)
+_PTS_CTE = f"""
+  SELECT doc_id, s."offset" AS off,
+         CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 1) AS DOUBLE) px,
+         CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 2) AS DOUBLE) py
+  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
+  WHERE s.kind='geo' AND s.text LIKE 'POINT%'
+"""
+
+
+def _sql_grid_ixy(res: int) -> str:
+    n = 1 << res
+    return (
+        f"CAST(least(greatest(floor((px + 180.0) / {360.0 / n!r}), 0), {n - 1}) AS BIGINT) AS ix,"
+        f" CAST(least(greatest(floor((py + 90.0) / {180.0 / n!r}), 0), {n - 1}) AS BIGINT) AS iy"
+    )
+
+
+_ZRES = 12
+_MORTON = " + ".join(
+    f"(((ix >> {b}) & 1) << {2 * b + 1}) + (((iy >> {b}) & 1) << {2 * b})"
+    for b in range(_ZRES)
+)
+_SQL_ZORDER_LAYOUT = f"""
+WITH pts AS ({_PTS_CTE}),
+g AS (SELECT doc_id, off, {_sql_grid_ixy(_ZRES)} FROM pts)
+SELECT doc_id, off AS "offset", CAST({_MORTON} AS BIGINT) AS zkey FROM g
+"""
+
+# every pyramid level recomputed directly from the raw points (the engine
+# folds coarser levels from the previous level — same counts, tested here)
+_SQL_CELL_ROLLUP = f"""
+WITH pts AS ({_PTS_CTE})
+{" UNION ALL ".join(
+    f'''SELECT {r} AS res,
+       CAST({r} AS BIGINT) * {1 << 58} + ix * {1 << 29} + iy AS cell,
+       count(*) AS n_points
+    FROM (SELECT {_sql_grid_ixy(r)} FROM pts) GROUP BY 1, 2'''
+    for r in range(7, 13)
+)}
+"""
+
+_SQL_VOCABULARY = """
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+)
+WHERE token != ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 200
+"""
+
+_SQL_SURPRISAL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok2 AS (SELECT * FROM tok WHERE token != ''),
+vocab AS (
+  SELECT token, count(*) AS n FROM tok2 GROUP BY token
+  ORDER BY count(*) DESC, token ASC LIMIT 32768
+),
+tot AS (SELECT CAST(floor(log2(sum(n))) AS BIGINT) AS tb FROM vocab),
+dt AS (SELECT doc_id, token, count(*) AS k FROM tok2 GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, sum(k) AS n_tokens,
+         sum(k * (tot.tb - CAST(floor(log2(coalesce(v.n, 1))) AS BIGINT))) AS sb
+  FROM dt LEFT JOIN vocab v USING (token), tot
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.sb, 0) AS BIGINT) AS surprisal_bits
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+_SQL_STRATIFIED_SPLIT = """
+SELECT doc_id, lang,
+  CASE WHEN draw < 0.8 THEN 'train'
+       WHEN draw < 0.9 THEN 'val'
+       WHEN draw < 1.0 THEN 'test'
+       ELSE 'rest' END AS split
+FROM (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('split1:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) / 4294967296.0 AS draw
+  FROM documents
+)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     synth.ensure("sf0.01")  # the oracle reads the synth parquet directly
@@ -1988,6 +2137,11 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": _SQL_EVENT_SESSIONS,
         "pricing_summary": _SQL_PRICING,
         "orders_by_segment": _SQL_ORDERS_SEGMENT,
+        "zorder_layout": _SQL_ZORDER_LAYOUT,
+        "cell_rollup": _SQL_CELL_ROLLUP,
+        "vocabulary": _SQL_VOCABULARY,
+        "surprisal": _SQL_SURPRISAL,
+        "stratified_split": _SQL_STRATIFIED_SPLIT,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -125,6 +125,11 @@ def run_queries(spark, sdir):
         "interval_overlaps",
         "event_sessions",
         "pricing_summary",
+        "zorder_layout",
+        "cell_rollup",
+        "vocabulary",
+        "surprisal",
+        "stratified_split",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

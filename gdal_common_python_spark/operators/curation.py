@@ -156,3 +156,54 @@ def quota_sample(
     )
     rate = F.coalesce(mapping[F.col(group_col)], F.lit(0.0))
     return docs.filter(draw < rate)
+
+
+def stratified_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "split1",
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment: each row gets a
+    `split` label from `fractions` (e.g. {"train": .8, "val": .1,
+    "test": .1}, must sum to <= 1; any remainder labels "rest") chosen by
+    where the md5-derived uniform draw frac(md5(salt:group:id)) falls in
+    the cumulative-fraction ladder. Salting with the GROUP makes draws
+    independent across strata, so each stratum is split at the same rates
+    — the stratified property — while staying a pure row function: stable
+    under repartitioning, retries, resume and cluster size (no df.sample /
+    randomSplit, whose results depend on partitioning).
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"),
+                    F.col(group_col).cast("string"),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 32))
+    label = F.lit("rest")
+    cum = 0.0
+    # build the CASE ladder from the LAST bucket backwards so earlier
+    # buckets' conditions take precedence (insertion order of `fractions`)
+    edges = []
+    for name, frac in fractions.items():
+        cum += frac
+        edges.append((name, cum))
+    for name, hi in reversed(edges):
+        label = F.when(draw < F.lit(hi), F.lit(name)).otherwise(label)
+    return docs.withColumn("split", label)

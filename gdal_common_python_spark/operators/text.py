@@ -185,3 +185,90 @@ def scrub_pii(
     return docs.select(
         F.col(id_col).alias("doc_id"), scrubbed.alias(text_col), *counts
     )
+
+
+def vocabulary(
+    docs: DataFrame,
+    top_k: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: (token, n_occurrences, n_docs), optionally capped
+    to the top_k most frequent tokens with a DETERMINISTIC tie order
+    (n_occurrences desc, token asc) — the table behind tokenizer training,
+    frequency filtering and the unigram LM below.
+
+    Scale shape: explode -> one partial-aggregated groupBy(token); map-side
+    combine collapses each partition to its distinct tokens before the
+    shuffle, so shuffle volume is ~vocab-size per partition, not corpus
+    token count. The top_k cap is a global sort of the (tiny) aggregated
+    table only."""
+    toks = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    if top_k is not None:
+        vocab = vocab.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(top_k)
+    return vocab
+
+
+def surprisal_bits(
+    docs: DataFrame,
+    vocab_top_k: int = 1 << 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-quantized unigram surprisal per document:
+    (doc_id, n_tokens, surprisal_bits) with
+    surprisal_bits = sum over tokens of
+        floor(log2(total_corpus_tokens)) - floor(log2(count(token))),
+    out-of-vocabulary tokens scored at count=1 (max surprisal). A cheap,
+    fully deterministic LM-quality signal: low bits/token = stereotyped
+    boilerplate, high = rare-token-dense text.
+
+    The bit quantization is the point, not a shortcut: floor(log2(n)) on
+    integers is exact in ANY IEEE implementation (boundaries are powers of
+    two, which doubles represent exactly), and the per-doc score is an
+    INTEGER sum — order-independent, so the result is stable under any
+    partitioning/merge order, unlike a float log-prob sum.
+
+    Scale shape: vocabulary() [one shuffle] -> per-doc token counts
+    [shuffle on (doc, token)] -> broadcast-join the capped vocab -> one
+    groupBy(doc). The vocab side is top_k-capped, so the broadcast is
+    bounded by construction."""
+    vocab = vocabulary(docs, top_k=vocab_top_k, text_col=text_col)
+    total = vocab.agg(F.sum("n_occurrences")).collect()[0][0] or 1
+    total_bits = int(total).bit_length() - 1  # floor(log2(total))
+    doc_tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("k"))
+    )
+    bits = F.lit(total_bits).cast("long") - F.floor(F.log2(F.coalesce("n_occurrences", F.lit(1)))).cast("long")
+    scored = (
+        doc_tok.join(F.broadcast(vocab.select("token", "n_occurrences")), "token", "left")
+        .select("doc_id", "k", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("bits")).cast("long").alias("surprisal_bits"),
+        )
+    )
+    # blank docs keep their row: 0 tokens, 0 bits (like text_profile)
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("surprisal_bits", F.lit(0)).cast("long").alias("surprisal_bits"),
+        )
+    )
