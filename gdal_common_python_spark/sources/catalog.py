@@ -7,6 +7,23 @@ directory (data files + a JSON manifest committed by atomic rename) so jobs
 get snapshot-consistent reads without Iceberg jars (none in this sandbox —
 SURVEY §7 step 0). When a real Iceberg catalog is configured
 (spark.sql.catalog.*), ``load`` passes straight through to it.
+
+Iceberg-analog feature set (the parts that matter at 10^12 rows):
+
+- snapshot isolation: readers resolve ONE manifest version; concurrent
+  appends commit new versions by atomic rename and never disturb a
+  running read;
+- time travel: ``read(version=N)`` / ``history()`` — every manifest
+  version is retained;
+- per-file column stats in the manifest (``stats_cols``): min/max per
+  data file, gathered in ONE Spark job at commit time (grouped by
+  ``input_file_name``, not a per-file driver loop);
+- manifest-level file pruning: ``read(ranges={col: (lo, hi)})`` opens
+  only files whose recorded [min,max] intersects the predicate — file
+  skipping BEFORE Spark lists/opens anything. Combined with
+  ``operators.layout.layout_by_zorder`` (disjoint per-file Z-key
+  ranges), a bbox query on a 100 TB corpus touches a few files instead
+  of all of them.
 """
 
 from __future__ import annotations
@@ -16,7 +33,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def guess_format(path_or_name: str) -> str:
@@ -43,58 +60,196 @@ def load(spark: SparkSession, path_or_name: str) -> DataFrame:
 class IcebergLayoutTable:
     """Minimal snapshot table: <dir>/data/*.parquet + <dir>/metadata/vN.json
     (atomic rename commit, latest N wins). Mimics the commit semantics the
-    north rule's checkpoint/resume needs."""
+    north rule's checkpoint/resume needs, plus time travel and
+    stats-based file pruning (module docstring)."""
 
     def __init__(self, table_dir: str):
         self.dir = table_dir
         self.data_dir = os.path.join(table_dir, "data")
         self.meta_dir = os.path.join(table_dir, "metadata")
 
-    def _latest_manifest(self) -> dict | None:
+    # ---------------------------------------------------------- manifests
+
+    def _versions(self) -> list[int]:
         if not os.path.isdir(self.meta_dir):
-            return None
-        versions = sorted(
-            (f for f in os.listdir(self.meta_dir) if f.startswith("v") and f.endswith(".json")),
-            key=lambda f: int(f[1:-5]),
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
         )
+
+    def _manifest(self, version: int | None = None) -> dict | None:
+        versions = self._versions()
         if not versions:
             return None
-        with open(os.path.join(self.meta_dir, versions[-1])) as fh:
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise FileNotFoundError(f"no snapshot v{v} in {self.dir} (have {versions})")
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as fh:
             return json.load(fh)
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        m = self._latest_manifest()
+    def _latest_manifest(self) -> dict | None:
+        return self._manifest(None)
+
+    def history(self) -> list[dict]:
+        """One summary row per committed snapshot (Iceberg ``.history``)."""
+        out = []
+        for v in self._versions():
+            m = self._manifest(v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "committed_ms": m.get("committed_ms"),
+                    "operation": m.get("operation"),
+                    "n_files": len(m["files"]),
+                    "n_rows": m.get("n_rows"),
+                }
+            )
+        return out
+
+    # ---------------------------------------------------------- read path
+
+    def _entries(self, m: dict) -> list[dict]:
+        """Manifest file entries, tolerating the v0 plain-string layout."""
+        return [{"path": f} if isinstance(f, str) else f for f in m["files"]]
+
+    def plan_files(
+        self,
+        version: int | None = None,
+        ranges: dict[str, tuple] | None = None,
+    ) -> list[str]:
+        """The data files a read would open, after manifest-stats pruning.
+
+        A file survives iff, for every (col, (lo, hi)) in ``ranges``, its
+        recorded [min, max] intersects [lo, hi]. Files without stats for a
+        referenced column are kept (pruning must never lose rows)."""
+        m = self._manifest(version)
         if m is None or not m["files"]:
             raise FileNotFoundError(f"no committed snapshot in {self.dir}")
-        return spark.read.parquet(*[os.path.join(self.data_dir, f) for f in m["files"]])
+        picked = []
+        for e in self._entries(m):
+            keep = True
+            for col, (lo, hi) in (ranges or {}).items():
+                st = (e.get("stats") or {}).get(col)
+                if st is None:
+                    continue
+                if (hi is not None and st["min"] is not None and st["min"] > hi) or (
+                    lo is not None and st["max"] is not None and st["max"] < lo
+                ):
+                    keep = False
+                    break
+            if keep:
+                picked.append(os.path.join(self.data_dir, e["path"]))
+        return picked
 
-    def append(self, df: DataFrame) -> None:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        ranges: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """Snapshot read; ``version`` time-travels, ``ranges`` prunes files
+        via manifest stats (the residual filter still belongs to the
+        caller — pruning only narrows the file list)."""
+        files = self.plan_files(version=version, ranges=ranges)
+        if not files:
+            # all files pruned: empty frame with the snapshot's schema
+            m = self._manifest(version)
+            all_files = [os.path.join(self.data_dir, e["path"]) for e in self._entries(m)]
+            return spark.read.parquet(all_files[0]).limit(0)
+        return spark.read.parquet(*files)
+
+    # --------------------------------------------------------- write path
+
+    def _file_stats(
+        self, spark: SparkSession, staged_dir: str, stats_cols: list[str]
+    ) -> tuple[list[dict], int]:
+        """Per-file min/max + row counts for the staged snapshot, in ONE
+        Spark job: group the staged files by input_file_name (no per-file
+        driver loop — at corpus scale a commit may stage thousands of
+        files)."""
+        df = spark.read.parquet(staged_dir)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+        rows = (
+            df.groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )
+        out, total = [], 0
+        for r in rows:
+            name = os.path.basename(r["__f"])
+            stats = {
+                c: {"min": r[f"__min_{c}"], "max": r[f"__max_{c}"]} for c in stats_cols
+            }
+            out.append({"name": name, "n_rows": r["__n"], "stats": stats})
+            total += r["__n"]
+        return out, total
+
+    def _commit(
+        self,
+        df: DataFrame,
+        operation: str,
+        stats_cols: list[str] | None = None,
+    ) -> dict:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
         staged = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.data_dir, staged)
         df.write.mode("overwrite").parquet(out)
-        new_files = [
-            os.path.join(staged, f) for f in os.listdir(out) if f.endswith(".parquet")
-        ]
-        prev = self._latest_manifest()
-        files = (prev["files"] if prev else []) + new_files
-        version = (prev["version"] + 1) if prev else 1
-        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump({"version": version, "files": files}, fh)
-        os.rename(tmp, os.path.join(self.meta_dir, f"v{version}.json"))
 
-    def overwrite(self, df: DataFrame) -> None:
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.meta_dir, exist_ok=True)
-        staged = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
-        out = os.path.join(self.data_dir, staged)
-        df.write.mode("overwrite").parquet(out)
-        new_files = [os.path.join(staged, f) for f in os.listdir(out) if f.endswith(".parquet")]
+        spark = df.sparkSession
+        new_entries: list[dict] = []
+        n_new = None
+        if stats_cols:
+            per_file, n_new = self._file_stats(spark, out, stats_cols)
+            by_name = {p["name"]: p for p in per_file}
+            for f in sorted(os.listdir(out)):
+                if not f.endswith(".parquet"):
+                    continue
+                p = by_name.get(f, {})
+                new_entries.append(
+                    {
+                        "path": os.path.join(staged, f),
+                        "n_rows": p.get("n_rows"),
+                        "stats": p.get("stats", {}),
+                    }
+                )
+        else:
+            new_entries = [
+                {"path": os.path.join(staged, f)}
+                for f in sorted(os.listdir(out))
+                if f.endswith(".parquet")
+            ]
+
         prev = self._latest_manifest()
+        if operation == "append" and prev:
+            files = self._entries(prev) + new_entries
+            prev_rows = prev.get("n_rows")
+            n_rows = (prev_rows + n_new) if (prev_rows is not None and n_new is not None) else None
+        else:
+            files = new_entries
+            n_rows = n_new
         version = (prev["version"] + 1) if prev else 1
+        manifest = {
+            "version": version,
+            "operation": operation,
+            "committed_ms": int(time.time() * 1000),
+            "schema": df.schema.jsonValue(),
+            "n_rows": n_rows,
+            "files": files,
+        }
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "files": new_files}, fh)
+            json.dump(manifest, fh)
         os.rename(tmp, os.path.join(self.meta_dir, f"v{version}.json"))
+        return manifest
+
+    def append(self, df: DataFrame, stats_cols: list[str] | None = None) -> None:
+        self._commit(df, "append", stats_cols)
+
+    def overwrite(self, df: DataFrame, stats_cols: list[str] | None = None) -> None:
+        self._commit(df, "overwrite", stats_cols)

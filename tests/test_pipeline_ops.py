@@ -301,6 +301,94 @@ class TestSources:
         t.overwrite(zones.limit(3).select("zone_id", "name"))
         assert t.read(spark).count() == 3
 
+    def test_iceberg_layout_time_travel(self, spark, zones, tmp_path):
+        t = IcebergLayoutTable(str(tmp_path / "tt"))
+        t.append(zones.limit(10).select("zone_id", "name"), stats_cols=["zone_id"])
+        t.append(zones.limit(5).select("zone_id", "name"))
+        t.overwrite(zones.limit(3).select("zone_id", "name"))
+        # latest = v3; every prior snapshot stays readable
+        assert t.read(spark).count() == 3
+        assert t.read(spark, version=1).count() == 10
+        assert t.read(spark, version=2).count() == 15
+        hist = t.history()
+        assert [h["version"] for h in hist] == [1, 2, 3]
+        assert [h["operation"] for h in hist] == ["append", "append", "overwrite"]
+        assert hist[0]["n_rows"] == 10  # stats commit records counts
+        import pytest as _pt
+
+        with _pt.raises(FileNotFoundError):
+            t.read(spark, version=9)
+
+    def test_iceberg_layout_stats_pruning(self, spark, tmp_path):
+        """Manifest min/max stats must prune files, and a pruned read plus
+        residual filter must equal the full scan's answer."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        t = IcebergLayoutTable(str(tmp_path / "pr"))
+        # three commits with disjoint key ranges -> >=3 files with stats
+        for lo in (0, 1000, 2000):
+            pdf = pd.DataFrame({"k": range(lo, lo + 100), "v": range(100)})
+            t.append(spark.createDataFrame(pdf).coalesce(1), stats_cols=["k"])
+        all_files = t.plan_files()
+        pruned = t.plan_files(ranges={"k": (1010, 1020)})
+        assert len(pruned) < len(all_files) and len(pruned) >= 1
+        got = (
+            t.read(spark, ranges={"k": (1010, 1020)})
+            .filter((F.col("k") >= 1010) & (F.col("k") <= 1020))
+            .count()
+        )
+        assert got == 11
+        # open-ended ranges and an unknown-stats column never lose rows
+        assert len(t.plan_files(ranges={"k": (None, 50)})) >= 1
+        assert t.plan_files(ranges={"v2": (0, 1)}) == all_files
+        # fully-pruned read: empty frame, schema intact
+        empty = t.read(spark, ranges={"k": (99999, 99999)})
+        assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+
+    def test_iceberg_layout_zorder_composition(self, spark, tmp_path):
+        """layout_by_zorder + stats commit = file skipping for bbox reads:
+        a small bbox must touch a strict minority of the files."""
+        import numpy as np
+        import pandas as pd
+        from gdal_common_python_spark.operators import layout
+
+        rng = np.random.default_rng(21)
+        pdf = pd.DataFrame(
+            {"lon": rng.uniform(-60, 60, 8000), "lat": rng.uniform(-60, 60, 8000)}
+        )
+        clustered = layout.layout_by_zorder(
+            spark.createDataFrame(pdf), "lon", "lat", res=12, num_partitions=8
+        )
+        t = IcebergLayoutTable(str(tmp_path / "zo"))
+        t.append(clustered, stats_cols=["zkey"])
+        # bbox -> zkey range: corners of a small box (z-order is not an
+        # interval map, so [z(lo), z(hi)] over-covers — still prunes)
+        from pyspark.sql import functions as F
+
+        probe = spark.createDataFrame(pd.DataFrame({"lon": [5.0, 6.0], "lat": [5.0, 6.0]}))
+        zlo, zhi = [
+            r.z
+            for r in probe.select(
+                layout.zorder_key(F.col("lon"), F.col("lat"), 12).alias("z")
+            ).collect()
+        ]
+        pruned = t.plan_files(ranges={"zkey": (min(zlo, zhi), max(zlo, zhi))})
+        assert len(pruned) < len(t.plan_files())
+        # pruned read + exact residual equals the full-scan answer
+        res = (
+            t.read(spark, ranges={"zkey": (min(zlo, zhi), max(zlo, zhi))})
+            .filter(
+                (F.col("lon") >= 5) & (F.col("lon") <= 6)
+                & (F.col("lat") >= 5) & (F.col("lat") <= 6)
+            )
+            .count()
+        )
+        want = len(
+            pdf[(pdf.lon >= 5) & (pdf.lon <= 6) & (pdf.lat >= 5) & (pdf.lat <= 6)]
+        )
+        assert res == want
+
     def test_geojson(self, zones):
         import json
 
