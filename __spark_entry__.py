@@ -803,6 +803,18 @@ def q_surprisal(spark, sf_dir):
     return text_ops.surprisal_bits(docs, vocab_top_k=1 << 15)
 
 
+def q_focal_mean(spark, sf_dir):
+    """Distributed 3x3 focal mean with halo exchange: tiles ship only their
+    border strips to the 8 neighbors (shuffle ∝ perimeter, not 9x data),
+    then each tile computes locally via summed-area tables. Integer-valued
+    pixels keep every window sum/mean IEEE-exact, so the oracle (a pixel
+    neighbor join) hash-matches bit-for-bit."""
+    from gdal_common_python_spark.operators import focal
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return focal.focal_mean_pixels(tiles, radius=1, tile_size=32)
+
+
 def q_stratified_split(spark, sf_dir):
     """Deterministic per-language train/val/test assignment via the
     md5-draw ladder — pure row function, stable under repartitioning."""
@@ -871,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_segment": q_orders_by_segment,
         "zorder_layout": q_zorder_layout,
         "cell_rollup": q_cell_rollup,
+        "focal_mean": q_focal_mean,
         "vocabulary": q_vocabulary,
         "surprisal": q_surprisal,
         "stratified_split": q_stratified_split,
@@ -2064,6 +2077,35 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
+# global pixel grid: gx = tile_x*32 + idx%tile_w, gy = tile_y*32 + idx//tile_w
+# (synth TILE=32); focal = sum/count over the valid 3x3 neighborhood of each
+# valid center — a bounded band self-join, the semantic spec the engine's
+# halo-exchange plan must reproduce bit-for-bit
+_SQL_FOCAL_MEAN = f"""
+WITH px AS (
+  SELECT raster_id, band, nodata,
+         CAST(tile_x AS BIGINT) * 32 + (idx - 1) % tile_w AS gx,
+         CAST(tile_y AS BIGINT) * 32 + (idx - 1) // tile_w AS gy,
+         v
+  FROM (
+    SELECT raster_id, band, nodata, tile_x, tile_y, tile_w,
+           generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+    FROM {_TILES}
+  )
+),
+valid AS (SELECT * FROM px WHERE v != nodata)
+SELECT a.raster_id, a.band, a.gx, a.gy,
+       sum(b.v) AS f_sum,
+       CAST(count(*) AS BIGINT) AS f_count,
+       sum(b.v) / count(*) AS f_mean
+FROM valid a
+JOIN valid b
+  ON a.raster_id = b.raster_id AND a.band = b.band
+ AND b.gx BETWEEN a.gx - 1 AND a.gx + 1
+ AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+GROUP BY 1, 2, 3, 4
+"""
+
 _SQL_STRATIFIED_SPLIT = """
 SELECT doc_id, lang,
   CASE WHEN draw < 0.8 THEN 'train'
@@ -2139,6 +2181,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_segment": _SQL_ORDERS_SEGMENT,
         "zorder_layout": _SQL_ZORDER_LAYOUT,
         "cell_rollup": _SQL_CELL_ROLLUP,
+        "focal_mean": _SQL_FOCAL_MEAN,
         "vocabulary": _SQL_VOCABULARY,
         "surprisal": _SQL_SURPRISAL,
         "stratified_split": _SQL_STRATIFIED_SPLIT,

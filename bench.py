@@ -127,6 +127,7 @@ def run_queries(spark, sdir):
         "pricing_summary",
         "zorder_layout",
         "cell_rollup",
+        "focal_mean",
         "vocabulary",
         "surprisal",
         "stratified_split",

@@ -1,0 +1,204 @@
+"""Distributed focal (moving-window) raster statistics with halo exchange.
+
+No reference analog (the reference wraps no gdaldem/focal surface) — this
+is the canonical distributed-raster hard part done Spark-first: a focal
+window at a tile border needs pixels owned by the NEIGHBORING tile, so each
+tile ships only its ``radius``-wide border strips (plus corners) to its 8
+neighbors, and every tile then computes its full focal output locally from
+(tile + received halo). Shuffle volume is tile perimeter * radius — ~2r/T
+of the data at tile size T — NOT the 9x a naive "join each tile with its 8
+full neighbors" plan ships, and not a global pixel-level self-join.
+
+Semantics (GDAL focal-stats conventions):
+- output pixel = stat over the valid (non-nodata, in-raster) pixels of the
+  (2r+1)^2 window centered on it, INCLUDING itself;
+- a nodata center stays nodata (no infill);
+- raster borders use the smaller clipped window (no padding values).
+
+Determinism: for integer-valued rasters the window sum is an exact double
+(integers < 2^53), and mean = sum/count is one IEEE division — bit-equal in
+any engine, so the driver gate can hash-compare against a DuckDB
+neighbor-join oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_HALO_T = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("dx", T.IntegerType()),
+        T.StructField("dy", T.IntegerType()),
+        T.StructField("bw", T.IntegerType()),
+        T.StructField("bh", T.IntegerType()),
+        T.StructField("nodata", T.DoubleType()),
+        T.StructField("block", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+_OUT_T = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("tile_w", T.IntegerType()),
+        T.StructField("tile_h", T.IntegerType()),
+        T.StructField("f_sum", T.ArrayType(T.DoubleType())),
+        T.StructField("f_count", T.ArrayType(T.LongType())),
+        T.StructField("f_mean", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+# the 8 neighbor directions (dx, dy) in tile-index space; dy=+1 is the tile
+# BELOW (tile_y counts raster rows downward, synth.py:365)
+_DIRS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+
+
+def focal_mean_tiles(tiles: DataFrame, radius: int = 1) -> DataFrame:
+    """Tile-shaped focal mean/sum/count over a tiled raster table
+    (raster_id, band, tile_x, tile_y, tile_w, tile_h, nodata, pixels) ->
+    (raster_id, band, tile_x, tile_y, tile_w, tile_h, f_sum, f_count,
+    f_mean) with arrays in the tile's row-major layout.
+
+    Plan: one mapInPandas pass emits each tile once (dx=dy=0) plus its 8
+    border strips addressed to the neighbor tiles; one groupBy(tile key)
+    applyInPandas assembles the padded window and runs a vectorized
+    sliding-window sum (summed-area tables, O(pixels) per tile). Strips to
+    tiles that don't exist are dropped by the group stage (no center row ->
+    no output), so raster edges need no driver-side tile-count knowledge.
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.tile_w), int(r.tile_h)
+                if radius > min(w, h):
+                    # halo ships to ADJACENT tiles only; a window deeper than
+                    # one tile would silently miss pixels two tiles away
+                    raise ValueError(
+                        f"radius {radius} exceeds tile dim {min(w, h)} "
+                        f"(tile {r.tile_x},{r.tile_y}) — re-tile coarser first"
+                    )
+                arr = np.asarray(r.pixels, dtype=np.float64).reshape(h, w)
+                rows.append(
+                    (r.raster_id, int(r.band), int(r.tile_x), int(r.tile_y),
+                     0, 0, w, h, float(r.nodata), arr.ravel().tolist())
+                )
+                rw, rh = min(radius, w), min(radius, h)
+                for dx, dy in _DIRS:
+                    # the block the (tile_x+dx, tile_y+dy) neighbor needs:
+                    # my side facing it, radius wide (corners: radius x radius)
+                    xs = slice(w - rw, w) if dx > 0 else slice(0, rw) if dx < 0 else slice(0, w)
+                    ys = slice(h - rh, h) if dy > 0 else slice(0, rh) if dy < 0 else slice(0, h)
+                    blk = arr[ys, xs]
+                    rows.append(
+                        (r.raster_id, int(r.band), int(r.tile_x) + dx, int(r.tile_y) + dy,
+                         dx, dy, blk.shape[1], blk.shape[0], float(r.nodata),
+                         blk.ravel().tolist())
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in _HALO_T.fields])
+
+    from .dedup import _spread
+
+    halos = _spread(
+        tiles.select(
+            "raster_id", "band", "tile_x", "tile_y", "tile_w", "tile_h", "nodata", "pixels"
+        )
+    ).mapInPandas(emit, schema=_HALO_T)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf.dx == 0) & (pdf.dy == 0)]
+        if len(center) == 0:
+            return pd.DataFrame(columns=[f.name for f in _OUT_T.fields])
+        c = center.iloc[0]
+        w, h = int(c.bw), int(c.bh)
+        nodata = float(c.nodata)
+        pad = np.full((h + 2 * radius, w + 2 * radius), np.nan)
+        val = np.asarray(c.block, dtype=np.float64).reshape(h, w)
+        pad[radius : radius + h, radius : radius + w] = val
+        for r in pdf[(pdf.dx != 0) | (pdf.dy != 0)].itertuples(index=False):
+            bw, bh = int(r.bw), int(r.bh)
+            blk = np.asarray(r.block, dtype=np.float64).reshape(bh, bw)
+            # sender at (tile_x - dx, tile_y - dy): its facing side lands
+            # just outside my core on the OPPOSITE side of (dx, dy)
+            x0 = radius - bw if r.dx > 0 else radius + w if r.dx < 0 else radius
+            y0 = radius - bh if r.dy > 0 else radius + h if r.dy < 0 else radius
+            pad[y0 : y0 + bh, x0 : x0 + bw] = blk
+        valid = (~np.isnan(pad)) & (pad != nodata)
+        v = np.where(valid, pad, 0.0)
+        n = valid.astype(np.float64)
+        # summed-area tables -> O(1) per window
+        def sat(a):
+            s = np.zeros((a.shape[0] + 1, a.shape[1] + 1))
+            np.cumsum(np.cumsum(a, axis=0), axis=1, out=s[1:, 1:])
+            return s
+
+        sv, sn = sat(v), sat(n)
+        k = 2 * radius + 1
+
+        def win(s):
+            return (
+                s[k : k + h, k : k + w]
+                - s[k : k + h, 0:w]
+                - s[0:h, k : k + w]
+                + s[0:h, 0:w]
+            )
+
+        wsum, wcnt = win(sv), win(sn)
+        center_valid = valid[radius : radius + h, radius : radius + w]
+        f_sum = np.where(center_valid, wsum, nodata)
+        f_count = np.where(center_valid, wcnt, 0).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            f_mean = np.where(center_valid, wsum / np.maximum(wcnt, 1.0), nodata)
+        return pd.DataFrame(
+            [
+                (
+                    c.raster_id, int(c.band), int(c.tile_x), int(c.tile_y), w, h,
+                    f_sum.ravel().tolist(),
+                    f_count.ravel().tolist(),
+                    f_mean.ravel().tolist(),
+                )
+            ],
+            columns=[f.name for f in _OUT_T.fields],
+        )
+
+    return halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
+        assemble, schema=_OUT_T
+    )
+
+
+def focal_mean_pixels(
+    tiles: DataFrame, radius: int = 1, tile_size: int = 32
+) -> DataFrame:
+    """Pixel-row view of :func:`focal_mean_tiles` for valid centers:
+    (raster_id, band, gx, gy, f_sum, f_count, f_mean) with global pixel
+    coordinates gx = tile_x * tile_size + column. Native posexplode of the
+    tile arrays — the shape the driver gate hash-compares."""
+    t = focal_mean_tiles(tiles, radius=radius)
+    ex = t.select(
+        "raster_id", "band", "tile_x", "tile_y", "tile_w",
+        F.posexplode(F.arrays_zip("f_sum", "f_count", "f_mean")).alias("i", "z"),
+    )
+    out = ex.select(
+        "raster_id",
+        "band",
+        (F.col("tile_x").cast("long") * tile_size + F.col("i") % F.col("tile_w")).alias("gx"),
+        (F.col("tile_y").cast("long") * tile_size + (F.col("i") / F.col("tile_w")).cast("long")).alias("gy"),
+        F.col("z.f_sum").alias("f_sum"),
+        F.col("z.f_count").cast("long").alias("f_count"),
+        F.col("z.f_mean").alias("f_mean"),
+    )
+    # f_count > 0 iff the center pixel is valid (nodata centers emit 0)
+    return out.filter(F.col("f_count") > 0)
