@@ -815,6 +815,18 @@ def q_focal_mean(spark, sf_dir):
     return focal.focal_mean_pixels(tiles, radius=1, tile_size=32)
 
 
+def q_polygonize(spark, sf_dir):
+    """Raster polygonization across tiles: per-tile union-find labeling,
+    border-pixel equivalence join (perimeter-only shuffle), global
+    min-label propagation (checkpointed rounds), one summary agg. Region
+    id = min global pixel id — reproducible, so the recursive-CTE oracle
+    hash-matches."""
+    from gdal_common_python_spark.operators import polygonize
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return polygonize.polygonize_regions(spark, tiles, tile_size=32)
+
+
 def q_stratified_split(spark, sf_dir):
     """Deterministic per-language train/val/test assignment via the
     md5-draw ladder — pure row function, stable under repartitioning."""
@@ -884,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "cell_rollup": q_cell_rollup,
         "focal_mean": q_focal_mean,
+        "polygonize": q_polygonize,
         "vocabulary": q_vocabulary,
         "surprisal": q_surprisal,
         "stratified_split": q_stratified_split,
@@ -2106,6 +2119,55 @@ JOIN valid b
 GROUP BY 1, 2, 3, 4
 """
 
+# connected equal-value regions by flood fill: the recursive CTE enumerates
+# (pixel, reachable-label) pairs — tractable because random-valued planes
+# have tiny regions; the engine's three-stage labeling must reproduce the
+# same min-pixel-id region keys bit-for-bit
+_SQL_POLYGONIZE = f"""
+WITH RECURSIVE px AS (
+  SELECT raster_id, band,
+         CAST(tile_x AS BIGINT) * 32 + (idx - 1) % tile_w AS gx,
+         CAST(tile_y AS BIGINT) * 32 + (idx - 1) // tile_w AS gy,
+         v
+  FROM (
+    SELECT raster_id, band, nodata, tile_x, tile_y, tile_w,
+           generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+    FROM {_TILES}
+  )
+  WHERE v != nodata
+),
+pid AS (SELECT raster_id, band, gx, gy, v, gy * 4294967296 + gx AS pid FROM px),
+adj AS (
+  SELECT a.raster_id, a.band, a.pid AS l_id, b.pid AS r_id
+  FROM pid a JOIN pid b
+    ON a.raster_id = b.raster_id AND a.band = b.band AND a.v = b.v
+   AND ((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))
+),
+sym AS (
+  SELECT * FROM adj
+  UNION ALL SELECT raster_id, band, r_id, l_id FROM adj
+),
+cc AS (
+  SELECT raster_id, band, pid, pid AS label FROM pid
+  UNION
+  SELECT s.raster_id, s.band, s.r_id, cc.label
+  FROM cc JOIN sym s
+    ON s.raster_id = cc.raster_id AND s.band = cc.band AND s.l_id = cc.pid
+),
+comp AS (
+  SELECT raster_id, band, pid, min(label) AS region
+  FROM cc GROUP BY 1, 2, 3
+)
+SELECT p.raster_id, p.band, c.region,
+       min(p.v) AS value,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       min(p.gx) AS min_gx, min(p.gy) AS min_gy,
+       max(p.gx) AS max_gx, max(p.gy) AS max_gy
+FROM pid p JOIN comp c
+  ON c.raster_id = p.raster_id AND c.band = p.band AND c.pid = p.pid
+GROUP BY 1, 2, 3
+"""
+
 _SQL_STRATIFIED_SPLIT = """
 SELECT doc_id, lang,
   CASE WHEN draw < 0.8 THEN 'train'
@@ -2182,6 +2244,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _SQL_ZORDER_LAYOUT,
         "cell_rollup": _SQL_CELL_ROLLUP,
         "focal_mean": _SQL_FOCAL_MEAN,
+        "polygonize": _SQL_POLYGONIZE,
         "vocabulary": _SQL_VOCABULARY,
         "surprisal": _SQL_SURPRISAL,
         "stratified_split": _SQL_STRATIFIED_SPLIT,

@@ -1,0 +1,238 @@
+"""Raster polygonization (gdal_polygonize analog): contiguous regions of
+equal pixel value -> one feature each, over a TILED raster table.
+
+The classic distributed connected-component problem: a region can span any
+number of tiles, so no single task can label it alone. Three stages, each
+the scale-correct shape:
+
+1. per-tile LOCAL labeling (mapInPandas union-find over <= tile_size^2
+   pixels — linear work, embarrassingly parallel). A local region's id is
+   the global pixel id (gy * 2^32 + gx) of its minimal pixel —
+   deterministic and globally unique without any coordination;
+2. cross-tile equivalence edges: only BORDER pixels are shuffled (one row
+   per border pixel — perimeter, not area), equi-joined on the shared
+   border line + position + equal value;
+3. global min-label propagation over the region graph
+   (operators.graph.min_label_components — O(log diameter) checkpointed
+   rounds, O(1)-state convergence probe), then one aggregation for the
+   per-region summaries.
+
+Output: (raster_id, band, region, value, n_pixels, min_gx, min_gy,
+max_gx, max_gy) with region = the min global pixel id of the whole
+region — reproducible by any engine, which is what lets the DuckDB
+recursive-CTE oracle hash-match it.
+
+4-connectivity, nodata pixels excluded (GDAL's default mask semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window
+
+_PID = 1 << 32  # global pixel id = gy * _PID + gx
+
+# one local-pass output row is EITHER a region summary (kind='r': rlocal,
+# value, n_pixels, bbox) OR a border pixel (kind='b': rlocal, value, axis
+# 'V'/'H', line = gx of the left / gy of the top cell of the shared border,
+# pos = coordinate along it, side 0 = left/top cell, 1 = right/bottom)
+_LOCAL_T = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("rlocal", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("min_gx", T.LongType()),
+        T.StructField("min_gy", T.LongType()),
+        T.StructField("max_gx", T.LongType()),
+        T.StructField("max_gy", T.LongType()),
+        T.StructField("axis", T.StringType()),
+        T.StructField("line", T.LongType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("side", T.IntegerType()),
+    ]
+)
+
+
+def _label_tile(arr: np.ndarray, nodata: float, gx0: int, gy0: int) -> np.ndarray:
+    """Local 4-connected labeling; returns an int64 grid of region ids
+    (global min-pixel ids) with -1 at nodata. Union-find over flat indices."""
+    h, w = arr.shape
+    parent = np.arange(h * w, dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller flat index as root -> root IS the local min
+            # pixel in row-major order (gy then gx), matching the global id
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    valid = arr != nodata
+    for i in range(h):
+        base = i * w
+        row = arr[i]
+        vrow = valid[i]
+        for j in range(w):
+            if not vrow[j]:
+                continue
+            if j and vrow[j - 1] and row[j] == row[j - 1]:
+                union(base + j, base + j - 1)
+            if i and valid[i - 1, j] and row[j] == arr[i - 1, j]:
+                union(base + j, base + j - w)
+    out = np.full((h, w), -1, dtype=np.int64)
+    for i in range(h):
+        for j in range(w):
+            if valid[i, j]:
+                r = find(i * w + j)
+                out[i, j] = (gy0 + r // w) * _PID + (gx0 + r % w)
+    return out
+
+
+def _tiles_in(tiles: DataFrame) -> DataFrame:
+    from .dedup import _spread
+
+    return _spread(
+        tiles.select(
+            "raster_id", "band", "tile_x", "tile_y", "tile_w", "tile_h", "nodata", "pixels"
+        )
+    )
+
+
+def polygonize_regions(
+    spark: SparkSession, tiles: DataFrame, tile_size: int = 32, max_iters: int = 50
+) -> DataFrame:
+    """See module docstring. Returns one row per connected equal-value
+    region across the whole raster."""
+
+    def local_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """ONE local-labeling pass emitting both row kinds (kind 'r' =
+        region summary, 'b' = border pixel) — the combined table is
+        checkpointed below so the union-find runs exactly once per tile,
+        not once per downstream consumer."""
+        cols = [f.name for f in _LOCAL_T.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.tile_w), int(r.tile_h)
+                gx0, gy0 = int(r.tile_x) * tile_size, int(r.tile_y) * tile_size
+                arr = np.asarray(r.pixels, dtype=np.float64).reshape(h, w)
+                lab = _label_tile(arr, float(r.nodata), gx0, gy0)
+                rid, band = r.raster_id, int(r.band)
+                # region summaries
+                flat, aflat = lab.ravel(), arr.ravel()
+                order = np.argsort(flat, kind="stable")
+                fs, vs = flat[order], aflat[order]
+                uniq, starts, counts = np.unique(fs, return_index=True, return_counts=True)
+                gy, gx = np.divmod(np.arange(h * w, dtype=np.int64), w)
+                gx, gy = (gx + gx0)[order], (gy + gy0)[order]
+                for u, s, c in zip(uniq, starts, counts):
+                    if u < 0:
+                        continue
+                    sl = slice(s, s + c)
+                    rows.append(
+                        (rid, band, "r", int(u), float(vs[s]), int(c),
+                         int(gx[sl].min()), int(gy[sl].min()),
+                         int(gx[sl].max()), int(gy[sl].max()),
+                         None, None, None, None)
+                    )
+                # border pixels (4-connectivity: N/S/E/W sides only)
+                def emit(axis, line, pos, side, j, i):
+                    if lab[i, j] >= 0:
+                        rows.append(
+                            (rid, band, "b", int(lab[i, j]), float(arr[i, j]),
+                             None, None, None, None, None,
+                             axis, int(line), int(pos), side)
+                        )
+
+                for i in range(h):  # my left/right columns
+                    emit("V", gx0 - 1, gy0 + i, 1, 0, i)          # left: right cell of line gx0-1
+                    emit("V", gx0 + w - 1, gy0 + i, 0, w - 1, i)  # right: left cell
+                for j in range(w):  # my top/bottom rows
+                    emit("H", gy0 - 1, gx0 + j, 1, j, 0)          # top: bottom cell of line gy0-1
+                    emit("H", gy0 + h - 1, gx0 + j, 0, j, h - 1)  # bottom: top cell
+            yield pd.DataFrame(rows, columns=cols)
+
+    from .graph import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(spark)
+    # eager reliable checkpoint: the table feeds four consumers (nodes,
+    # both edge sides, the final join) — without it the python labeling
+    # re-runs per consumer and per propagation round
+    local = _tiles_in(tiles).mapInPandas(local_pass, schema=_LOCAL_T).checkpoint(eager=True)
+    reg = local.filter(F.col("kind") == "r").select(
+        "raster_id", "band", "rlocal", "value", "n_pixels",
+        "min_gx", "min_gy", "max_gx", "max_gy",
+    )
+    bor = local.filter(F.col("kind") == "b").select(
+        "raster_id", "band", "axis", "line", "pos", "side", "value", "rlocal"
+    )
+    a = bor.filter(F.col("side") == 0).select(
+        "raster_id", "band", "axis", "line", "pos", "value",
+        F.col("rlocal").alias("l_id"),
+    )
+    b = bor.filter(F.col("side") == 1).select(
+        "raster_id", "band", "axis", "line", "pos", "value",
+        F.col("rlocal").alias("r_id"),
+    )
+    # rlocal ids (gy*2^32 + gx) are unique per (raster_id, band) PLANE only,
+    # and min_label_components works on bare ids — so salt each plane into a
+    # disjoint id range: id = plane_ix * 2^52 + rlocal. Edges never cross
+    # planes (the border join keys include raster_id+band), the salt is
+    # constant within a plane, so min-label semantics are untouched and the
+    # component unsalts back to the plane-wide min pixel id. Bounds: needs
+    # gy < 2^20 (raster < 1M pixel rows) and < 2^11 planes per call.
+    planes = reg.select("raster_id", "band").distinct()
+    plane_ix = planes.withColumn(
+        "__plane",
+        F.row_number().over(Window.orderBy("raster_id", "band")) - 1,
+    )
+    from .graph import min_label_components
+
+    salt = F.col("__plane").cast("long") * F.lit(1 << 52)
+    regp = reg.join(F.broadcast(plane_ix), ["raster_id", "band"])
+    ep = (
+        a.join(b, ["raster_id", "band", "axis", "line", "pos", "value"])
+        .join(F.broadcast(plane_ix), ["raster_id", "band"])
+        .select((F.col("l_id") + salt).alias("l_id"), (F.col("r_id") + salt).alias("r_id"))
+    )
+    # propagate labels ONLY over regions that actually cross a tile border
+    # (edge endpoints — perimeter-scale); the area-scale majority of regions
+    # are their own component and skip the iterative stage entirely
+    endpoints = (
+        ep.select(F.col("l_id").alias("id"))
+        .unionByName(ep.select(F.col("r_id").alias("id")))
+        .distinct()
+    )
+    comp = min_label_components(spark, endpoints, ep, id_col="id", max_iters=max_iters)
+    joined = regp.join(comp, (F.col("rlocal") + salt) == F.col("id"), "left")
+    component = F.coalesce(F.col("component"), F.col("rlocal") + salt)
+    return (
+        joined.groupBy(
+            "raster_id",
+            "band",
+            (component % F.lit(1 << 52)).alias("region"),
+        )
+        .agg(
+            F.min("value").alias("value"),
+            F.sum("n_pixels").cast("long").alias("n_pixels"),
+            F.min("min_gx").alias("min_gx"),
+            F.min("min_gy").alias("min_gy"),
+            F.max("max_gx").alias("max_gx"),
+            F.max("max_gy").alias("max_gy"),
+        )
+    )
