@@ -279,3 +279,75 @@ class TestSizeGatedBroadcasts:
         p = plan(out)
         assert "SortAggregate" not in p, [ln for ln in p.splitlines() if "Aggregate" in ln]
         assert "HashAggregate" not in p, [ln for ln in p.splitlines() if "Aggregate" in ln]
+
+
+class TestNewOperatorPlans:
+    def test_zorder_key_is_pure_codegen(self, spark, docs):
+        """The Z-order key must be a single JVM projection: no shuffle, no
+        Python (BatchEvalPython/ArrowEval), no extra regexp evaluations."""
+        from gdal_common_python_spark.operators import layout
+
+        pts = sj.geo_points(docs)
+        out = pts.select(
+            "doc_id", layout.zorder_key(F.col("x"), F.col("y"), 12).alias("z")
+        )
+        p = plan(out)
+        assert "Exchange" not in p, p[:1500]
+        assert "Python" not in p and "ArrowEval" not in p, p[:1500]
+        assert p.count("regexp_extract") == 2  # the parse barrier held
+
+    def test_cell_rollup_scans_raw_once(self, spark, docs):
+        """The pyramid must be ONE linear plan: a single scan of the raw
+        table and exactly two aggregation exchanges (fine cells, ancestor
+        re-agg) — a per-level union would show 6 scans."""
+        from gdal_common_python_spark.operators import layout
+
+        out = layout.cell_rollup(sj.geo_points(docs), "x", "y", 12, 7)
+        p = plan(out)
+        # formatted plans list every node twice (tree + detail section)
+        assert p.count("Scan parquet") == 2, p.count("Scan parquet")
+        shuffles = [ln for ln in p.splitlines() if "Arguments: hashpartitioning" in ln]
+        assert len(shuffles) == 2, shuffles
+        # both aggregations keep their map-side partial step (4 nodes x 2)
+        assert p.count("HashAggregate") == 8, p.count("HashAggregate")
+
+    def test_vocabulary_partial_agg_before_shuffle(self, spark):
+        """Token counting must map-side combine: a partial aggregate below
+        every exchange, so shuffle volume is ~distinct tokens per partition,
+        not the exploded token stream."""
+        import pandas as pd
+
+        from gdal_common_python_spark.operators.text import vocabulary
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["a b"]})
+        )
+        p = plan(vocabulary(docs, top_k=10))
+        lines = p.splitlines()
+        ex = [i for i, ln in enumerate(lines) if "Arguments: hashpartitioning" in ln]
+        assert ex, p[:1500]
+        # the final top-k must be TakeOrdered (bounded), never a global Sort
+        assert "TakeOrderedAndProject" in p, p[:1500]
+
+    def test_focal_shuffles_once_on_tile_keys(self, spark, tiles):
+        """Halo exchange = exactly one shuffle (the groupBy on tile keys);
+        the strip emission is a narrow mapInPandas over the scan."""
+        from gdal_common_python_spark.operators import focal
+
+        out = focal.focal_mean_tiles(tiles, radius=1)
+        p = plan(out)
+        shuffles = [ln for ln in p.splitlines() if "Arguments: hashpartitioning" in ln]
+        assert len(shuffles) == 1, shuffles
+        assert "hashpartitioning(raster_id" in shuffles[0], shuffles[0]
+
+    def test_stratified_split_is_narrow(self, spark):
+        import pandas as pd
+
+        from gdal_common_python_spark.operators.curation import stratified_split
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "lang": ["en"]})
+        )
+        p = plan(stratified_split(docs, {"train": 0.8, "val": 0.2}))
+        assert "Exchange" not in p, p[:1500]
+        assert "Python" not in p, p[:1500]
