@@ -815,6 +815,18 @@ def q_focal_mean(spark, sf_dir):
     return focal.focal_mean_pixels(tiles, radius=1, tile_size=32)
 
 
+def q_geohash(spark, sf_dir):
+    """Standard geohash strings (precision 9) for every geo point — pure
+    integer/substring codegen, verified against the classic test vectors
+    in pytest and hash-compared against the same arithmetic in DuckDB."""
+    from gdal_common_python_spark.operators import layout
+
+    pts = sj.geo_points(_synth(spark, sf_dir, "documents_spans"))
+    return pts.select(
+        "doc_id", "offset", layout.geohash(F.col("x"), F.col("y"), 9).alias("gh")
+    )
+
+
 def q_polygonize(spark, sf_dir):
     """Raster polygonization across tiles: per-tile union-find labeling,
     border-pixel equivalence join (perimeter-only shuffle), global
@@ -897,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_rollup": q_cell_rollup,
         "focal_mean": q_focal_mean,
         "polygonize": q_polygonize,
+        "geohash": q_geohash,
         "vocabulary": q_vocabulary,
         "surprisal": q_surprisal,
         "stratified_split": q_stratified_split,
@@ -2119,6 +2132,41 @@ JOIN valid b
 GROUP BY 1, 2, 3, 4
 """
 
+def _geohash_sql(precision: int) -> str:
+    """The geohash formula as DuckDB SQL over (px, py) — generated from the
+    same loop as operators.layout.geohash so both stay in lockstep."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    nx, ny = 1 << lon_bits, 1 << lat_bits
+    terms = []
+    for b in range(nbits):
+        pos = nbits - 1 - b
+        if b % 2 == 0:
+            terms.append(f"(((ix >> {lon_bits - 1 - b // 2}) & 1) << {pos})")
+        else:
+            terms.append(f"(((iy >> {lat_bits - 1 - b // 2}) & 1) << {pos})")
+    val = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((v >> {5 * (precision - 1 - i)}) % 32 + 1 AS INT), 1)"
+        for i in range(precision)
+    )
+    return f"""
+WITH pts AS ({_PTS_CTE}),
+g AS (
+  SELECT doc_id, off,
+         CAST(least(greatest(floor((px + 180.0) / 360.0 * {nx}), 0), {nx - 1}) AS BIGINT) AS ix,
+         CAST(least(greatest(floor((py + 90.0) / 180.0 * {ny}), 0), {ny - 1}) AS BIGINT) AS iy
+  FROM pts
+),
+v AS (SELECT doc_id, off, CAST({val} AS BIGINT) AS v FROM g)
+SELECT doc_id, off AS "offset", {chars} AS gh FROM v
+"""
+
+
+_SQL_GEOHASH = _geohash_sql(9)
+
+
 # connected equal-value regions by flood fill: the recursive CTE enumerates
 # (pixel, reachable-label) pairs — tractable because random-valued planes
 # have tiny regions; the engine's three-stage labeling must reproduce the
@@ -2245,6 +2293,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_rollup": _SQL_CELL_ROLLUP,
         "focal_mean": _SQL_FOCAL_MEAN,
         "polygonize": _SQL_POLYGONIZE,
+        "geohash": _SQL_GEOHASH,
         "vocabulary": _SQL_VOCABULARY,
         "surprisal": _SQL_SURPRISAL,
         "stratified_split": _SQL_STRATIFIED_SPLIT,

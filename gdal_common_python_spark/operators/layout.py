@@ -136,3 +136,45 @@ def cell_rollup(
         .groupBy(F.col("a.res").alias("res"), F.col("a.cell").alias("cell"))
         .agg(F.sum("n_points").cast("long").alias("n_points"))
     )
+
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lon_col: Column, lat_col: Column, precision: int = 9) -> Column:
+    """Standard geohash string of a lon/lat point (base32, lon bit first) —
+    pure integer codegen, no UDF: quantize each axis to its bit budget
+    (ceil/floor of 5p/2), Morton-interleave MSB-first, then pick base32
+    digits with substring arithmetic. The formula ports verbatim to the
+    DuckDB oracle, so the gate hash-compares the strings themselves."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2  # lon owns the even bit positions from MSB
+    lat_bits = nbits // 2
+    nx, ny = 1 << lon_bits, 1 << lat_bits
+    ix = F.least(
+        F.greatest(F.floor((lon_col + F.lit(180.0)) / F.lit(360.0) * nx), F.lit(0)),
+        F.lit(nx - 1),
+    ).cast("long")
+    iy = F.least(
+        F.greatest(F.floor((lat_col + F.lit(90.0)) / F.lit(180.0) * ny), F.lit(0)),
+        F.lit(ny - 1),
+    ).cast("long")
+    # bit b of the geohash value (MSB = bit nbits-1): even offsets from the
+    # top take lon bits (MSB first), odd offsets take lat bits
+    val = F.lit(0).cast("long")
+    for b in range(nbits):
+        pos = nbits - 1 - b  # target bit position in the value
+        if b % 2 == 0:
+            src = ix, lon_bits - 1 - b // 2
+        else:
+            src = iy, lat_bits - 1 - b // 2
+        val = val + F.shiftleft(F.shiftright(src[0], src[1]) % 2, pos)
+    chars = [
+        F.substring(
+            F.lit(_GH32), (F.shiftright(val, 5 * (precision - 1 - i)) % 32 + 1).cast("int"), 1
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)

@@ -187,3 +187,52 @@ class TestStratifiedSplit:
             stratified_split(docs, {"a": 0.9, "b": 0.2})
         with pytest.raises(ValueError):
             stratified_split(docs, {})
+
+
+class TestGeohash:
+    def test_known_vectors(self, spark):
+        from gdal_common_python_spark.operators.layout import geohash
+
+        pdf = pd.DataFrame(
+            {
+                "lon": [-5.6, -0.1278, 13.361389, 0.0, -179.9999, 179.9999],
+                "lat": [42.6, 51.5074, 38.115556, 0.0, -89.9999, 89.9999],
+            }
+        )
+        rows = (
+            spark.createDataFrame(pdf)
+            .select(geohash(F.col("lon"), F.col("lat"), 5).alias("g"))
+            .collect()
+        )
+        # first three are the classic published vectors; the rest pin the
+        # antimeridian/pole clipping behavior
+        assert [r.g for r in rows] == ["ezs42", "gcpvj", "sqc8b", "s0000", "00000", "zzzzz"]
+
+    def test_prefix_property(self, spark):
+        """geohash(p) must be a prefix of geohash(p+k) — the property
+        consumers rely on for prefix-range queries."""
+        import numpy as np
+
+        from gdal_common_python_spark.operators.layout import geohash
+
+        rng = np.random.default_rng(13)
+        pdf = pd.DataFrame(
+            {"lon": rng.uniform(-180, 180, 500), "lat": rng.uniform(-90, 90, 500)}
+        )
+        rows = (
+            spark.createDataFrame(pdf)
+            .select(
+                geohash(F.col("lon"), F.col("lat"), 4).alias("g4"),
+                geohash(F.col("lon"), F.col("lat"), 9).alias("g9"),
+            )
+            .collect()
+        )
+        assert all(r.g9.startswith(r.g4) for r in rows)
+
+    def test_precision_validation(self, spark):
+        from gdal_common_python_spark.operators.layout import geohash
+
+        with pytest.raises(ValueError):
+            geohash(F.col("x"), F.col("y"), 0)
+        with pytest.raises(ValueError):
+            geohash(F.col("x"), F.col("y"), 13)
