@@ -194,7 +194,12 @@ class IcebergLayoutTable:
         df: DataFrame,
         operation: str,
         stats_cols: list[str] | None = None,
+        carry: list[dict] | None = None,
     ) -> dict:
+        """Stage ``df`` as a new snapshot. File list by operation:
+        'append' = prev entries + staged; 'overwrite' = staged only;
+        any operation with ``carry`` set = carry entries + staged (the
+        copy-on-write merge path)."""
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
         staged = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
@@ -226,7 +231,15 @@ class IcebergLayoutTable:
             ]
 
         prev = self._latest_manifest()
-        if operation == "append" and prev:
+        if carry is not None:
+            files = list(carry) + new_entries
+            carried_rows = [e.get("n_rows") for e in carry]
+            n_rows = (
+                sum(carried_rows) + n_new
+                if n_new is not None and all(r is not None for r in carried_rows)
+                else None
+            )
+        elif operation == "append" and prev:
             files = self._entries(prev) + new_entries
             prev_rows = prev.get("n_rows")
             n_rows = (prev_rows + n_new) if (prev_rows is not None and n_new is not None) else None
@@ -253,3 +266,58 @@ class IcebergLayoutTable:
 
     def overwrite(self, df: DataFrame, stats_cols: list[str] | None = None) -> None:
         self._commit(df, "overwrite", stats_cols)
+
+    def merge_by_key(
+        self,
+        df: DataFrame,
+        key_col: str,
+        stats_cols: list[str] | None = None,
+    ) -> dict:
+        """Copy-on-write upsert (Iceberg MERGE shape): rows of ``df`` replace
+        current rows with the same ``key_col`` value; all other rows are
+        untouched. The write amplification is bounded by manifest stats:
+        only data files whose recorded [min, max] of ``key_col`` intersects
+        the incoming key range are rewritten — every other file carries over
+        into the new snapshot BY REFERENCE (no read, no write). That is the
+        property that makes point-updates on a 100 TB table affordable, and
+        it degrades safely: files without key stats are treated as affected.
+
+        Returns {"rewritten": n_files_rewritten, "carried": n_files_kept}.
+        ``stats_cols`` defaults to [key_col] so future merges keep pruning.
+        """
+        spark = df.sparkSession
+        stats_cols = stats_cols if stats_cols is not None else [key_col]
+        prev = self._latest_manifest()
+        if prev is None or not prev["files"]:
+            self._commit(df, "merge", stats_cols)
+            return {"rewritten": 0, "carried": 0}
+        lo, hi = df.agg(F.min(key_col), F.max(key_col)).collect()[0]
+        affected = set(self.plan_files(ranges={key_col: (lo, hi)}))
+        entries = self._entries(prev)
+        carried = [
+            e for e in entries if os.path.join(self.data_dir, e["path"]) not in affected
+        ]
+        if affected:
+            old = spark.read.parquet(*sorted(affected))
+            rewritten = old.join(
+                df.select(F.col(key_col).alias("__k")).distinct(),
+                old[key_col] == F.col("__k"),
+                "left_anti",
+            ).unionByName(df)
+        else:
+            rewritten = df
+        m = self._commit(rewritten, "merge", stats_cols, carry=carried)
+        return {
+            "rewritten": len(affected),
+            "carried": len(carried),
+            "version": m["version"],
+        }
+
+    def diff(self, spark: SparkSession, v_old: int, v_new: int) -> DataFrame:
+        """Row-level snapshot diff (change-data-feed shape): the multiset
+        difference between two committed versions, tagged with
+        `_change` = 'added' / 'removed'."""
+        old, new = self.read(spark, version=v_old), self.read(spark, version=v_new)
+        added = new.exceptAll(old).withColumn("_change", F.lit("added"))
+        removed = old.exceptAll(new).withColumn("_change", F.lit("removed"))
+        return added.unionByName(removed)

@@ -346,6 +346,40 @@ class TestSources:
         empty = t.read(spark, ranges={"k": (99999, 99999)})
         assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
 
+    def test_iceberg_merge_by_key_prunes_rewrites(self, spark, tmp_path):
+        """Copy-on-write merge must rewrite ONLY files whose key stats
+        overlap the incoming keys; everything else carries by reference."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        t = IcebergLayoutTable(str(tmp_path / "mg"))
+        for lo in (0, 1000, 2000):
+            pdf = pd.DataFrame({"k": range(lo, lo + 100), "v": [0] * 100})
+            t.append(spark.createDataFrame(pdf).coalesce(1), stats_cols=["k"])
+        upd = spark.createDataFrame(pd.DataFrame({"k": [1005, 1010, 9999], "v": [7, 7, 7]}))
+        res = t.merge_by_key(upd, "k")
+        # only the middle commit's file(s) overlap [1005, 9999]... 9999 maxes
+        # past every file, so files with max < 1005 (first commit) carry
+        assert res["carried"] >= 1 and res["rewritten"] >= 1
+        got = {r.k: r.v for r in t.read(spark).collect()}
+        assert len(got) == 301  # 300 originals - 2 updated + 2 updated + 1 new
+        assert got[1005] == 7 and got[1010] == 7 and got[9999] == 7
+        assert got[1006] == 0 and got[5] == 0
+        assert t.history()[-1]["operation"] == "merge"
+        assert t.history()[-1]["n_rows"] == 301
+
+    def test_iceberg_snapshot_diff(self, spark, tmp_path):
+        import pandas as pd
+
+        t = IcebergLayoutTable(str(tmp_path / "df"))
+        t.append(spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": [1, 1, 1]})))
+        t.overwrite(spark.createDataFrame(pd.DataFrame({"k": [2, 3, 4], "v": [1, 9, 1]})))
+        d = {(r.k, r.v, r._change) for r in t.diff(spark, 1, 2).collect()}
+        assert d == {
+            (1, 1, "removed"), (3, 1, "removed"),
+            (3, 9, "added"), (4, 1, "added"),
+        }
+
     def test_iceberg_layout_zorder_composition(self, spark, tmp_path):
         """layout_by_zorder + stats commit = file skipping for bbox reads:
         a small bbox must touch a strict minority of the files."""
