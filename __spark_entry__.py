@@ -839,6 +839,27 @@ def q_polygonize(spark, sf_dir):
     return polygonize.polygonize_regions(spark, tiles, tile_size=32)
 
 
+def q_track_stats(spark, sf_dir):
+    """Trajectory metrics per document (ordered geo spans = track): planar
+    length + max hop in integer micro-units (floor-quantized BEFORE the
+    sum so the aggregate is order-independent), point count, bbox."""
+    from gdal_common_python_spark.operators import tracks
+
+    pts = sj.geo_points(_synth(spark, sf_dir, "documents_spans"))
+    return tracks.track_stats(pts)
+
+
+def q_track_dwells(spark, sf_dir):
+    """Stay-point segmentation: anchor-rule dwells (new dwell when a point
+    leaves the radius disk around the current dwell's first point) — one
+    ordered window pass; the oracle walks each track with a recursive
+    CTE."""
+    from gdal_common_python_spark.operators import tracks
+
+    pts = sj.geo_points(_synth(spark, sf_dir, "documents_spans"))
+    return tracks.dwell_points(pts, radius=5.0)
+
+
 def q_stratified_split(spark, sf_dir):
     """Deterministic per-language train/val/test assignment via the
     md5-draw ladder — pure row function, stable under repartitioning."""
@@ -910,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mean": q_focal_mean,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
+        "track_stats": q_track_stats,
+        "track_dwells": q_track_dwells,
         "vocabulary": q_vocabulary,
         "surprisal": q_surprisal,
         "stratified_split": q_stratified_split,
@@ -2216,6 +2239,54 @@ FROM pid p JOIN comp c
 GROUP BY 1, 2, 3
 """
 
+_SQL_TRACK_STATS = f"""
+WITH pts AS ({_PTS_CTE}),
+seg AS (
+  SELECT doc_id, px, py,
+         CASE WHEN lag(px) OVER w IS NULL THEN 0
+              ELSE CAST(floor(sqrt(
+                     (px - lag(px) OVER w) * (px - lag(px) OVER w)
+                   + (py - lag(py) OVER w) * (py - lag(py) OVER w)) * 1e6) AS BIGINT)
+         END AS hop
+  FROM pts
+  WINDOW w AS (PARTITION BY doc_id ORDER BY off)
+)
+SELECT doc_id AS track_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(hop) AS BIGINT) AS len_micro,
+       CAST(max(hop) AS BIGINT) AS max_hop_micro,
+       min(px) AS min_x, min(py) AS min_y,
+       max(px) AS max_x, max(py) AS max_y
+FROM seg GROUP BY doc_id
+"""
+
+# anchor-rule dwell walk, one recursive step per point in track order —
+# the sequential spec the engine's window fold must reproduce exactly
+_SQL_TRACK_DWELLS = f"""
+WITH RECURSIVE pts AS ({_PTS_CTE}),
+p AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY off) AS rn, px, py
+  FROM pts
+),
+walk AS (
+  SELECT doc_id, rn, px, py, px AS ax, py AS ay, CAST(1 AS BIGINT) AS dwell
+  FROM p WHERE rn = 1
+  UNION ALL
+  SELECT p.doc_id, p.rn, p.px, p.py,
+         CASE WHEN sqrt((p.px - w.ax) * (p.px - w.ax) + (p.py - w.ay) * (p.py - w.ay)) > 5.0
+              THEN p.px ELSE w.ax END,
+         CASE WHEN sqrt((p.px - w.ax) * (p.px - w.ax) + (p.py - w.ay) * (p.py - w.ay)) > 5.0
+              THEN p.py ELSE w.ay END,
+         w.dwell + CASE WHEN sqrt((p.px - w.ax) * (p.px - w.ax) + (p.py - w.ay) * (p.py - w.ay)) > 5.0
+                        THEN 1 ELSE 0 END
+  FROM walk w JOIN p ON p.doc_id = w.doc_id AND p.rn = w.rn + 1
+)
+SELECT doc_id AS track_id, dwell AS dwell_ix,
+       CAST(count(*) AS BIGINT) AS n_points,
+       ax AS anchor_x, ay AS anchor_y
+FROM walk GROUP BY 1, 2, 4, 5
+"""
+
 _SQL_STRATIFIED_SPLIT = """
 SELECT doc_id, lang,
   CASE WHEN draw < 0.8 THEN 'train'
@@ -2294,6 +2365,8 @@ def oracle_sql() -> dict[str, str]:
         "focal_mean": _SQL_FOCAL_MEAN,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
+        "track_stats": _SQL_TRACK_STATS,
+        "track_dwells": _SQL_TRACK_DWELLS,
         "vocabulary": _SQL_VOCABULARY,
         "surprisal": _SQL_SURPRISAL,
         "stratified_split": _SQL_STRATIFIED_SPLIT,

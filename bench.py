@@ -130,6 +130,8 @@ def run_queries(spark, sdir):
         "focal_mean",
         "polygonize",
         "geohash",
+        "track_stats",
+        "track_dwells",
         "vocabulary",
         "surprisal",
         "stratified_split",

@@ -1,0 +1,80 @@
+"""Track analytics: planted-case semantics + partitioning invariance.
+The driver gates (track_stats, track_dwells) hash-pin sf0.01 vs SQL
+window / recursive-CTE oracles.
+"""
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from gdal_common_python_spark.operators import tracks
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "offset", "x", "y"])
+    )
+
+
+class TestTrackStats:
+    def test_planted_track(self, spark):
+        # a 3-4-5 triangle walk: hops 3, 4, 5
+        pts = _pts(
+            spark,
+            [(1, 0, 0.0, 0.0), (1, 1, 3.0, 0.0), (1, 2, 3.0, 4.0), (1, 3, 0.0, 0.0)],
+        )
+        r = tracks.track_stats(pts).collect()[0]
+        assert r.n_points == 4
+        assert r.len_micro == 12_000_000
+        assert r.max_hop_micro == 5_000_000
+        assert (r.min_x, r.min_y, r.max_x, r.max_y) == (0.0, 0.0, 3.0, 4.0)
+
+    def test_singleton_track(self, spark):
+        r = tracks.track_stats(_pts(spark, [(9, 0, 1.0, 2.0)])).collect()[0]
+        assert r.n_points == 1 and r.len_micro == 0 and r.max_hop_micro == 0
+
+    def test_partitioning_invariant(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        rows = [
+            (int(i % 37), int(i), float(rng.uniform(-10, 10)), float(rng.uniform(-10, 10)))
+            for i in range(1500)
+        ]
+        a = {r.track_id: r.len_micro for r in tracks.track_stats(_pts(spark, rows)).collect()}
+        b = {
+            r.track_id: r.len_micro
+            for r in tracks.track_stats(_pts(spark, rows).repartition(11)).collect()
+        }
+        assert a == b
+
+
+class TestDwells:
+    def test_anchor_rule(self, spark):
+        # jitter around (0,0) within r=1, then jump to (10,0) and jitter there
+        pts = _pts(
+            spark,
+            [
+                (1, 0, 0.0, 0.0),
+                (1, 1, 0.5, 0.2),   # within 1.0 of anchor (0,0)
+                (1, 2, 0.9, 0.0),
+                (1, 3, 10.0, 0.0),  # new dwell
+                (1, 4, 10.4, 0.3),  # within 1.0 of (10,0)
+                (1, 5, 12.0, 0.0),  # leaves (10,0) disk -> third dwell
+            ],
+        )
+        rows = sorted(
+            tracks.dwell_points(pts, radius=1.0).collect(), key=lambda r: r.dwell_ix
+        )
+        assert [(r.dwell_ix, r.n_points, r.anchor_x) for r in rows] == [
+            (1, 3, 0.0),
+            (2, 2, 10.0),
+            (3, 1, 12.0),
+        ]
+
+    def test_boundary_is_inclusive(self, spark):
+        # a point EXACTLY at radius stays in the dwell (strict > starts new)
+        pts = _pts(spark, [(1, 0, 0.0, 0.0), (1, 1, 1.0, 0.0)])
+        rows = tracks.dwell_points(pts, radius=1.0).collect()
+        assert len(rows) == 1 and rows[0].n_points == 2
