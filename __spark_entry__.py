@@ -839,6 +839,16 @@ def q_polygonize(spark, sf_dir):
     return polygonize.polygonize_regions(spark, tiles, tile_size=32)
 
 
+def q_profile_table(spark, sf_dir):
+    """Per-column dataset profile in ONE wide aggregate + stack unpivot
+    (no per-column scan loop); exact distinct counts for the oracle,
+    approx_count_distinct available for corpus scale."""
+    from gdal_common_python_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.profile_table(docs)
+
+
 def q_track_stats(spark, sf_dir):
     """Trajectory metrics per document (ordered geo spans = track): planar
     length + max hop in integer micro-units (floor-quantized BEFORE the
@@ -933,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash": q_geohash,
         "track_stats": q_track_stats,
         "track_dwells": q_track_dwells,
+        "profile_table": q_profile_table,
         "vocabulary": q_vocabulary,
         "surprisal": q_surprisal,
         "stratified_split": q_stratified_split,
@@ -2239,6 +2250,33 @@ FROM pid p JOIN comp c
 GROUP BY 1, 2, 3
 """
 
+_SQL_PROFILE_TABLE = """
+SELECT * FROM (
+  SELECT 'doc_id' AS "column", count(*) AS n_rows,
+         CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+         CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
+  FROM documents
+  UNION ALL
+  SELECT 'text', count(*),
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT text) AS BIGINT), min(text), max(text) FROM documents
+  UNION ALL
+  SELECT 'lang', count(*),
+         CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang) FROM documents
+  UNION ALL
+  SELECT 'source', count(*),
+         CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT source) AS BIGINT), min(source), max(source) FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*),
+         CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT n_chars) AS BIGINT),
+         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+)
+"""
+
 _SQL_TRACK_STATS = f"""
 WITH pts AS ({_PTS_CTE}),
 seg AS (
@@ -2367,6 +2405,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,
         "track_dwells": _SQL_TRACK_DWELLS,
+        "profile_table": _SQL_PROFILE_TABLE,
         "vocabulary": _SQL_VOCABULARY,
         "surprisal": _SQL_SURPRISAL,
         "stratified_split": _SQL_STRATIFIED_SPLIT,

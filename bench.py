@@ -132,6 +132,7 @@ def run_queries(spark, sdir):
         "geohash",
         "track_stats",
         "track_dwells",
+        "profile_table",
         "vocabulary",
         "surprisal",
         "stratified_split",

@@ -207,3 +207,51 @@ def stratified_split(
     for name, hi in reversed(edges):
         label = F.when(draw < F.lit(hi), F.lit(name)).otherwise(label)
     return docs.withColumn("split", label)
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Dataset profile — one row per column: (column, n_rows, n_nulls,
+    n_distinct, min_val, max_val) with min/max rendered as strings. The
+    first thing a pipeline runs against an unfamiliar corpus drop.
+
+    ONE pass over the data: a single wide aggregate computes every
+    column's metrics together, then a stack() unpivots the 1-row result —
+    no per-column scan loop. Exact count_distinct over k columns makes
+    Spark expand the input k ways before the shuffle; ``approx=True``
+    switches to HyperLogLog (approx_count_distinct) for corpus-scale
+    profiling where the expand is the dominant cost (the driver gate runs
+    the exact form, which is oracle-portable)."""
+    cols = cols if cols is not None else df.columns
+    ndis = (
+        (lambda c: F.approx_count_distinct(c)) if approx else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.extend(
+            [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
+                ndis(c).alias(f"__dist_{c}"),
+                # min/max in the column's NATIVE order, rendered after
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            ]
+        )
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) as (column, n_nulls, n_distinct, min_val, max_val)",
+        "__n as n_rows",
+    ).select(
+        "column",
+        F.col("n_rows").cast("long"),
+        F.col("n_nulls").cast("long"),
+        F.col("n_distinct").cast("long"),
+        "min_val",
+        "max_val",
+    )

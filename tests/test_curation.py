@@ -112,3 +112,38 @@ class TestCuration:
 
         docs = spark.range(10).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
         assert quota_sample(docs, {}, group_col="lang").count() == 0
+
+
+class TestProfileTable:
+    def test_profile_metrics(self, spark):
+        import pandas as pd
+        from gdal_common_python_spark.operators.curation import profile_table
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"a": [1, 2, 2, None], "b": ["x", None, None, "y"]})
+        )
+        rows = {r.column: r for r in profile_table(df).collect()}
+        assert rows["a"].n_rows == 4 and rows["a"].n_nulls == 1
+        assert rows["a"].n_distinct == 2
+        assert rows["a"].min_val == "1.0" and rows["a"].max_val == "2.0"
+        assert rows["b"].n_nulls == 2 and rows["b"].n_distinct == 2
+        assert rows["b"].min_val == "x" and rows["b"].max_val == "y"
+
+    def test_profile_single_pass_plan(self, spark):
+        import pandas as pd
+        from gdal_common_python_spark.operators.curation import profile_table
+
+        df = spark.createDataFrame(pd.DataFrame({"a": [1], "b": ["x"], "c": [2]}))
+        p = profile_table(df)._sc._jvm.PythonSQLUtils.explainString(
+            profile_table(df)._jdf.queryExecution(), "formatted"
+        )
+        # one wide aggregate, not one scan per column (tree+detail = 2x)
+        assert p.count("Scan ExistingRDD") <= 2, p[:1200]
+
+    def test_profile_approx_mode(self, spark):
+        import pandas as pd
+        from gdal_common_python_spark.operators.curation import profile_table
+
+        df = spark.createDataFrame(pd.DataFrame({"a": list(range(100))}))
+        r = profile_table(df, approx=True).collect()[0]
+        assert abs(r.n_distinct - 100) <= 5  # HLL tolerance
