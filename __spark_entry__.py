@@ -839,6 +839,17 @@ def q_polygonize(spark, sf_dir):
     return polygonize.polygonize_regions(spark, tiles, tile_size=32)
 
 
+def q_curated_chunks(spark, sf_dir):
+    """The END-TO-END curation recipe as one gate: exact dedup -> quality
+    gate -> stratified split (train) -> token-window chunking, all one
+    lazy plan (two shuffles). The oracle composes the same four formulas
+    in SQL — the determinism of the whole CHAIN is what's being pinned."""
+    from gdal_common_python_spark import pipelines
+
+    docs = _t(spark, sf_dir, "documents")
+    return pipelines.curate_corpus(docs)
+
+
 def q_profile_table(spark, sf_dir):
     """Per-column dataset profile in ONE wide aggregate + stack unpivot
     (no per-column scan loop); exact distinct counts for the oracle,
@@ -944,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_stats": q_track_stats,
         "track_dwells": q_track_dwells,
         "profile_table": q_profile_table,
+        "curated_chunks": q_curated_chunks,
         "vocabulary": q_vocabulary,
         "surprisal": q_surprisal,
         "stratified_split": q_stratified_split,
@@ -2250,6 +2262,54 @@ FROM pid p JOIN comp c
 GROUP BY 1, 2, 3
 """
 
+# the four curation formulas composed — dedup window, quality gate (the
+# UNROUNDED expression, same op order as text.quality_score), split draw,
+# chunk windows (32 tokens, stride 24)
+_SQL_CURATED_CHUNKS = """
+WITH dd AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS __m
+    FROM documents
+  ) WHERE doc_id = __m
+),
+q AS (
+  SELECT doc_id, lang, text,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS ntok
+  FROM dd
+),
+g AS (
+  SELECT doc_id, lang, text FROM q
+  WHERE 0.4 * (CASE WHEN n > 0 THEN alpha / n ELSE 0 END)
+      + 0.3 * least(1.0, CAST(ntok AS DOUBLE) / 100.0)
+      + 0.3 * (1.0 - (CASE WHEN n > 0 THEN punct / n ELSE 0 END)) >= 0.45
+    AND ntok >= 5 AND ntok <= 100000
+),
+s AS (
+  SELECT doc_id, text FROM g
+  WHERE CAST('0x' || substr(md5('split1:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) / 4294967296.0 < 0.9
+),
+d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM s WHERE len(trim(text)) > 0
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(1, (len(toks) - 8 + 23) // 24))) AS chunk_ix
+  FROM d
+)
+SELECT doc_id, chunk_ix, chunk_ix * 24 AS start_tok,
+       len(list_slice(toks, chunk_ix * 24 + 1, chunk_ix * 24 + 32)) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_ix * 24 + 1, chunk_ix * 24 + 32), ' ')
+         AS chunk_text
+FROM c
+"""
+
 _SQL_PROFILE_TABLE = """
 SELECT * FROM (
   SELECT 'doc_id' AS "column", count(*) AS n_rows,
@@ -2406,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         "track_stats": _SQL_TRACK_STATS,
         "track_dwells": _SQL_TRACK_DWELLS,
         "profile_table": _SQL_PROFILE_TABLE,
+        "curated_chunks": _SQL_CURATED_CHUNKS,
         "vocabulary": _SQL_VOCABULARY,
         "surprisal": _SQL_SURPRISAL,
         "stratified_split": _SQL_STRATIFIED_SPLIT,

@@ -133,6 +133,7 @@ def run_queries(spark, sdir):
         "track_stats",
         "track_dwells",
         "profile_table",
+        "curated_chunks",
         "vocabulary",
         "surprisal",
         "stratified_split",
