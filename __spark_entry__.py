@@ -815,6 +815,22 @@ def q_focal_mean(spark, sf_dir):
     return focal.focal_mean_pixels(tiles, radius=1, tile_size=32)
 
 
+def q_reclass_regions(spark, sf_dir):
+    """Reclassify (16 classes, breaks every 16) THEN polygonize — the
+    contour-region composition: class grids feed the connected-component
+    machinery unchanged because reclassify keeps the tile shape. One
+    plane (r0/1) and 16 classes keep the ORACLE's recursive closure
+    tractable (the closure is quadratic in region size; 3 classes made
+    it 280 s) — the engine itself is indifferent to region size."""
+    from gdal_common_python_spark.operators import focal, polygonize
+
+    tiles = _synth(spark, sf_dir, "raster_tiles").filter(
+        (F.col("raster_id") == "r0") & (F.col("band") == 1)
+    )
+    cls = focal.reclassify_tiles(tiles, breaks=[float(b) for b in range(16, 256, 16)])
+    return polygonize.polygonize_regions(spark, cls, tile_size=32)
+
+
 def q_geohash(spark, sf_dir):
     """Standard geohash strings (precision 9) for every geo point — pure
     integer/substring codegen, verified against the classic test vectors
@@ -956,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_dwells": q_track_dwells,
         "profile_table": q_profile_table,
         "curated_chunks": q_curated_chunks,
+        "reclass_regions": q_reclass_regions,
         "vocabulary": q_vocabulary,
         "surprisal": q_surprisal,
         "stratified_split": q_stratified_split,
@@ -2217,18 +2234,24 @@ _SQL_GEOHASH = _geohash_sql(9)
 # (pixel, reachable-label) pairs — tractable because random-valued planes
 # have tiny regions; the engine's three-stage labeling must reproduce the
 # same min-pixel-id region keys bit-for-bit
-_SQL_POLYGONIZE = f"""
+def _polygonize_sql(value_expr: str = "v") -> str:
+    """Recursive-CTE polygonize oracle over the tile table; ``value_expr``
+    maps each valid raw pixel to the value that defines region equality
+    (the reclass gate passes the class formula here)."""
+    return f"""
 WITH RECURSIVE px AS (
-  SELECT raster_id, band,
-         CAST(tile_x AS BIGINT) * 32 + (idx - 1) % tile_w AS gx,
-         CAST(tile_y AS BIGINT) * 32 + (idx - 1) // tile_w AS gy,
-         v
-  FROM (
-    SELECT raster_id, band, nodata, tile_x, tile_y, tile_w,
-           generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
-    FROM {_TILES}
+  SELECT raster_id, band, gx, gy, {value_expr} AS v FROM (
+    SELECT raster_id, band,
+           CAST(tile_x AS BIGINT) * 32 + (idx - 1) % tile_w AS gx,
+           CAST(tile_y AS BIGINT) * 32 + (idx - 1) // tile_w AS gy,
+           v
+    FROM (
+      SELECT raster_id, band, nodata, tile_x, tile_y, tile_w,
+             generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+      FROM {_TILES}
+    )
+    WHERE v != nodata
   )
-  WHERE v != nodata
 ),
 pid AS (SELECT raster_id, band, gx, gy, v, gy * 4294967296 + gx AS pid FROM px),
 adj AS (
@@ -2261,6 +2284,18 @@ FROM pid p JOIN comp c
   ON c.raster_id = p.raster_id AND c.band = p.band AND c.pid = p.pid
 GROUP BY 1, 2, 3
 """
+
+
+_SQL_POLYGONIZE = _polygonize_sql()
+# searchsorted(breaks, v, 'right') = count of breaks <= v (16 classes)
+_SQL_RECLASS_REGIONS = _polygonize_sql(
+    "CAST("
+    + " + ".join(f"(CASE WHEN v >= {b} THEN 1 ELSE 0 END)" for b in range(16, 256, 16))
+    + " AS DOUBLE)",
+).replace(
+    "FROM {t}".format(t=_TILES),
+    f"FROM {_TILES} WHERE raster_id = 'r0' AND band = 1",
+)
 
 # the four curation formulas composed — dedup window, quality gate (the
 # UNROUNDED expression, same op order as text.quality_score), split draw,
@@ -2467,6 +2502,7 @@ def oracle_sql() -> dict[str, str]:
         "track_dwells": _SQL_TRACK_DWELLS,
         "profile_table": _SQL_PROFILE_TABLE,
         "curated_chunks": _SQL_CURATED_CHUNKS,
+        "reclass_regions": _SQL_RECLASS_REGIONS,
         "vocabulary": _SQL_VOCABULARY,
         "surprisal": _SQL_SURPRISAL,
         "stratified_split": _SQL_STRATIFIED_SPLIT,

@@ -134,6 +134,7 @@ def run_queries(spark, sdir):
         "track_dwells",
         "profile_table",
         "curated_chunks",
+        "reclass_regions",
         "vocabulary",
         "surprisal",
         "stratified_split",

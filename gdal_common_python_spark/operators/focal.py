@@ -202,3 +202,51 @@ def focal_mean_pixels(
     )
     # f_count > 0 iff the center pixel is valid (nodata centers emit 0)
     return out.filter(F.col("f_count") > 0)
+
+
+def reclassify_tiles(
+    tiles: DataFrame, breaks: list[float], nodata_class: int = -1
+) -> DataFrame:
+    """Range reclassification (gdal_calc/reclass analog): pixel class =
+    number of ``breaks`` at or below the value (numpy.searchsorted 'right'
+    semantics: class k covers [breaks[k-1], breaks[k])), nodata pixels map
+    to ``nodata_class``. Tile-shaped in, tile-shaped out (an int class
+    grid in `classes`), so it composes with polygonize — classify then
+    polygonize = contour-region extraction.
+
+    One narrow mapInPandas (numpy digitize per tile batch) — no shuffle;
+    output partitioning follows the input."""
+    if sorted(breaks) != list(breaks):
+        raise ValueError(f"breaks must be ascending, got {breaks}")
+    brk = np.asarray(breaks, dtype=np.float64)
+
+    out_t = T.StructType(
+        [
+            T.StructField("raster_id", T.StringType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("tile_x", T.IntegerType()),
+            T.StructField("tile_y", T.IntegerType()),
+            T.StructField("tile_w", T.IntegerType()),
+            T.StructField("tile_h", T.IntegerType()),
+            T.StructField("nodata", T.DoubleType()),
+            T.StructField("pixels", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = np.asarray(r.pixels, dtype=np.float64)
+                cls = np.searchsorted(brk, arr, side="right").astype(np.float64)
+                cls[arr == float(r.nodata)] = float(nodata_class)
+                rows.append(
+                    (r.raster_id, int(r.band), int(r.tile_x), int(r.tile_y),
+                     int(r.tile_w), int(r.tile_h), float(nodata_class),
+                     cls.tolist())
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_t.fields])
+
+    return tiles.select(
+        "raster_id", "band", "tile_x", "tile_y", "tile_w", "tile_h", "nodata", "pixels"
+    ).mapInPandas(classify, schema=out_t)

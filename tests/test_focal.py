@@ -81,3 +81,41 @@ class TestFocal:
         arr = np.ones((2, 2))
         with pytest.raises(ValueError):
             focal.focal_mean_tiles(_tile_df(spark, arr, 2), radius=0)
+
+
+class TestReclassify:
+    def test_searchsorted_semantics(self, spark):
+        from gdal_common_python_spark.operators.focal import reclassify_tiles
+
+        arr = np.array([[10.0, 85.0], [169.9, 170.0]])
+        tiles = _tile_df(spark, arr, tile=2)
+        r = reclassify_tiles(tiles, breaks=[85.0, 170.0]).collect()[0]
+        # class = count of breaks <= v; boundary values belong to the class ABOVE
+        assert r.pixels == [0.0, 1.0, 1.0, 2.0]
+        assert r.nodata == -1.0
+
+    def test_nodata_maps_to_nodata_class(self, spark):
+        from gdal_common_python_spark.operators.focal import reclassify_tiles
+
+        arr = np.array([[NODATA, 200.0]])
+        r = reclassify_tiles(_tile_df(spark, arr, 2), breaks=[100.0]).collect()[0]
+        assert r.pixels == [-1.0, 1.0]
+
+    def test_composes_with_polygonize(self, spark):
+        """Classified grid -> polygonize: contiguous same-class regions."""
+        from gdal_common_python_spark.operators import polygonize
+        from gdal_common_python_spark.operators.focal import reclassify_tiles
+
+        arr = np.array(
+            [[10.0, 20.0, 200.0, 210.0]] * 2, dtype=np.float64
+        )  # left half class 0, right half class 1
+        cls = reclassify_tiles(_tile_df(spark, arr, tile=2), breaks=[100.0])
+        out = polygonize.polygonize_regions(spark, cls, tile_size=2).collect()
+        got = {(r.value, r.n_pixels) for r in out}
+        assert got == {(0.0, 4), (1.0, 4)}
+
+    def test_unsorted_breaks_raise(self, spark):
+        from gdal_common_python_spark.operators.focal import reclassify_tiles
+
+        with pytest.raises(ValueError):
+            reclassify_tiles(_tile_df(spark, np.ones((1, 1)), 1), breaks=[5.0, 1.0])
