@@ -313,6 +313,71 @@ class IcebergLayoutTable:
             "version": m["version"],
         }
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        sort_col: str | None = None,
+        num_files: int | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> dict:
+        """Compaction (Iceberg rewrite_data_files / Delta OPTIMIZE analog):
+        rewrite the current snapshot into ``num_files`` files, range-sorted
+        by ``sort_col`` when given — with a Z-order key column (see
+        operators.layout.layout_by_zorder) this IS OPTIMIZE ZORDER: the
+        rewritten files get tight disjoint key ranges, so the manifest
+        stats prune reads that the original small-file layout could not.
+        Commits a new snapshot (operation 'optimize'); history keeps the
+        old one. Returns {"files_before": ..., "files_after": ...}."""
+        before = self.plan_files()
+        df = self.read(spark)
+        if sort_col is not None:
+            df = (
+                df.repartitionByRange(num_files, sort_col)
+                if num_files
+                else df.repartitionByRange(sort_col)
+            ).sortWithinPartitions(sort_col)
+        elif num_files:
+            df = df.coalesce(num_files)
+        stats = stats_cols if stats_cols is not None else ([sort_col] if sort_col else None)
+        m = self._commit(df, "optimize", stats)
+        return {
+            "files_before": len(before),
+            "files_after": len(self._entries(m)),
+            "version": m["version"],
+        }
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Vacuum (Iceberg expire_snapshots analog): drop all but the last
+        ``keep_last`` manifest versions and DELETE data files referenced by
+        no surviving version. Time travel to expired versions is gone —
+        that is the contract. Returns {"versions_dropped", "files_deleted"}.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self._versions()
+        keep, drop = versions[-keep_last:], versions[:-keep_last]
+        live: set[str] = set()
+        for v in keep:
+            live.update(e["path"] for e in self._entries(self._manifest(v)))
+        deleted = 0
+        for v in drop:
+            for e in self._entries(self._manifest(v)):
+                if e["path"] in live:
+                    continue
+                p = os.path.join(self.data_dir, e["path"])
+                if os.path.exists(p):
+                    os.remove(p)
+                    deleted += 1
+                live.add(e["path"])  # count each dead file once
+            os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
+        # prune empty staging dirs left behind
+        if os.path.isdir(self.data_dir):
+            for d in os.listdir(self.data_dir):
+                full = os.path.join(self.data_dir, d)
+                if os.path.isdir(full) and not os.listdir(full):
+                    os.rmdir(full)
+        return {"versions_dropped": len(drop), "files_deleted": deleted}
+
     def diff(self, spark: SparkSession, v_old: int, v_new: int) -> DataFrame:
         """Row-level snapshot diff (change-data-feed shape): the multiset
         difference between two committed versions, tagged with

@@ -368,6 +368,63 @@ class TestSources:
         assert t.history()[-1]["operation"] == "merge"
         assert t.history()[-1]["n_rows"] == 301
 
+    def test_iceberg_optimize_compacts_and_sorts(self, spark, tmp_path):
+        """OPTIMIZE: many small appends -> few range-sorted files whose key
+        ranges are disjoint, so manifest pruning works afterwards."""
+        import pandas as pd
+
+        t = IcebergLayoutTable(str(tmp_path / "opt"))
+        # 6 appends with INTERLEAVED key ranges: pre-optimize, every file
+        # overlaps every key range, so stats cannot prune
+        for i in range(6):
+            pdf = pd.DataFrame({"k": range(i, 3000, 6), "v": [i] * 500})
+            t.append(spark.createDataFrame(pdf).coalesce(1), stats_cols=["k"])
+        assert len(t.plan_files(ranges={"k": (10, 20)})) == 6  # no pruning possible
+        res = t.optimize(spark, sort_col="k", num_files=3)
+        assert res["files_before"] == 6 and res["files_after"] == 3
+        pruned = t.plan_files(ranges={"k": (10, 20)})
+        assert len(pruned) == 1  # ranges now disjoint
+        assert t.read(spark).count() == 3000  # nothing lost
+        assert t.history()[-1]["operation"] == "optimize"
+
+    def test_iceberg_expire_snapshots(self, spark, tmp_path):
+        import os
+
+        import pandas as pd
+        import pytest as _pt
+
+        t = IcebergLayoutTable(str(tmp_path / "exp"))
+        t.append(spark.createDataFrame(pd.DataFrame({"k": [1, 2]})).coalesce(1))
+        t.overwrite(spark.createDataFrame(pd.DataFrame({"k": [3]})).coalesce(1))
+        t.overwrite(spark.createDataFrame(pd.DataFrame({"k": [4]})).coalesce(1))
+        res = t.expire_snapshots(keep_last=1)
+        assert res["versions_dropped"] == 2 and res["files_deleted"] >= 2
+        assert [h["version"] for h in t.history()] == [3]
+        assert {r.k for r in t.read(spark).collect()} == {4}
+        with _pt.raises(FileNotFoundError):
+            t.read(spark, version=1)
+        # only live data files remain on disk
+        live = {os.path.basename(p) for p in t.plan_files()}
+        on_disk = {
+            f
+            for d, _, fs in os.walk(t.data_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        assert on_disk == live
+
+    def test_iceberg_expire_keeps_shared_files(self, spark, tmp_path):
+        """A file referenced by BOTH an expired and a kept snapshot must
+        survive (append chains share files across versions)."""
+        import pandas as pd
+
+        t = IcebergLayoutTable(str(tmp_path / "shr"))
+        t.append(spark.createDataFrame(pd.DataFrame({"k": [1]})).coalesce(1))
+        t.append(spark.createDataFrame(pd.DataFrame({"k": [2]})).coalesce(1))
+        res = t.expire_snapshots(keep_last=1)  # v1 expired, but v2 holds its file
+        assert res["files_deleted"] == 0
+        assert {r.k for r in t.read(spark).collect()} == {1, 2}
+
     def test_iceberg_snapshot_diff(self, spark, tmp_path):
         import pandas as pd
 
