@@ -897,6 +897,14 @@ def q_track_dwells(spark, sf_dir):
     return tracks.dwell_points(pts, radius=5.0)
 
 
+def q_bigram_surprisal(spark, sf_dir):
+    """Conditional (bigram-model) surprisal in quantized integer bits —
+    the LM-quality signal one level above the unigram gate; same
+    order-independent integer-sum discipline."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.bigram_surprisal_bits(docs, vocab_top_k=1 << 15)
+
+
 def q_stratified_split(spark, sf_dir):
     """Deterministic per-language train/val/test assignment via the
     md5-draw ladder — pure row function, stable under repartitioning."""
@@ -973,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "curated_chunks": q_curated_chunks,
         "reclass_regions": q_reclass_regions,
+        "bigram_surprisal": q_bigram_surprisal,
         "vocabulary": q_vocabulary,
         "surprisal": q_surprisal,
         "stratified_split": q_stratified_split,
@@ -2420,6 +2429,44 @@ SELECT doc_id AS track_id, dwell AS dwell_ix,
 FROM walk GROUP BY 1, 2, 4, 5
 """
 
+_SQL_BIGRAM_SURPRISAL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+                                 i -> struct_pack(w1 := toks[i + 1], w2 := toks[i + 2]))) AS g
+    FROM tok WHERE len(toks) >= 2
+  ), LATERAL (SELECT g.w1 AS w1, g.w2 AS w2)
+  WHERE w1 != '' AND w2 != ''
+),
+uni AS (
+  SELECT w1, count(*) AS cu FROM (
+    SELECT unnest(toks) AS w1 FROM tok
+  ) WHERE w1 != '' GROUP BY w1
+  ORDER BY cu DESC, w1 ASC LIMIT 32768
+),
+big AS (
+  SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
+  ORDER BY cb DESC, w1 ASC, w2 ASC LIMIT 32768
+),
+dt AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+scored AS (
+  SELECT doc_id, sum(k) AS nb,
+         sum(k * (CAST(floor(log2(coalesce(u.cu, 1))) AS BIGINT)
+                - CAST(floor(log2(coalesce(b.cb, 1))) AS BIGINT))) AS sb
+  FROM dt LEFT JOIN uni u USING (w1) LEFT JOIN big b USING (w1, w2)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.sb, 0) AS BIGINT) AS surprisal_bits
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
 _SQL_STRATIFIED_SPLIT = """
 SELECT doc_id, lang,
   CASE WHEN draw < 0.8 THEN 'train'
@@ -2503,6 +2550,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_table": _SQL_PROFILE_TABLE,
         "curated_chunks": _SQL_CURATED_CHUNKS,
         "reclass_regions": _SQL_RECLASS_REGIONS,
+        "bigram_surprisal": _SQL_BIGRAM_SURPRISAL,
         "vocabulary": _SQL_VOCABULARY,
         "surprisal": _SQL_SURPRISAL,
         "stratified_split": _SQL_STRATIFIED_SPLIT,

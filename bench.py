@@ -135,6 +135,7 @@ def run_queries(spark, sdir):
         "profile_table",
         "curated_chunks",
         "reclass_regions",
+        "bigram_surprisal",
         "vocabulary",
         "surprisal",
         "stratified_split",

@@ -272,3 +272,75 @@ def surprisal_bits(
             F.coalesce("surprisal_bits", F.lit(0)).cast("long").alias("surprisal_bits"),
         )
     )
+
+
+def bigram_surprisal_bits(
+    docs: DataFrame,
+    vocab_top_k: int = 1 << 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-quantized BIGRAM (conditional) surprisal per document:
+    (doc_id, n_bigrams, surprisal_bits) with per-bigram bits =
+    floor(log2 c(w1)) - floor(log2 c(w1 w2)) — the quantized
+    -log2 P(w2|w1) of the corpus bigram model. Out-of-table counts floor
+    at 1 (both tables capped at ``vocab_top_k`` with the deterministic
+    (count desc, key asc) tie order). The same exactness discipline as
+    :func:`surprisal_bits`: integer bits, order-independent sums.
+
+    Scale shape: one token shuffle for the unigram table, one bigram
+    shuffle for the bigram table (both map-side combined and top-k
+    capped), per-doc bigram counts, two bounded broadcasts, one final
+    groupBy(doc). Docs with < 2 tokens score 0 over 0 bigrams."""
+    toks = tokens(F.col(text_col))
+    m = F.size(toks) - 1
+    grams = F.when(
+        m >= 1,
+        F.arrays_zip(
+            F.slice(toks, 1, m).alias("w1"), F.slice(toks, 2, m).alias("w2")
+        ),
+    ).otherwise(F.array())
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    ).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    ).filter((F.col("w1") != "") & (F.col("w2") != ""))
+
+    uni = (
+        docs.select(F.explode(toks).alias("w1"))
+        .filter(F.col("w1") != "")
+        .groupBy("w1")
+        .agg(F.count("*").alias("cu"))
+        .orderBy(F.desc("cu"), F.asc("w1"))
+        .limit(vocab_top_k)
+    )
+    big = (
+        base.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .orderBy(F.desc("cb"), F.asc("w1"), F.asc("w2"))
+        .limit(vocab_top_k)
+    )
+    per_doc = base.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("k"))
+    bits = (
+        F.floor(F.log2(F.coalesce("cu", F.lit(1)))).cast("long")
+        - F.floor(F.log2(F.coalesce("cb", F.lit(1)))).cast("long")
+    )
+    scored = (
+        per_doc.join(F.broadcast(uni), "w1", "left")
+        .join(F.broadcast(big), ["w1", "w2"], "left")
+        .select("doc_id", "k", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("bits")).cast("long").alias("surprisal_bits"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("surprisal_bits", F.lit(0)).cast("long").alias("surprisal_bits"),
+        )
+    )

@@ -236,3 +236,52 @@ class TestGeohash:
             geohash(F.col("x"), F.col("y"), 0)
         with pytest.raises(ValueError):
             geohash(F.col("x"), F.col("y"), 13)
+
+
+class TestBigramSurprisal:
+    def test_partitioning_invariant(self, spark):
+        from gdal_common_python_spark.operators.text import bigram_surprisal_bits
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(30),
+                    "text": [
+                        " ".join(["the cat sat on the mat"] * (i % 4 + 1))
+                        for i in range(30)
+                    ],
+                }
+            )
+        )
+        a = {r.doc_id: r.surprisal_bits for r in bigram_surprisal_bits(docs).collect()}
+        b = {
+            r.doc_id: r.surprisal_bits
+            for r in bigram_surprisal_bits(docs.repartition(7)).collect()
+        }
+        assert a == b
+
+    def test_unusual_pairing_scores_higher(self, spark):
+        """Common words in a RARE pairing must out-score the common pairing:
+        bigram surprisal sees what unigram surprisal cannot."""
+        from gdal_common_python_spark.operators.text import (
+            bigram_surprisal_bits,
+            surprisal_bits,
+        )
+
+        rows = [dict(doc_id=i, text="good morning world") for i in range(32)]
+        rows.append(dict(doc_id=99, text="morning good world"))  # same words, odd order
+        docs = spark.createDataFrame(pd.DataFrame(rows))
+        bi = {r.doc_id: r.surprisal_bits for r in bigram_surprisal_bits(docs).collect()}
+        un = {r.doc_id: r.surprisal_bits for r in surprisal_bits(docs).collect()}
+        assert bi[99] > bi[0]          # bigram model flags the odd order
+        assert un[99] == un[0]          # unigram model cannot
+
+    def test_short_docs_score_zero(self, spark):
+        from gdal_common_python_spark.operators.text import bigram_surprisal_bits
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "text": ["single", "", "two words"]})
+        )
+        out = {r.doc_id: r for r in bigram_surprisal_bits(docs).collect()}
+        assert out[1].n_bigrams == 0 and out[2].n_bigrams == 0
+        assert out[3].n_bigrams == 1
