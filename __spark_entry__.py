@@ -815,6 +815,18 @@ def q_focal_mean(spark, sf_dir):
     return focal.focal_mean_pixels(tiles, radius=1, tile_size=32)
 
 
+def q_hillshade(spark, sf_dir):
+    """gdaldem-style hillshade + slope class + aspect octant: Horn 3x3
+    gradients via the halo exchange (shuffle ∝ tile perimeter), then pure
+    correctly-rounded IEEE arithmetic (+,-,*,/,sqrt and driver-computed
+    light-vector literals — no engine-side trig), so the neighbor-join
+    oracle hash-matches bit-for-bit."""
+    from gdal_common_python_spark.operators import terrain
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return terrain.hillshade_pixels(tiles, tile_size=32)
+
+
 def q_reclass_regions(spark, sf_dir):
     """Reclassify (16 classes, breaks every 16) THEN polygonize — the
     contour-region composition: class grids feed the connected-component
@@ -974,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "cell_rollup": q_cell_rollup,
         "focal_mean": q_focal_mean,
+        "hillshade": q_hillshade,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2204,6 +2217,14 @@ JOIN valid b
 GROUP BY 1, 2, 3, 4
 """
 
+# generated from the same driver-side constants as hillshade_pixels, so the
+# light-vector / tan-threshold literals are identical strings in both engines
+from gdal_common_python_spark.operators.terrain import hillshade_oracle_sql as _hs_sql
+
+_SQL_HILLSHADE = _hs_sql(_TILES)
+del _hs_sql
+
+
 def _geohash_sql(precision: int) -> str:
     """The geohash formula as DuckDB SQL over (px, py) — generated from the
     same loop as operators.layout.geohash so both stay in lockstep."""
@@ -2543,6 +2564,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _SQL_ZORDER_LAYOUT,
         "cell_rollup": _SQL_CELL_ROLLUP,
         "focal_mean": _SQL_FOCAL_MEAN,
+        "hillshade": _SQL_HILLSHADE,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

@@ -128,6 +128,7 @@ def run_queries(spark, sdir):
         "zorder_layout",
         "cell_rollup",
         "focal_mean",
+        "hillshade",
         "polygonize",
         "geohash",
         "track_stats",

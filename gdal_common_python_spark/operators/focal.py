@@ -63,19 +63,14 @@ _OUT_T = T.StructType(
 _DIRS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
 
 
-def focal_mean_tiles(tiles: DataFrame, radius: int = 1) -> DataFrame:
-    """Tile-shaped focal mean/sum/count over a tiled raster table
-    (raster_id, band, tile_x, tile_y, tile_w, tile_h, nodata, pixels) ->
-    (raster_id, band, tile_x, tile_y, tile_w, tile_h, f_sum, f_count,
-    f_mean) with arrays in the tile's row-major layout.
-
-    Plan: one mapInPandas pass emits each tile once (dx=dy=0) plus its 8
-    border strips addressed to the neighbor tiles; one groupBy(tile key)
-    applyInPandas assembles the padded window and runs a vectorized
-    sliding-window sum (summed-area tables, O(pixels) per tile). Strips to
-    tiles that don't exist are dropped by the group stage (no center row ->
-    no output), so raster edges need no driver-side tile-count knowledge.
-    """
+def halo_exchange(tiles: DataFrame, radius: int) -> DataFrame:
+    """The halo-exchange shuffle shared by every focal-window operator
+    (focal stats, terrain gradients): one mapInPandas pass emits each tile
+    once (dx=dy=0) plus its 8 ``radius``-wide border strips addressed to
+    the neighbor tiles. Consumers groupBy the tile key and assemble the
+    padded window with :func:`assemble_padded`. Strips to tiles that don't
+    exist are dropped by the group stage (no center row -> no output), so
+    raster edges need no driver-side tile-count knowledge."""
     if radius < 1:
         raise ValueError(f"radius must be >= 1, got {radius}")
 
@@ -112,30 +107,56 @@ def focal_mean_tiles(tiles: DataFrame, radius: int = 1) -> DataFrame:
 
     from .dedup import _spread
 
-    halos = _spread(
+    return _spread(
         tiles.select(
             "raster_id", "band", "tile_x", "tile_y", "tile_w", "tile_h", "nodata", "pixels"
         )
     ).mapInPandas(emit, schema=_HALO_T)
 
+
+def assemble_padded(pdf: pd.DataFrame, radius: int):
+    """Assemble one tile group of :func:`halo_exchange` rows into
+    ``(center_row, padded)`` where ``padded`` is the (h+2r, w+2r) float
+    array with NaN outside the raster. Returns ``None`` when the group has
+    no center row (a strip addressed to a non-existent edge tile)."""
+    center = pdf[(pdf.dx == 0) & (pdf.dy == 0)]
+    if len(center) == 0:
+        return None
+    c = center.iloc[0]
+    w, h = int(c.bw), int(c.bh)
+    pad = np.full((h + 2 * radius, w + 2 * radius), np.nan)
+    val = np.asarray(c.block, dtype=np.float64).reshape(h, w)
+    pad[radius : radius + h, radius : radius + w] = val
+    for r in pdf[(pdf.dx != 0) | (pdf.dy != 0)].itertuples(index=False):
+        bw, bh = int(r.bw), int(r.bh)
+        blk = np.asarray(r.block, dtype=np.float64).reshape(bh, bw)
+        # sender at (tile_x - dx, tile_y - dy): its facing side lands
+        # just outside my core on the OPPOSITE side of (dx, dy)
+        x0 = radius - bw if r.dx > 0 else radius + w if r.dx < 0 else radius
+        y0 = radius - bh if r.dy > 0 else radius + h if r.dy < 0 else radius
+        pad[y0 : y0 + bh, x0 : x0 + bw] = blk
+    return c, pad
+
+
+def focal_mean_tiles(tiles: DataFrame, radius: int = 1) -> DataFrame:
+    """Tile-shaped focal mean/sum/count over a tiled raster table
+    (raster_id, band, tile_x, tile_y, tile_w, tile_h, nodata, pixels) ->
+    (raster_id, band, tile_x, tile_y, tile_w, tile_h, f_sum, f_count,
+    f_mean) with arrays in the tile's row-major layout.
+
+    Plan: :func:`halo_exchange` (shuffle ∝ tile perimeter) then one
+    groupBy(tile key) applyInPandas that assembles the padded window and
+    runs a vectorized sliding-window sum (summed-area tables, O(pixels)
+    per tile)."""
+    halos = halo_exchange(tiles, radius)
+
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        center = pdf[(pdf.dx == 0) & (pdf.dy == 0)]
-        if len(center) == 0:
+        got = assemble_padded(pdf, radius)
+        if got is None:
             return pd.DataFrame(columns=[f.name for f in _OUT_T.fields])
-        c = center.iloc[0]
+        c, pad = got
         w, h = int(c.bw), int(c.bh)
         nodata = float(c.nodata)
-        pad = np.full((h + 2 * radius, w + 2 * radius), np.nan)
-        val = np.asarray(c.block, dtype=np.float64).reshape(h, w)
-        pad[radius : radius + h, radius : radius + w] = val
-        for r in pdf[(pdf.dx != 0) | (pdf.dy != 0)].itertuples(index=False):
-            bw, bh = int(r.bw), int(r.bh)
-            blk = np.asarray(r.block, dtype=np.float64).reshape(bh, bw)
-            # sender at (tile_x - dx, tile_y - dy): its facing side lands
-            # just outside my core on the OPPOSITE side of (dx, dy)
-            x0 = radius - bw if r.dx > 0 else radius + w if r.dx < 0 else radius
-            y0 = radius - bh if r.dy > 0 else radius + h if r.dy < 0 else radius
-            pad[y0 : y0 + bh, x0 : x0 + bw] = blk
         valid = (~np.isnan(pad)) & (pad != nodata)
         v = np.where(valid, pad, 0.0)
         n = valid.astype(np.float64)
