@@ -827,6 +827,17 @@ def q_hillshade(spark, sf_dir):
     return terrain.hillshade_pixels(tiles, tile_size=32)
 
 
+def q_ruggedness(spark, sf_dir):
+    """gdaldem TRI / TPI / roughness in one halo-exchange pass: integer
+    numerators (sum |n-c|, 8c - sum n, window max-min) are exact int64;
+    tri/tpi divide by the power-of-two 8.0, so the 3x3 neighbor-join
+    oracle hash-matches bit-for-bit."""
+    from gdal_common_python_spark.operators import terrain
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return terrain.ruggedness_pixels(tiles, tile_size=32)
+
+
 def q_reclass_regions(spark, sf_dir):
     """Reclassify (16 classes, breaks every 16) THEN polygonize — the
     contour-region composition: class grids feed the connected-component
@@ -987,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_rollup": q_cell_rollup,
         "focal_mean": q_focal_mean,
         "hillshade": q_hillshade,
+        "ruggedness": q_ruggedness,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2219,10 +2231,14 @@ GROUP BY 1, 2, 3, 4
 
 # generated from the same driver-side constants as hillshade_pixels, so the
 # light-vector / tan-threshold literals are identical strings in both engines
-from gdal_common_python_spark.operators.terrain import hillshade_oracle_sql as _hs_sql
+from gdal_common_python_spark.operators.terrain import (
+    hillshade_oracle_sql as _hs_sql,
+    ruggedness_oracle_sql as _rug_sql,
+)
 
 _SQL_HILLSHADE = _hs_sql(_TILES)
-del _hs_sql
+_SQL_RUGGEDNESS = _rug_sql(_TILES)
+del _hs_sql, _rug_sql
 
 
 def _geohash_sql(precision: int) -> str:
@@ -2565,6 +2581,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_rollup": _SQL_CELL_ROLLUP,
         "focal_mean": _SQL_FOCAL_MEAN,
         "hillshade": _SQL_HILLSHADE,
+        "ruggedness": _SQL_RUGGEDNESS,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

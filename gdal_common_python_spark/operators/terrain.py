@@ -188,6 +188,147 @@ def hillshade_pixels(
     )
 
 
+_RUG_T = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("tile_w", T.IntegerType()),
+        T.StructField("tris", T.ArrayType(T.LongType())),
+        T.StructField("tpis", T.ArrayType(T.LongType())),
+        T.StructField("roughs", T.ArrayType(T.LongType())),
+        T.StructField("idxs", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def ruggedness_pixels(tiles: DataFrame, tile_size: int = 32) -> DataFrame:
+    """gdaldem TRI / TPI / roughness in one pass over the tiled raster ->
+    (raster_id, band, gx, gy, tri_num, tpi_num, roughness, tri, tpi).
+
+    Integer-exact by construction (same contract as the Horn gradients):
+
+        tri_num   = sum_{8 neighbors} |n - c|        (Wilson TRI numerator)
+        tpi_num   = 8*c - sum_{8 neighbors} n        (TPI numerator)
+        roughness = max(3x3 window) - min(3x3 window)
+
+    are exact int64 for integer-valued rasters; tri = tri_num / 8.0 and
+    tpi = tpi_num / 8.0 divide an exactly-representable integer by a power
+    of two — correctly rounded IEEE, so the DuckDB neighbor-join oracle
+    hash-matches bit-for-bit. Edge semantics match gdaldem's default: a
+    pixel is emitted only when its full 3x3 window is in-raster and
+    nodata-free.
+
+    Plan: halo_exchange(radius=1) (shuffle ∝ tile perimeter) -> groupBy
+    applyInPandas running the stencil as 8 whole-array shifts -> native
+    posexplode to pixel rows. No reference analog (reference raster ops
+    stop at zonal/mosaic, `lib/zonal.py`)."""
+    halos = halo_exchange(tiles, radius=1)
+
+    def stats(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        got = assemble_padded(pdf, 1)
+        if got is None:
+            return pd.DataFrame(columns=[f.name for f in _RUG_T.fields])
+        c, pad = got
+        w, h = int(c.bw), int(c.bh)
+        nodata = float(c.nodata)
+        valid = (~np.isnan(pad)) & (pad != nodata)
+        v = np.where(valid, pad, 0.0)
+
+        def sub(dy, dx):
+            return v[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+        def ok(dy, dx):
+            return valid[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+        center = sub(0, 0)
+        full = ok(0, 0).copy()
+        tri = np.zeros((h, w))
+        nsum = np.zeros((h, w))
+        mx, mn = center.copy(), center.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                full &= ok(dy, dx)
+                if (dy, dx) == (0, 0):
+                    continue
+                n = sub(dy, dx)
+                tri += np.abs(n - center)
+                nsum += n
+                np.maximum(mx, n, out=mx)
+                np.minimum(mn, n, out=mn)
+        idxs = np.flatnonzero(full.ravel())
+        if len(idxs) == 0:
+            return pd.DataFrame(columns=[f.name for f in _RUG_T.fields])
+        tri_num = tri.astype(np.int64).ravel()[idxs]
+        tpi_num = (8 * center - nsum).astype(np.int64).ravel()[idxs]
+        rough = (mx - mn).astype(np.int64).ravel()[idxs]
+        return pd.DataFrame(
+            [
+                (
+                    c.raster_id, int(c.band), int(c.tile_x), int(c.tile_y), w,
+                    tri_num.tolist(), tpi_num.tolist(), rough.tolist(),
+                    idxs.astype(np.int32).tolist(),
+                )
+            ],
+            columns=[f.name for f in _RUG_T.fields],
+        )
+
+    t = halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
+        stats, schema=_RUG_T
+    )
+    return t.select(
+        "raster_id", "band", "tile_x", "tile_y", "tile_w",
+        F.explode(F.arrays_zip("idxs", "tris", "tpis", "roughs")).alias("z"),
+    ).select(
+        "raster_id", "band",
+        (F.col("tile_x").cast("long") * tile_size + F.col("z.idxs") % F.col("tile_w")).alias("gx"),
+        (F.col("tile_y").cast("long") * tile_size + (F.col("z.idxs") / F.col("tile_w")).cast("long")).alias("gy"),
+        F.col("z.tris").alias("tri_num"),
+        F.col("z.tpis").alias("tpi_num"),
+        F.col("z.roughs").alias("roughness"),
+        (F.col("z.tris") / F.lit(8.0)).alias("tri"),
+        (F.col("z.tpis") / F.lit(8.0)).alias("tpi"),
+    )
+
+
+def ruggedness_oracle_sql(tiles_rel: str, tile_size: int = 32) -> str:
+    """The DuckDB oracle for :func:`ruggedness_pixels`: the same 3x3
+    neighbor self-join as the hillshade oracle, aggregating |n-c| sums,
+    the TPI numerator, and the window min/max (HAVING count(*) = 9
+    enforces the full-window edge semantics)."""
+    return f"""
+WITH px AS (
+  SELECT raster_id, band, nodata,
+         CAST(tile_x AS BIGINT) * {tile_size} + (idx - 1) % tile_w AS gx,
+         CAST(tile_y AS BIGINT) * {tile_size} + (idx - 1) // tile_w AS gy,
+         v
+  FROM (
+    SELECT raster_id, band, nodata, tile_x, tile_y, tile_w,
+           generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+    FROM {tiles_rel}
+  )
+),
+valid AS (SELECT * FROM px WHERE v != nodata),
+w AS (
+  SELECT a.raster_id, a.band, a.gx, a.gy,
+         CAST(sum(abs(b.v - a.v)) AS BIGINT) AS tri_num,
+         CAST(9 * any_value(a.v) - sum(b.v) AS BIGINT) AS tpi_num,
+         CAST(max(b.v) - min(b.v) AS BIGINT) AS roughness
+  FROM valid a
+  JOIN valid b
+    ON a.raster_id = b.raster_id AND a.band = b.band
+   AND b.gx BETWEEN a.gx - 1 AND a.gx + 1
+   AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) = 9
+)
+SELECT raster_id, band, gx, gy, tri_num, tpi_num, roughness,
+       tri_num / 8.0 AS tri, tpi_num / 8.0 AS tpi
+FROM w
+"""
+
+
 def hillshade_oracle_sql(
     tiles_rel: str,
     azimuth_deg: float = 315.0,

@@ -94,6 +94,46 @@ class TestTerrain:
         rows = terrain.hillshade_pixels(tiles, tile_size=6).collect()
         assert {r.aspect_octant for r in rows} == {0}
 
+    def test_ruggedness_matches_untiled_reference(self, spark):
+        rng = np.random.default_rng(48)
+        arr = rng.integers(0, 256, size=(21, 33)).astype(np.float64)
+        arr[rng.random(arr.shape) < 0.1] = NODATA
+        tiles = _tile_df(spark, arr, tile=8)
+        got = {
+            (r.gx, r.gy): (r.tri_num, r.tpi_num, r.roughness, r.tri, r.tpi)
+            for r in terrain.ruggedness_pixels(tiles, tile_size=8).collect()
+        }
+        expect = {}
+        h, w = arr.shape
+        for i in range(1, h - 1):
+            for j in range(1, w - 1):
+                win = arr[i - 1 : i + 2, j - 1 : j + 2]
+                if (win == NODATA).any():
+                    continue
+                c = arr[i, j]
+                tri = int(np.abs(win - c).sum())  # center term is 0
+                tpi = int(9 * c - win.sum())
+                rough = int(win.max() - win.min())
+                expect[(j, i)] = (tri, tpi, rough, tri / 8.0, tpi / 8.0)
+        assert got == expect
+
+    def test_ruggedness_flat_and_peak(self, spark):
+        arr = np.full((8, 8), 7.0)
+        arr[3, 3] = 15.0  # single peak
+        tiles = _tile_df(spark, arr, tile=4)
+        rows = {
+            (r.gx, r.gy): r
+            for r in terrain.ruggedness_pixels(tiles, tile_size=4).collect()
+        }
+        peak = rows[(3, 3)]
+        assert peak.tri_num == 8 * 8 and peak.tpi_num == 8 * 8 and peak.roughness == 8
+        assert peak.tri == 8.0 and peak.tpi == 8.0
+        far = rows[(6, 6)]  # window untouched by the peak
+        assert (far.tri_num, far.tpi_num, far.roughness) == (0, 0, 0)
+        # any window CONTAINING the peak off-center: roughness 8, negative TPI
+        side = rows[(4, 3)]
+        assert side.roughness == 8 and side.tpi_num == -8
+
     def test_oracle_sql_lockstep(self):
         sql = terrain.hillshade_oracle_sql("tiles", azimuth_deg=200.0, altitude_deg=30.0)
         lx, ly, lz = terrain.light_vector(200.0, 30.0)
