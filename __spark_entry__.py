@@ -838,6 +838,20 @@ def q_ruggedness(spark, sf_dir):
     return terrain.ruggedness_pixels(tiles, tile_size=32)
 
 
+def q_raster_sample(spark, sf_dir):
+    """gdallocationinfo analog: every raster band sampled at every point
+    via R1 trunc-toward-zero pixel coords (rasters.py:113-116), a tiny
+    broadcast geotransform dimension, and one tile-key equi-join +
+    element_at — zero UDFs, shuffle ∝ in-bounds points."""
+    from gdal_common_python_spark.operators import sample
+
+    return sample.sample_raster_at_points(
+        _synth(spark, sf_dir, "near_points"),
+        _synth(spark, sf_dir, "raster_tiles"),
+        tile_size=32,
+    )
+
+
 def q_reclass_regions(spark, sf_dir):
     """Reclassify (16 classes, breaks every 16) THEN polygonize — the
     contour-region composition: class grids feed the connected-component
@@ -999,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mean": q_focal_mean,
         "hillshade": q_hillshade,
         "ruggedness": q_ruggedness,
+        "raster_sample": q_raster_sample,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2240,6 +2255,11 @@ _SQL_HILLSHADE = _hs_sql(_TILES)
 _SQL_RUGGEDNESS = _rug_sql(_TILES)
 del _hs_sql, _rug_sql
 
+from gdal_common_python_spark.operators.sample import sample_oracle_sql as _samp_sql
+
+_SQL_RASTER_SAMPLE = _samp_sql(_POINTS, _TILES)
+del _samp_sql
+
 
 def _geohash_sql(precision: int) -> str:
     """The geohash formula as DuckDB SQL over (px, py) — generated from the
@@ -2582,6 +2602,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_mean": _SQL_FOCAL_MEAN,
         "hillshade": _SQL_HILLSHADE,
         "ruggedness": _SQL_RUGGEDNESS,
+        "raster_sample": _SQL_RASTER_SAMPLE,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

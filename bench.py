@@ -130,6 +130,7 @@ def run_queries(spark, sdir):
         "focal_mean",
         "hillshade",
         "ruggedness",
+        "raster_sample",
         "polygonize",
         "geohash",
         "track_stats",
