@@ -852,6 +852,23 @@ def q_raster_sample(spark, sf_dir):
     )
 
 
+_PROX_VALUES = [250.0, 251.0, 252.0, 253.0, 254.0, 255.0]
+_PROX_MAXDIST = 6.0
+
+
+def q_proximity(spark, sf_dir):
+    """gdal_proximity analog with -maxdist semantics: one halo exchange at
+    radius ceil(D) makes the capped exact Euclidean distance transform a
+    single perimeter-proportional shuffle; integer squared distances +
+    one correctly-rounded sqrt keep it hash-exact."""
+    from gdal_common_python_spark.operators import proximity
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return proximity.proximity_pixels(
+        tiles, values=_PROX_VALUES, maxdist=_PROX_MAXDIST, tile_size=32
+    )
+
+
 def q_reclass_regions(spark, sf_dir):
     """Reclassify (16 classes, breaks every 16) THEN polygonize — the
     contour-region composition: class grids feed the connected-component
@@ -1014,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade": q_hillshade,
         "ruggedness": q_ruggedness,
         "raster_sample": q_raster_sample,
+        "proximity": q_proximity,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2260,6 +2278,11 @@ from gdal_common_python_spark.operators.sample import sample_oracle_sql as _samp
 _SQL_RASTER_SAMPLE = _samp_sql(_POINTS, _TILES)
 del _samp_sql
 
+from gdal_common_python_spark.operators.proximity import proximity_oracle_sql as _prox_sql
+
+_SQL_PROXIMITY = _prox_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
+del _prox_sql
+
 
 def _geohash_sql(precision: int) -> str:
     """The geohash formula as DuckDB SQL over (px, py) — generated from the
@@ -2603,6 +2626,7 @@ def oracle_sql() -> dict[str, str]:
         "hillshade": _SQL_HILLSHADE,
         "ruggedness": _SQL_RUGGEDNESS,
         "raster_sample": _SQL_RASTER_SAMPLE,
+        "proximity": _SQL_PROXIMITY,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

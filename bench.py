@@ -131,6 +131,7 @@ def run_queries(spark, sdir):
         "hillshade",
         "ruggedness",
         "raster_sample",
+        "proximity",
         "polygonize",
         "geohash",
         "track_stats",
