@@ -869,6 +869,20 @@ def q_proximity(spark, sf_dir):
     )
 
 
+_CONTOUR_LEVELS = [96.0, 176.0]
+
+
+def q_contour(spark, sf_dir):
+    """gdal_contour analog: marching-squares segments per 2x2 cell, owned
+    by the top-left pixel's tile — ONE halo-exchange shuffle then local.
+    The case table drives BOTH the numpy kernel and the generated oracle
+    SQL; one interpolation division per crossing keeps it hash-exact."""
+    from gdal_common_python_spark.operators import contour
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return contour.contour_segments(tiles, levels=_CONTOUR_LEVELS, tile_size=32)
+
+
 def q_reclass_regions(spark, sf_dir):
     """Reclassify (16 classes, breaks every 16) THEN polygonize — the
     contour-region composition: class grids feed the connected-component
@@ -1032,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ruggedness": q_ruggedness,
         "raster_sample": q_raster_sample,
         "proximity": q_proximity,
+        "contour": q_contour,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2283,6 +2298,11 @@ from gdal_common_python_spark.operators.proximity import proximity_oracle_sql as
 _SQL_PROXIMITY = _prox_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
 del _prox_sql
 
+from gdal_common_python_spark.operators.contour import contour_oracle_sql as _cont_sql
+
+_SQL_CONTOUR = _cont_sql(_TILES, _CONTOUR_LEVELS)
+del _cont_sql
+
 
 def _geohash_sql(precision: int) -> str:
     """The geohash formula as DuckDB SQL over (px, py) — generated from the
@@ -2627,6 +2647,7 @@ def oracle_sql() -> dict[str, str]:
         "ruggedness": _SQL_RUGGEDNESS,
         "raster_sample": _SQL_RASTER_SAMPLE,
         "proximity": _SQL_PROXIMITY,
+        "contour": _SQL_CONTOUR,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

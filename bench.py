@@ -132,6 +132,7 @@ def run_queries(spark, sdir):
         "ruggedness",
         "raster_sample",
         "proximity",
+        "contour",
         "polygonize",
         "geohash",
         "track_stats",

@@ -1,0 +1,252 @@
+"""gdal_contour analog: marching-squares contour segments, Spark-first.
+
+No reference analog (reference raster ops stop at zonal/mosaic) — fourth
+consumer of the shared halo exchange (`focal.py`): every 2x2 pixel cell is
+owned by its top-left pixel's tile, and the right/bottom corners arrive in
+the 1-pixel halo, so contour extraction is ONE perimeter-proportional
+shuffle and then embarrassingly parallel per tile.
+
+Semantics: classic marching squares at iso-level L with the ">= L is
+above" convention (so no zero-denominator interpolation is possible:
+a crossing edge always has one corner >= L > other corner). Saddle cells
+(cases 5/10) are resolved by the cell-center average — the same rule
+gdal_contour's grid walker effectively applies. A cell participates only
+when all four corners are in-raster and nodata-free. Output is the SEGMENT
+SET in pixel-center grid coordinates (x = column + t, y = row + t), each
+segment's endpoints ordered by edge id (T<R<B<L) — a deterministic,
+orientation-free representation. Stitching segments into polylines is the
+same shared-endpoint min-label propagation `operators/polygonize.py`
+already ships for regions; gdal_contour's line orientation convention is a
+documented divergence.
+
+Hash-exact by construction: corner comparisons are exact, the only float
+ops are one interpolation division per crossing plus integer additions —
+identical IEEE expression trees in numpy and DuckDB — and the case table
+below drives BOTH the kernel and the generated oracle SQL, so the
+connection rules cannot drift apart.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .focal import halo_exchange, assemble_padded
+
+# edge ids: 0=T (top), 1=R (right), 2=B (bottom), 3=L (left)
+# case index = tl + 2*tr + 4*br + 8*bl (bit set = corner >= level)
+# value: list of (edge_a, edge_b) segments, endpoints ordered by edge id;
+# saddles (5, 10) are resolved at runtime by the center-average rule.
+CASES: dict[int, list[tuple[int, int]]] = {
+    0: [],
+    1: [(0, 3)],
+    2: [(0, 1)],
+    3: [(1, 3)],
+    4: [(1, 2)],
+    # 5: saddle — center >= L: [(0,1),(2,3)]; else [(0,3),(1,2)]
+    6: [(0, 2)],
+    7: [(2, 3)],
+    8: [(2, 3)],
+    9: [(0, 2)],
+    # 10: saddle — center >= L: [(0,3),(1,2)]; else [(0,1),(2,3)]
+    11: [(1, 2)],
+    12: [(1, 3)],
+    13: [(0, 1)],
+    14: [(0, 3)],
+    15: [],
+}
+SADDLE_HI = {5: [(0, 1), (2, 3)], 10: [(0, 3), (1, 2)]}
+SADDLE_LO = {5: [(0, 3), (1, 2)], 10: [(0, 1), (2, 3)]}
+
+_SEG_T = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("gx", T.LongType()),
+        T.StructField("gy", T.LongType()),
+        T.StructField("seg", T.IntegerType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+        T.StructField("x2", T.DoubleType()),
+        T.StructField("y2", T.DoubleType()),
+    ]
+)
+
+
+def _edge_points(edge, level, j, i, v00, v01, v10, v11):
+    """Grid-space (x, y) of the level crossing on `edge` of cells at
+    (row i, col j) — vectorized over numpy arrays."""
+    if edge == 0:  # top: between v00 and v01
+        return j + (level - v00) / (v01 - v00), i.astype(np.float64)
+    if edge == 1:  # right: between v01 and v11
+        return (j + 1).astype(np.float64), i + (level - v01) / (v11 - v01)
+    if edge == 2:  # bottom: between v10 and v11
+        return j + (level - v10) / (v11 - v10), (i + 1).astype(np.float64)
+    return j.astype(np.float64), i + (level - v00) / (v10 - v00)  # left
+
+
+def contour_segments(
+    tiles: DataFrame, levels: list[float], tile_size: int = 32
+) -> DataFrame:
+    """Marching-squares segments for each iso-level ->
+    (raster_id, band, level, gx, gy, seg, x1, y1, x2, y2) where (gx, gy)
+    is the owning 2x2 cell (its top-left pixel) in global pixel coords and
+    (x*, y*) are grid-space crossings."""
+    lvls = [float(v) for v in levels]
+    halos = halo_exchange(tiles, radius=1)
+
+    def march(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        got = assemble_padded(pdf, 1)
+        if got is None:
+            return pd.DataFrame(columns=[f.name for f in _SEG_T.fields])
+        c, pad = got
+        w, h = int(c.bw), int(c.bh)
+        nodata = float(c.nodata)
+        valid = (~np.isnan(pad)) & (pad != nodata)
+        # cell corners for cells whose top-left pixel is a core pixel:
+        # padded rows 1..1+h, cols 1..1+w
+        v00 = pad[1 : 1 + h, 1 : 1 + w]
+        v01 = pad[1 : 1 + h, 2 : 2 + w]
+        v10 = pad[2 : 2 + h, 1 : 1 + w]
+        v11 = pad[2 : 2 + h, 2 : 2 + w]
+        ok = (
+            valid[1 : 1 + h, 1 : 1 + w]
+            & valid[1 : 1 + h, 2 : 2 + w]
+            & valid[2 : 2 + h, 1 : 1 + w]
+            & valid[2 : 2 + h, 2 : 2 + w]
+        )
+        ii, jj = np.mgrid[0:h, 0:w]
+        gx0 = int(c.tile_x) * tile_size
+        gy0 = int(c.tile_y) * tile_size
+        out: list[pd.DataFrame] = []
+        for lv in lvls:
+            case = (
+                (v00 >= lv).astype(np.int8)
+                + 2 * (v01 >= lv).astype(np.int8)
+                + 4 * (v11 >= lv).astype(np.int8)
+                + 8 * (v10 >= lv).astype(np.int8)
+            )
+            center_hi = (v00 + v01 + v10 + v11) / 4.0 >= lv
+            for cs in range(1, 15):
+                if cs in (5, 10):
+                    variants = [
+                        (ok & (case == cs) & center_hi, SADDLE_HI[cs]),
+                        (ok & (case == cs) & ~center_hi, SADDLE_LO[cs]),
+                    ]
+                else:
+                    variants = [(ok & (case == cs), CASES[cs])]
+                for mask, segs in variants:
+                    idx = np.flatnonzero(mask.ravel())
+                    if len(idx) == 0:
+                        continue
+                    # GLOBAL integer coords BEFORE interpolation: x = gx + t
+                    # must associate exactly like the oracle's gx + t (a
+                    # post-hoc tile-offset add would round differently)
+                    i = (gy0 + ii.ravel()[idx]).astype(np.int64)
+                    j = (gx0 + jj.ravel()[idx]).astype(np.int64)
+                    args = (
+                        np.float64(lv), j, i,
+                        v00.ravel()[idx], v01.ravel()[idx],
+                        v10.ravel()[idx], v11.ravel()[idx],
+                    )
+                    for k, (ea, eb) in enumerate(segs):
+                        x1, y1 = _edge_points(ea, *args)
+                        x2, y2 = _edge_points(eb, *args)
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "raster_id": c.raster_id,
+                                    "band": int(c.band),
+                                    "level": lv,
+                                    "gx": j,
+                                    "gy": i,
+                                    "seg": np.int32(k),
+                                    "x1": x1, "y1": y1,
+                                    "x2": x2, "y2": y2,
+                                }
+                            )
+                        )
+        if not out:
+            return pd.DataFrame(columns=[f.name for f in _SEG_T.fields])
+        return pd.concat(out, ignore_index=True)
+
+    return halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
+        march, schema=_SEG_T
+    )
+
+
+def _sql_edge(edge: int) -> tuple[str, str]:
+    """(x_expr, y_expr) for a crossing on `edge` over oracle columns
+    gx, gy, v00, v01, v10, v11, and the literal {lv}."""
+    if edge == 0:
+        return "gx + ({lv} - v00) / (v01 - v00)", "CAST(gy AS DOUBLE)"
+    if edge == 1:
+        return "CAST(gx + 1 AS DOUBLE)", "gy + ({lv} - v01) / (v11 - v01)"
+    if edge == 2:
+        return "gx + ({lv} - v10) / (v11 - v10)", "CAST(gy + 1 AS DOUBLE)"
+    return "CAST(gx AS DOUBLE)", "gy + ({lv} - v00) / (v10 - v00)"
+
+
+def contour_oracle_sql(tiles_rel: str, levels: list[float], tile_size: int = 32) -> str:
+    """DuckDB oracle for :func:`contour_segments`, generated from the SAME
+    case table: 2x2 corner self-joins, case classification, per-case
+    segment arms UNION ALLed together."""
+    cell = f"""
+  SELECT a.raster_id, a.band, a.gx, a.gy,
+         a.v AS v00, b.v AS v01, c.v AS v10, d.v AS v11
+  FROM px a
+  JOIN px b ON b.raster_id = a.raster_id AND b.band = a.band
+           AND b.gx = a.gx + 1 AND b.gy = a.gy
+  JOIN px c ON c.raster_id = a.raster_id AND c.band = a.band
+           AND c.gx = a.gx AND c.gy = a.gy + 1
+  JOIN px d ON d.raster_id = a.raster_id AND d.band = a.band
+           AND d.gx = a.gx + 1 AND d.gy = a.gy + 1
+"""
+    arms = []
+    for lv_ in levels:
+        lv = repr(float(lv_))
+        case_expr = (
+            f"(CASE WHEN v00 >= {lv} THEN 1 ELSE 0 END"
+            f" + CASE WHEN v01 >= {lv} THEN 2 ELSE 0 END"
+            f" + CASE WHEN v11 >= {lv} THEN 4 ELSE 0 END"
+            f" + CASE WHEN v10 >= {lv} THEN 8 ELSE 0 END)"
+        )
+        hi = f"(v00 + v01 + v10 + v11) / 4.0 >= {lv}"
+        variants: list[tuple[str, dict[int, list[tuple[int, int]]]]] = [
+            (f"{hi}", SADDLE_HI),
+            (f"NOT ({hi})", SADDLE_LO),
+        ]
+        for k in range(2):  # segment slot
+            base = {cs: segs for cs, segs in CASES.items() if len(segs) > k}
+            for cond_extra, table in [("TRUE", base)] + [
+                (cond, {cs: segs for cs, segs in tbl.items() if len(segs) > k})
+                for cond, tbl in variants
+            ]:
+                for cs, segs in sorted(table.items()):
+                    ea, eb = segs[k]
+                    x1, y1 = (e.format(lv=lv) for e in _sql_edge(ea))
+                    x2, y2 = (e.format(lv=lv) for e in _sql_edge(eb))
+                    arms.append(
+                        f"SELECT raster_id, band, CAST({lv} AS DOUBLE) AS level, gx, gy, "
+                        f"{k} AS seg, {x1} AS x1, {y1} AS y1, {x2} AS x2, {y2} AS y2 "
+                        f"FROM cells WHERE {case_expr} = {cs} AND {cond_extra}"
+                    )
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH px AS (
+  SELECT raster_id, band,
+         CAST(tile_x AS BIGINT) * {tile_size} + (idx - 1) % tile_w AS gx,
+         CAST(tile_y AS BIGINT) * {tile_size} + (idx - 1) // tile_w AS gy,
+         v
+  FROM (
+    SELECT raster_id, band, nodata, tile_x, tile_y, tile_w,
+           generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+    FROM {tiles_rel}
+  )
+  WHERE v != nodata
+),
+cells AS ({cell})
+{body}
+"""
