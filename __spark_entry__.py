@@ -883,6 +883,19 @@ def q_contour(spark, sf_dir):
     return contour.contour_segments(tiles, levels=_CONTOUR_LEVELS, tile_size=32)
 
 
+def q_contour_lines(spark, sf_dir):
+    """Stitched contours: exact-double shared endpoints -> one adjacency
+    groupBy -> min-label propagation (the polygonize machinery); line_id =
+    min segment id in the polyline. Oracle = recursive-CTE walk. Runs on
+    one band to keep the gate's recursive oracle tractable."""
+    from gdal_common_python_spark.operators import contour
+
+    tiles = _synth(spark, sf_dir, "raster_tiles").where(
+        (F.col("raster_id") == "r3") & (F.col("band") == 1)
+    )
+    return contour.contour_lines(tiles, levels=_CONTOUR_LEVELS, tile_size=32)
+
+
 def q_reclass_regions(spark, sf_dir):
     """Reclassify (16 classes, breaks every 16) THEN polygonize — the
     contour-region composition: class grids feed the connected-component
@@ -1047,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_sample": q_raster_sample,
         "proximity": q_proximity,
         "contour": q_contour,
+        "contour_lines": q_contour_lines,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2298,10 +2312,16 @@ from gdal_common_python_spark.operators.proximity import proximity_oracle_sql as
 _SQL_PROXIMITY = _prox_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
 del _prox_sql
 
-from gdal_common_python_spark.operators.contour import contour_oracle_sql as _cont_sql
+from gdal_common_python_spark.operators.contour import (
+    contour_oracle_sql as _cont_sql,
+    contour_lines_oracle_sql as _cline_sql,
+)
 
 _SQL_CONTOUR = _cont_sql(_TILES, _CONTOUR_LEVELS)
-del _cont_sql
+_SQL_CONTOUR_LINES = _cline_sql(
+    f"(SELECT * FROM {_TILES} WHERE raster_id = 'r3' AND band = 1)", _CONTOUR_LEVELS
+)
+del _cont_sql, _cline_sql
 
 
 def _geohash_sql(precision: int) -> str:
@@ -2648,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_sample": _SQL_RASTER_SAMPLE,
         "proximity": _SQL_PROXIMITY,
         "contour": _SQL_CONTOUR,
+        "contour_lines": _SQL_CONTOUR_LINES,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

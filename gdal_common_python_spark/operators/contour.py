@@ -177,6 +177,118 @@ def contour_segments(
     )
 
 
+def _segment_node_id(levels: list[float]):
+    """Globally-unique, oracle-reproducible node id for a segment: the
+    level's INDEX (never its float formatting), zero-padded global cell
+    coords (lexicographic == numeric for coords < 10^7) and the slot.
+    Both engines build the identical string, so component mins agree."""
+    lvl_idx = F.col("level")
+    for k, lv in enumerate(levels):
+        lvl_idx = F.when(F.col("level") == F.lit(float(lv)), F.lit(k)).otherwise(lvl_idx)
+    return F.concat_ws(
+        ":",
+        F.col("raster_id"),
+        F.col("band").cast("string"),
+        lvl_idx.cast("int").cast("string"),
+        F.lpad(F.col("gy").cast("string"), 7, "0"),
+        F.lpad(F.col("gx").cast("string"), 7, "0"),
+        F.col("seg").cast("string"),
+    )
+
+
+def contour_lines(
+    tiles: DataFrame, levels: list[float], tile_size: int = 32
+) -> DataFrame:
+    """:func:`contour_segments` plus a stitched ``line_id``: segments
+    sharing an endpoint get the same id (the min segment id reachable
+    through shared endpoints — a polyline/loop, since marching-squares
+    endpoint degree is always <= 2).
+
+    Distributed shape: endpoints are EXACT doubles (adjacent cells compute
+    the shared crossing from the same two pixels with the same expression),
+    so adjacency is one groupBy on (raster, band, level, x, y) — min/max
+    segment id per endpoint — and stitching is the shared
+    `graph.min_label_components` propagation (O(log diameter) rounds,
+    checkpointed). gdal_contour's line orientation/vertex-order convention
+    is a documented divergence: this emits the segment set + line ids."""
+    from .graph import min_label_components
+
+    spark = tiles.sparkSession
+    segs = contour_segments(tiles, levels, tile_size=tile_size).withColumn(
+        "id", _segment_node_id(levels)
+    )
+    pts = segs.select(
+        "raster_id", "band", "level", "id", F.col("x1").alias("x"), F.col("y1").alias("y")
+    ).unionByName(
+        segs.select(
+            "raster_id", "band", "level", "id",
+            F.col("x2").alias("x"), F.col("y2").alias("y"),
+        )
+    )
+    edges = (
+        pts.groupBy("raster_id", "band", "level", "x", "y")
+        .agg(F.min("id").alias("l_id"), F.max("id").alias("r_id"))
+        .where(F.col("l_id") != F.col("r_id"))
+        .select("l_id", "r_id")
+    )
+    comps = min_label_components(spark, segs.select("id"), edges, id_col="id")
+    return segs.join(comps, "id").select(
+        "raster_id", "band", "level", "gx", "gy", "seg",
+        "x1", "y1", "x2", "y2",
+        F.col("component").alias("line_id"),
+    )
+
+
+def contour_lines_oracle_sql(
+    tiles_rel: str, levels: list[float], tile_size: int = 32
+) -> str:
+    """DuckDB oracle for :func:`contour_lines`: the segment arms wrapped in
+    the same node-id construction, endpoint adjacency, and a recursive-CTE
+    min-label walk (the same pattern as the polygonize oracle)."""
+    ctes, body = _contour_sql_parts(tiles_rel, levels, tile_size=tile_size)
+    # level -> index CASE, mirroring _segment_node_id
+    idx = "0"
+    for k, lv in enumerate(levels):
+        idx = f"CASE WHEN level = {float(lv)!r} THEN {k} ELSE {idx} END"
+    return f"""
+WITH RECURSIVE {ctes},
+raw AS (
+{body}
+),
+seg AS (
+  SELECT *,
+         raster_id || ':' || CAST(band AS VARCHAR) || ':'
+           || CAST({idx} AS VARCHAR) || ':'
+           || lpad(CAST(gy AS VARCHAR), 7, '0') || ':'
+           || lpad(CAST(gx AS VARCHAR), 7, '0') || ':'
+           || CAST(seg AS VARCHAR) AS id
+  FROM raw
+),
+pts AS (
+  SELECT raster_id, band, level, id, x1 AS x, y1 AS y FROM seg
+  UNION ALL
+  SELECT raster_id, band, level, id, x2 AS x, y2 AS y FROM seg
+),
+adj AS (
+  SELECT min(id) AS l_id, max(id) AS r_id
+  FROM pts GROUP BY raster_id, band, level, x, y
+  HAVING min(id) != max(id)
+),
+sym AS (
+  SELECT l_id, r_id FROM adj UNION ALL SELECT r_id, l_id FROM adj
+),
+cc AS (
+  SELECT id, id AS label FROM seg
+  UNION
+  SELECT s.r_id, cc.label FROM cc JOIN sym s ON s.l_id = cc.id
+),
+comp AS (SELECT id, min(label) AS line_id FROM cc GROUP BY 1)
+SELECT g.raster_id, g.band, g.level, g.gx, g.gy, g.seg,
+       g.x1, g.y1, g.x2, g.y2, c.line_id
+FROM seg g JOIN comp c ON c.id = g.id
+"""
+
+
 def _sql_edge(edge: int) -> tuple[str, str]:
     """(x_expr, y_expr) for a crossing on `edge` over oracle columns
     gx, gy, v00, v01, v10, v11, and the literal {lv}."""
@@ -189,10 +301,12 @@ def _sql_edge(edge: int) -> tuple[str, str]:
     return "CAST(gx AS DOUBLE)", "gy + ({lv} - v00) / (v10 - v00)"
 
 
-def contour_oracle_sql(tiles_rel: str, levels: list[float], tile_size: int = 32) -> str:
-    """DuckDB oracle for :func:`contour_segments`, generated from the SAME
-    case table: 2x2 corner self-joins, case classification, per-case
-    segment arms UNION ALLed together."""
+def _contour_sql_parts(
+    tiles_rel: str, levels: list[float], tile_size: int = 32
+) -> tuple[str, str]:
+    """(ctes, body) for the contour oracle — kept separate so the lines
+    oracle can hoist the CTEs to top level (DuckDB's WITH RECURSIVE
+    parser mis-scopes a nested WITH whose body contains UNION ALL)."""
     cell = f"""
   SELECT a.raster_id, a.band, a.gx, a.gy,
          a.v AS v00, b.v AS v01, c.v AS v10, d.v AS v11
@@ -234,8 +348,7 @@ def contour_oracle_sql(tiles_rel: str, levels: list[float], tile_size: int = 32)
                         f"FROM cells WHERE {case_expr} = {cs} AND {cond_extra}"
                     )
     body = "\nUNION ALL\n".join(arms)
-    return f"""
-WITH px AS (
+    ctes = f"""px AS (
   SELECT raster_id, band,
          CAST(tile_x AS BIGINT) * {tile_size} + (idx - 1) % tile_w AS gx,
          CAST(tile_y AS BIGINT) * {tile_size} + (idx - 1) // tile_w AS gy,
@@ -247,6 +360,13 @@ WITH px AS (
   )
   WHERE v != nodata
 ),
-cells AS ({cell})
-{body}
-"""
+cells AS ({cell})"""
+    return ctes, body
+
+
+def contour_oracle_sql(tiles_rel: str, levels: list[float], tile_size: int = 32) -> str:
+    """DuckDB oracle for :func:`contour_segments`, generated from the SAME
+    case table: 2x2 corner self-joins, case classification, per-case
+    segment arms UNION ALLed together."""
+    ctes, body = _contour_sql_parts(tiles_rel, levels, tile_size=tile_size)
+    return f"WITH {ctes}\n{body}\n"

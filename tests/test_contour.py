@@ -101,6 +101,25 @@ class TestContour:
             deg[(r.x2, r.y2)] += 1
         assert set(deg.values()) == {2}
 
+    def test_lines_stitching(self, spark):
+        arr = np.zeros((8, 16))
+        arr[3, 3] = 10.0   # one peak in the west tile
+        arr[3, 12] = 10.0  # one peak in the east tile
+        rows = contour.contour_lines(
+            _tile_df(spark, arr, tile=8), levels=[5.0], tile_size=8
+        ).collect()
+        assert len(rows) == 8  # two closed diamonds
+        by_line = {}
+        for r in rows:
+            by_line.setdefault(r.line_id, []).append(r)
+        assert len(by_line) == 2  # two connected components
+        for segs in by_line.values():
+            assert len(segs) == 4
+            # the line id is the min member id (stable canonical pick)
+            assert min(
+                f"{r.raster_id}:{r.band}:0:{r.gy:07d}:{r.gx:07d}:{r.seg}" for r in segs
+            ) == segs[0].line_id
+
     def test_saddle_resolution(self, spark):
         # tl/br high, tr/bl low: center avg 5.5 >= 5 -> SADDLE_HI connection
         arr = np.array([[10.0, 1.0], [1.0, 10.0]])
