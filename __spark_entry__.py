@@ -896,6 +896,20 @@ def q_contour_lines(spark, sf_dir):
     return contour.contour_lines(tiles, levels=_CONTOUR_LEVELS, tile_size=32)
 
 
+_SIEVE_THRESHOLD = 5
+
+
+def q_sieve(spark, sf_dir):
+    """gdal_sieve analog (one deterministic pass): regions under the pixel
+    threshold absorb into their largest 4-connected neighbor (ties -> min
+    region id). Sizes + cross-value adjacency fall out of the polygonize
+    stages; the merge pick is one window over small regions only."""
+    from gdal_common_python_spark.operators import polygonize
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return polygonize.sieve_regions(spark, tiles, threshold=_SIEVE_THRESHOLD, tile_size=32)
+
+
 def q_reclass_regions(spark, sf_dir):
     """Reclassify (16 classes, breaks every 16) THEN polygonize — the
     contour-region composition: class grids feed the connected-component
@@ -1061,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity": q_proximity,
         "contour": q_contour,
         "contour_lines": q_contour_lines,
+        "sieve": q_sieve,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2415,6 +2430,84 @@ GROUP BY 1, 2, 3
 """
 
 
+def _sieve_sql(threshold: int) -> str:
+    """Sieve oracle: the polygonize recursive-CTE labeling extended with
+    per-pixel regions, cross-value 4-adjacency, and the (size DESC, region
+    ASC) merge pick for sub-threshold regions."""
+    return f"""
+WITH RECURSIVE px AS (
+  SELECT raster_id, band, gx, gy, v FROM (
+    SELECT raster_id, band,
+           CAST(tile_x AS BIGINT) * 32 + (idx - 1) % tile_w AS gx,
+           CAST(tile_y AS BIGINT) * 32 + (idx - 1) // tile_w AS gy,
+           v
+    FROM (
+      SELECT raster_id, band, nodata, tile_x, tile_y, tile_w,
+             generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+      FROM {_TILES}
+    )
+    WHERE v != nodata
+  )
+),
+pid AS (SELECT raster_id, band, gx, gy, v, gy * 4294967296 + gx AS pid FROM px),
+adjsame AS (
+  SELECT a.raster_id, a.band, a.pid AS l_id, b.pid AS r_id
+  FROM pid a JOIN pid b
+    ON a.raster_id = b.raster_id AND a.band = b.band AND a.v = b.v
+   AND ((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))
+),
+sym AS (
+  SELECT * FROM adjsame
+  UNION ALL SELECT raster_id, band, r_id, l_id FROM adjsame
+),
+cc AS (
+  SELECT raster_id, band, pid, pid AS label FROM pid
+  UNION
+  SELECT s.raster_id, s.band, s.r_id, cc.label
+  FROM cc JOIN sym s
+    ON s.raster_id = cc.raster_id AND s.band = cc.band AND s.l_id = cc.pid
+),
+pxreg AS (
+  SELECT p.raster_id, p.band, p.gx, p.gy, p.v, c.region
+  FROM pid p JOIN (
+    SELECT raster_id, band, pid, min(label) AS region FROM cc GROUP BY 1, 2, 3
+  ) c ON c.raster_id = p.raster_id AND c.band = p.band AND c.pid = p.pid
+),
+sizes AS (
+  SELECT raster_id, band, region, min(v) AS value,
+         CAST(count(*) AS BIGINT) AS n_pixels
+  FROM pxreg GROUP BY 1, 2, 3
+),
+adj0 AS (
+  SELECT DISTINCT a.raster_id, a.band, a.region AS ra, b.region AS rb
+  FROM pxreg a JOIN pxreg b
+    ON a.raster_id = b.raster_id AND a.band = b.band
+   AND ((b.gx = a.gx + 1 AND b.gy = a.gy) OR (b.gx = a.gx AND b.gy = a.gy + 1))
+   AND a.region != b.region
+),
+adj AS (
+  SELECT * FROM adj0 UNION SELECT raster_id, band, rb, ra FROM adj0
+),
+pick AS (
+  SELECT s.raster_id, s.band, s.region,
+         t.region AS t_region, t.value AS t_value,
+         ROW_NUMBER() OVER (PARTITION BY s.raster_id, s.band, s.region
+                            ORDER BY t.n_pixels DESC, t.region ASC) AS rn
+  FROM sizes s
+  JOIN adj a ON a.raster_id = s.raster_id AND a.band = s.band AND a.ra = s.region
+  JOIN sizes t ON t.raster_id = a.raster_id AND t.band = a.band AND t.region = a.rb
+  WHERE s.n_pixels < {threshold}
+)
+SELECT s.raster_id, s.band, s.region, s.value, s.n_pixels,
+       coalesce(p.t_region, s.region) AS new_region,
+       coalesce(p.t_value, s.value) AS new_value
+FROM sizes s
+LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p
+  ON p.raster_id = s.raster_id AND p.band = s.band AND p.region = s.region
+"""
+
+
+_SQL_SIEVE = _sieve_sql(_SIEVE_THRESHOLD)
 _SQL_POLYGONIZE = _polygonize_sql()
 # searchsorted(breaks, v, 'right') = count of breaks <= v (16 classes)
 _SQL_RECLASS_REGIONS = _polygonize_sql(
@@ -2669,6 +2762,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity": _SQL_PROXIMITY,
         "contour": _SQL_CONTOUR,
         "contour_lines": _SQL_CONTOUR_LINES,
+        "sieve": _SQL_SIEVE,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

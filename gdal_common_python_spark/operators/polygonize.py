@@ -113,17 +113,27 @@ def _tiles_in(tiles: DataFrame) -> DataFrame:
     )
 
 
-def polygonize_regions(
-    spark: SparkSession, tiles: DataFrame, tile_size: int = 32, max_iters: int = 50
-) -> DataFrame:
-    """See module docstring. Returns one row per connected equal-value
-    region across the whole raster."""
+def _labeled_regions(
+    spark: SparkSession,
+    tiles: DataFrame,
+    tile_size: int = 32,
+    max_iters: int = 50,
+    with_adjacency: bool = False,
+):
+    """Shared stages 1-3: per-tile labeling, cross-tile equivalence,
+    min-label propagation. Returns ``(labeled, local)`` where `labeled`
+    maps every LOCAL region to its GLOBAL region id (plus the local
+    summary columns) and `local` is the checkpointed local-pass table.
+    `with_adjacency` additionally emits kind 'a' rows: intra-tile pairs of
+    ADJACENT local regions with different values (for sieve); the second
+    region id rides in the `line` column (schema reuse, see _LOCAL_T)."""
 
     def local_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """ONE local-labeling pass emitting both row kinds (kind 'r' =
-        region summary, 'b' = border pixel) — the combined table is
-        checkpointed below so the union-find runs exactly once per tile,
-        not once per downstream consumer."""
+        """ONE local-labeling pass emitting the row kinds (kind 'r' =
+        region summary, 'b' = border pixel, optional 'a' = intra-tile
+        cross-value adjacency) — the combined table is checkpointed below
+        so the union-find runs exactly once per tile, not once per
+        downstream consumer."""
         cols = [f.name for f in _LOCAL_T.fields]
         for pdf in batches:
             rows = []
@@ -165,6 +175,24 @@ def polygonize_regions(
                 for j in range(w):  # my top/bottom rows
                     emit("H", gy0 - 1, gx0 + j, 1, j, 0)          # top: bottom cell of line gy0-1
                     emit("H", gy0 + h - 1, gx0 + j, 0, j, h - 1)  # bottom: top cell
+                if with_adjacency:
+                    # intra-tile 4-neighbor pairs with DIFFERENT local
+                    # regions (different value by construction) — unique
+                    # sorted pairs; second id rides in the `line` column
+                    prs = []
+                    for u, v in (
+                        (lab[:, :-1].ravel(), lab[:, 1:].ravel()),
+                        (lab[:-1, :].ravel(), lab[1:, :].ravel()),
+                    ):
+                        m = (u >= 0) & (v >= 0) & (u != v)
+                        if m.any():
+                            prs.append(np.stack([u[m], v[m]], axis=1))
+                    if prs:
+                        for aa, bb in np.unique(np.sort(np.concatenate(prs), axis=1), axis=0):
+                            rows.append(
+                                (rid, band, "a", int(aa), None, None, None,
+                                 None, None, None, None, int(bb), None, None)
+                            )
             yield pd.DataFrame(rows, columns=cols)
 
     from .graph import _ensure_checkpoint_dir
@@ -221,18 +249,119 @@ def polygonize_regions(
     comp = min_label_components(spark, endpoints, ep, id_col="id", max_iters=max_iters)
     joined = regp.join(comp, (F.col("rlocal") + salt) == F.col("id"), "left")
     component = F.coalesce(F.col("component"), F.col("rlocal") + salt)
-    return (
-        joined.groupBy(
-            "raster_id",
-            "band",
-            (component % F.lit(1 << 52)).alias("region"),
+    labeled = joined.select(
+        "raster_id", "band", "rlocal", "value", "n_pixels",
+        "min_gx", "min_gy", "max_gx", "max_gy",
+        (component % F.lit(1 << 52)).alias("region"),
+    )
+    return labeled, local
+
+
+def polygonize_regions(
+    spark: SparkSession, tiles: DataFrame, tile_size: int = 32, max_iters: int = 50
+) -> DataFrame:
+    """See module docstring. Returns one row per connected equal-value
+    region across the whole raster."""
+    labeled, _ = _labeled_regions(spark, tiles, tile_size=tile_size, max_iters=max_iters)
+    return labeled.groupBy("raster_id", "band", "region").agg(
+        F.min("value").alias("value"),
+        F.sum("n_pixels").cast("long").alias("n_pixels"),
+        F.min("min_gx").alias("min_gx"),
+        F.min("min_gy").alias("min_gy"),
+        F.max("max_gx").alias("max_gx"),
+        F.max("max_gy").alias("max_gy"),
+    )
+
+
+def sieve_regions(
+    spark: SparkSession,
+    tiles: DataFrame,
+    threshold: int,
+    tile_size: int = 32,
+    max_iters: int = 50,
+) -> DataFrame:
+    """gdal_sieve analog, ONE deterministic pass: every region smaller than
+    `threshold` pixels is absorbed by its largest 4-connected neighbor
+    (ties -> smallest neighbor region id) ->
+    (raster_id, band, region, value, n_pixels, new_region, new_value).
+
+    One pass means an absorbed region's pixels take the neighbor's CURRENT
+    value; chains of small regions may need another pass (gdal_sieve's
+    in-order sweep has the same property) — rerunning on the rewritten
+    raster converges. Semantics are order-free and hash-exact: the merge
+    target is a pure (size DESC, region id ASC) argmax.
+
+    Distributed shape: region sizes and the cross-value adjacency both come
+    out of the polygonize stages (adjacency = intra-tile pairs from the
+    local pass + the same border-pixel shuffle WITHOUT the value-equality
+    key — perimeter-scale); the argmax is one window over small regions
+    only."""
+    labeled, local = _labeled_regions(
+        spark, tiles, tile_size=tile_size, max_iters=max_iters, with_adjacency=True
+    )
+    mapping = labeled.select("raster_id", "band", "rlocal", "region")
+    sizes = labeled.groupBy("raster_id", "band", "region").agg(
+        F.min("value").alias("value"),
+        F.sum("n_pixels").cast("long").alias("n_pixels"),
+    )
+    # intra-tile cross-value pairs (kind 'a': partner id rides in `line`)
+    intra = local.filter(F.col("kind") == "a").select(
+        "raster_id", "band",
+        F.col("rlocal").alias("l_loc"), F.col("line").alias("r_loc"),
+    )
+    # cross-tile pairs: the border join WITHOUT value equality
+    bor = local.filter(F.col("kind") == "b").select(
+        "raster_id", "band", "axis", "line", "pos", "side", "rlocal"
+    )
+    cross = (
+        bor.filter(F.col("side") == 0)
+        .select("raster_id", "band", "axis", "line", "pos", F.col("rlocal").alias("l_loc"))
+        .join(
+            bor.filter(F.col("side") == 1).select(
+                "raster_id", "band", "axis", "line", "pos", F.col("rlocal").alias("r_loc")
+            ),
+            ["raster_id", "band", "axis", "line", "pos"],
         )
-        .agg(
-            F.min("value").alias("value"),
-            F.sum("n_pixels").cast("long").alias("n_pixels"),
-            F.min("min_gx").alias("min_gx"),
-            F.min("min_gy").alias("min_gy"),
-            F.max("max_gx").alias("max_gx"),
-            F.max("max_gy").alias("max_gy"),
+        .select("raster_id", "band", "l_loc", "r_loc")
+    )
+    pairs = intra.unionByName(cross)
+    ml = mapping.withColumnsRenamed({"rlocal": "l_loc", "region": "ra"})
+    mr = mapping.withColumnsRenamed({"rlocal": "r_loc", "region": "rb"})
+    adj = (
+        pairs.join(ml, ["raster_id", "band", "l_loc"])
+        .join(mr, ["raster_id", "band", "r_loc"])
+        .where(F.col("ra") != F.col("rb"))
+        .select("raster_id", "band", "ra", "rb")
+    )
+    adj = adj.unionByName(
+        adj.select("raster_id", "band", F.col("rb").alias("ra"), F.col("ra").alias("rb"))
+    ).distinct()
+    small = sizes.where(F.col("n_pixels") < threshold).select(
+        "raster_id", "band", F.col("region").alias("ra")
+    )
+    nb = (
+        small.join(adj, ["raster_id", "band", "ra"])
+        .join(
+            sizes.select(
+                "raster_id", "band", F.col("region").alias("rb"),
+                F.col("n_pixels").alias("nb_pixels"), F.col("value").alias("nb_value"),
+            ),
+            ["raster_id", "band", "rb"],
         )
+    )
+    w = Window.partitionBy("raster_id", "band", "ra").orderBy(
+        F.col("nb_pixels").desc(), F.col("rb").asc()
+    )
+    target = (
+        nb.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "raster_id", "band", F.col("ra").alias("region"),
+            F.col("rb").alias("t_region"), F.col("nb_value").alias("t_value"),
+        )
+    )
+    return sizes.join(target, ["raster_id", "band", "region"], "left").select(
+        "raster_id", "band", "region", "value", "n_pixels",
+        F.coalesce("t_region", "region").alias("new_region"),
+        F.coalesce("t_value", "value").alias("new_value"),
     )
