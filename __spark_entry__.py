@@ -896,6 +896,34 @@ def q_contour_lines(spark, sf_dir):
     return contour.contour_lines(tiles, levels=_CONTOUR_LEVELS, tile_size=32)
 
 
+_RELIEF_RAMP = [
+    (0.0, 0, 0, 128),
+    (64.0, 0, 128, 0),
+    (128.0, 240, 230, 140),
+    (192.0, 139, 90, 43),
+    (255.0, 255, 255, 255),
+]
+
+
+def q_color_relief(spark, sf_dir):
+    """gdaldem color-relief analog: piecewise-linear ramp as one chained
+    CASE of driver literals (the hillshade light-literal discipline);
+    floor(x+0.5) channel rounding — pure codegen, zero shuffle."""
+    from gdal_common_python_spark.operators import rasterinfo
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return rasterinfo.color_relief(tiles, _RELIEF_RAMP, tile_size=32)
+
+
+def q_raster_histogram(spark, sf_dir):
+    """gdalinfo -hist analog: fixed-width bucket counts per (raster, band)
+    in one map-side-combined groupBy — shuffle ∝ rasters × buckets."""
+    from gdal_common_python_spark.operators import rasterinfo
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return rasterinfo.raster_histogram(tiles, lo=0.0, hi=256.0, n_buckets=16, tile_size=32)
+
+
 _SIEVE_THRESHOLD = 5
 
 
@@ -1076,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour": q_contour,
         "contour_lines": q_contour_lines,
         "sieve": q_sieve,
+        "color_relief": q_color_relief,
+        "raster_histogram": q_raster_histogram,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2327,6 +2357,15 @@ from gdal_common_python_spark.operators.proximity import proximity_oracle_sql as
 _SQL_PROXIMITY = _prox_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
 del _prox_sql
 
+from gdal_common_python_spark.operators.rasterinfo import (
+    color_relief_oracle_sql as _cr_sql,
+    histogram_oracle_sql as _hist_sql,
+)
+
+_SQL_COLOR_RELIEF = _cr_sql(_TILES, _RELIEF_RAMP)
+_SQL_RASTER_HISTOGRAM = _hist_sql(_TILES, 0.0, 256.0, 16)
+del _cr_sql, _hist_sql
+
 from gdal_common_python_spark.operators.contour import (
     contour_oracle_sql as _cont_sql,
     contour_lines_oracle_sql as _cline_sql,
@@ -2763,6 +2802,8 @@ def oracle_sql() -> dict[str, str]:
         "contour": _SQL_CONTOUR,
         "contour_lines": _SQL_CONTOUR_LINES,
         "sieve": _SQL_SIEVE,
+        "color_relief": _SQL_COLOR_RELIEF,
+        "raster_histogram": _SQL_RASTER_HISTOGRAM,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

@@ -133,6 +133,8 @@ def run_queries(spark, sdir):
         "raster_sample",
         "proximity",
         "contour",
+        "color_relief",
+        "raster_histogram",
         "polygonize",
         "geohash",
         "track_stats",

@@ -1,0 +1,138 @@
+"""Raster-level summaries and rendering: histogram (gdalinfo -hist analog)
+and color relief (gdaldem color-relief analog), Spark-first.
+
+No reference analog (reference raster ops stop at zonal/mosaic). Both are
+100 % native Column expressions over one posexplode of the tile pixel
+arrays — zero Python, zero extra shuffle beyond the histogram's single
+map-side-combined aggregation. The color ramp is driver-side literals, so
+the generated oracle SQL shares the identical CASE tree (the hillshade
+light-literal discipline); channel rounding is floor(x + 0.5) — pure IEEE,
+never an engine round() whose half-even/half-up convention could differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def explode_pixels(tiles: DataFrame, tile_size: int = 32) -> DataFrame:
+    """(raster_id, band, gx, gy, v) for every non-nodata pixel — native
+    posexplode, no Python."""
+    return (
+        tiles.select(
+            "raster_id", "band", "nodata", "tile_x", "tile_y", "tile_w",
+            F.posexplode("pixels").alias("idx", "v"),
+        )
+        .where(F.col("v") != F.col("nodata"))
+        .select(
+            "raster_id", "band",
+            (F.col("tile_x").cast("long") * tile_size + F.col("idx") % F.col("tile_w")).alias("gx"),
+            (F.col("tile_y").cast("long") * tile_size + (F.col("idx") / F.col("tile_w")).cast("long")).alias("gy"),
+            "v",
+        )
+    )
+
+
+def raster_histogram(
+    tiles: DataFrame, lo: float, hi: float, n_buckets: int, tile_size: int = 32
+) -> DataFrame:
+    """gdalinfo -hist analog: fixed-width bucket counts per (raster, band)
+    over [lo, hi) -> (raster_id, band, bucket, n). Out-of-range pixels are
+    excluded (gdalinfo's -hist includes them in edge buckets only with
+    explicit min/max flags; documented divergence). One map-side-combined
+    groupBy — shuffle ∝ rasters × buckets, never pixels."""
+    width = (float(hi) - float(lo)) / int(n_buckets)
+    px = explode_pixels(tiles, tile_size)
+    return (
+        px.where((F.col("v") >= float(lo)) & (F.col("v") < float(hi)))
+        .groupBy(
+            "raster_id", "band",
+            F.floor((F.col("v") - F.lit(float(lo))) / F.lit(width)).cast("int").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def histogram_oracle_sql(
+    tiles_rel: str, lo: float, hi: float, n_buckets: int, tile_size: int = 32
+) -> str:
+    width = (float(hi) - float(lo)) / int(n_buckets)
+    return f"""
+SELECT raster_id, band,
+       CAST(floor((v - {float(lo)!r}) / {width!r}) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT raster_id, band, nodata, unnest(pixels) AS v FROM {tiles_rel}
+)
+WHERE v != nodata AND v >= {float(lo)!r} AND v < {float(hi)!r}
+GROUP BY 1, 2, 3
+"""
+
+
+Ramp = list[tuple[float, int, int, int]]
+
+
+def _channel_expr(ramp: Ramp, ch: int):
+    """Piecewise-linear color channel as a chained CASE of driver literals:
+    below the first entry -> its color, above the last -> its color,
+    else floor(c0 + (v - e0)/(e1 - e0) * (c1 - c0) + 0.5)."""
+    v = F.col("v")
+    expr = F.lit(int(ramp[-1][1 + ch]))
+    for (e0, *c0), (e1, *c1) in zip(ramp[:-1], ramp[1:]):
+        a, b = int(c0[ch]), int(c1[ch])
+        interp = F.floor(
+            F.lit(float(a))
+            + (v - F.lit(float(e0))) / F.lit(float(e1) - float(e0)) * F.lit(float(b - a))
+            + F.lit(0.5)
+        )
+        expr = F.when(v < F.lit(float(e1)), interp).otherwise(expr)
+    return F.when(v <= F.lit(float(ramp[0][0])), F.lit(int(ramp[0][1 + ch]))).otherwise(expr)
+
+
+def color_relief(tiles: DataFrame, ramp: Ramp, tile_size: int = 32) -> DataFrame:
+    """gdaldem color-relief analog -> (raster_id, band, gx, gy, r, g, b).
+    `ramp` = [(elevation, r, g, b), ...] ascending (gdaldem's color text
+    file). Pure codegen projection — no shuffle at all."""
+    if sorted(e for e, *_ in ramp) != [e for e, *_ in ramp]:
+        raise ValueError("ramp elevations must be ascending")
+    px = explode_pixels(tiles, tile_size)
+    return px.select(
+        "raster_id", "band", "gx", "gy",
+        _channel_expr(ramp, 0).cast("long").alias("r"),
+        _channel_expr(ramp, 1).cast("long").alias("g"),
+        _channel_expr(ramp, 2).cast("long").alias("b"),
+    )
+
+
+def color_relief_oracle_sql(tiles_rel: str, ramp: Ramp, tile_size: int = 32) -> str:
+    """Oracle generated from the SAME ramp literals and CASE nesting as
+    :func:`_channel_expr`."""
+
+    def channel(ch: int) -> str:
+        expr = str(int(ramp[-1][1 + ch]))
+        for (e0, *c0), (e1, *c1) in zip(ramp[:-1], ramp[1:]):
+            a, b = int(c0[ch]), int(c1[ch])
+            interp = (
+                f"floor({float(a)!r} + (v - {float(e0)!r}) / {float(e1) - float(e0)!r}"
+                f" * {float(b - a)!r} + 0.5)"
+            )
+            expr = f"CASE WHEN v < {float(e1)!r} THEN {interp} ELSE {expr} END"
+        return (
+            f"CAST(CASE WHEN v <= {float(ramp[0][0])!r} THEN {int(ramp[0][1 + ch])} "
+            f"ELSE {expr} END AS BIGINT)"
+        )
+
+    return f"""
+SELECT raster_id, band,
+       CAST(tile_x AS BIGINT) * {tile_size} + (idx - 1) % tile_w AS gx,
+       CAST(tile_y AS BIGINT) * {tile_size} + (idx - 1) // tile_w AS gy,
+       {channel(0)} AS r,
+       {channel(1)} AS g,
+       {channel(2)} AS b
+FROM (
+  SELECT raster_id, band, nodata, tile_x, tile_y, tile_w,
+         generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+  FROM {tiles_rel}
+)
+WHERE v != nodata
+"""
