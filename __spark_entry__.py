@@ -924,6 +924,16 @@ def q_raster_histogram(spark, sf_dir):
     return rasterinfo.raster_histogram(tiles, lo=0.0, hi=256.0, n_buckets=16, tile_size=32)
 
 
+def q_centroids(spark, sf_dir):
+    """OGR Centroid() analog under the integer-quantization discipline:
+    per-edge shoelace terms floor-quantized to int64 before summing
+    (order-independent), one correctly-rounded division at the end."""
+    from gdal_common_python_spark.functions import measures
+
+    zones = _synth(spark, sf_dir, "zones")
+    return measures.centroid(zones).select("zone_id", "centroid_x", "centroid_y")
+
+
 _SIEVE_THRESHOLD = 5
 
 
@@ -1106,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sieve": q_sieve,
         "color_relief": q_color_relief,
         "raster_histogram": q_raster_histogram,
+        "centroids": q_centroids,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2357,6 +2368,11 @@ from gdal_common_python_spark.operators.proximity import proximity_oracle_sql as
 _SQL_PROXIMITY = _prox_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
 del _prox_sql
 
+from gdal_common_python_spark.functions.measures import centroid_oracle_sql as _cent_sql
+
+_SQL_CENTROIDS = _cent_sql(_ZONES)
+del _cent_sql
+
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
     histogram_oracle_sql as _hist_sql,
@@ -2804,6 +2820,7 @@ def oracle_sql() -> dict[str, str]:
         "sieve": _SQL_SIEVE,
         "color_relief": _SQL_COLOR_RELIEF,
         "raster_histogram": _SQL_RASTER_HISTOGRAM,
+        "centroids": _SQL_CENTROIDS,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

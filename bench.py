@@ -135,6 +135,7 @@ def run_queries(spark, sdir):
         "contour",
         "color_relief",
         "raster_histogram",
+        "centroids",
         "polygonize",
         "geohash",
         "track_stats",
