@@ -934,6 +934,16 @@ def q_centroids(spark, sf_dir):
     return measures.centroid(zones).select("zone_id", "centroid_x", "centroid_y")
 
 
+def q_convex_hull(spark, sf_dir):
+    """Distributed convex hull: per-partition monotone chain, then one
+    chain over the tiny local-hull union — collect-free, movement ∝ hull
+    sizes. Strictly-convex vertex set; identical IEEE cross-product sign
+    decisions make it hash-exact vs the strict-side edge oracle."""
+    from gdal_common_python_spark.operators import hull
+
+    return hull.convex_hull(_synth(spark, sf_dir, "near_points"))
+
+
 _SIEVE_THRESHOLD = 5
 
 
@@ -1117,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "color_relief": q_color_relief,
         "raster_histogram": q_raster_histogram,
         "centroids": q_centroids,
+        "convex_hull": q_convex_hull,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2373,6 +2384,11 @@ from gdal_common_python_spark.functions.measures import centroid_oracle_sql as _
 _SQL_CENTROIDS = _cent_sql(_ZONES)
 del _cent_sql
 
+from gdal_common_python_spark.operators.hull import convex_hull_oracle_sql as _hull_sql
+
+_SQL_CONVEX_HULL = _hull_sql(_POINTS)
+del _hull_sql
+
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
     histogram_oracle_sql as _hist_sql,
@@ -2821,6 +2837,7 @@ def oracle_sql() -> dict[str, str]:
         "color_relief": _SQL_COLOR_RELIEF,
         "raster_histogram": _SQL_RASTER_HISTOGRAM,
         "centroids": _SQL_CENTROIDS,
+        "convex_hull": _SQL_CONVEX_HULL,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

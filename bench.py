@@ -136,6 +136,7 @@ def run_queries(spark, sdir):
         "color_relief",
         "raster_histogram",
         "centroids",
+        "convex_hull",
         "polygonize",
         "geohash",
         "track_stats",
