@@ -934,6 +934,15 @@ def q_centroids(spark, sf_dir):
     return measures.centroid(zones).select("zone_id", "centroid_x", "centroid_y")
 
 
+def q_raster_calc(spark, sf_dir):
+    """gdal_calc analog: tile-key equi-join of two same-grid bands + one
+    native zip_with — all arithmetic JVM-side, nodata -> NULL."""
+    from gdal_common_python_spark.operators import rasterinfo
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return rasterinfo.raster_calc(tiles, a=("r0", 1), b=("r1", 1), op="sub", tile_size=32)
+
+
 def q_convex_hull(spark, sf_dir):
     """Distributed convex hull: per-partition monotone chain, then one
     chain over the tiny local-hull union — collect-free, movement ∝ hull
@@ -1128,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_histogram": q_raster_histogram,
         "centroids": q_centroids,
         "convex_hull": q_convex_hull,
+        "raster_calc": q_raster_calc,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2392,11 +2402,13 @@ del _hull_sql
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
     histogram_oracle_sql as _hist_sql,
+    raster_calc_oracle_sql as _calc_sql,
 )
 
 _SQL_COLOR_RELIEF = _cr_sql(_TILES, _RELIEF_RAMP)
 _SQL_RASTER_HISTOGRAM = _hist_sql(_TILES, 0.0, 256.0, 16)
-del _cr_sql, _hist_sql
+_SQL_RASTER_CALC = _calc_sql(_TILES, ("r0", 1), ("r1", 1), "sub")
+del _cr_sql, _hist_sql, _calc_sql
 
 from gdal_common_python_spark.operators.contour import (
     contour_oracle_sql as _cont_sql,
@@ -2838,6 +2850,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_histogram": _SQL_RASTER_HISTOGRAM,
         "centroids": _SQL_CENTROIDS,
         "convex_hull": _SQL_CONVEX_HULL,
+        "raster_calc": _SQL_RASTER_CALC,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

@@ -137,6 +137,7 @@ def run_queries(spark, sdir):
         "raster_histogram",
         "centroids",
         "convex_hull",
+        "raster_calc",
         "polygonize",
         "geohash",
         "track_stats",

@@ -69,6 +69,99 @@ GROUP BY 1, 2, 3
 """
 
 
+_CALC_OPS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "min": lambda a, b: F.least(a, b),
+    "max": lambda a, b: F.greatest(a, b),
+}
+
+
+def raster_calc(
+    tiles: DataFrame,
+    a: tuple[str, int],
+    b: tuple[str, int],
+    op: str = "sub",
+    tile_size: int = 32,
+) -> DataFrame:
+    """gdal_calc analog for two same-grid bands ->
+    (gx, gy, value) with NULL where either side is nodata.
+
+    Plan: tile-key equi-join of the two band selections (co-partitioned on
+    the same key at cluster scale — a tile meets exactly its twin) and one
+    native `zip_with` over the pixel arrays — the whole element-wise
+    arithmetic stays JVM-side; posexplode only to emit the gate's pixel
+    rows (a tile-shaped writer would skip it). Same-grid is a contract
+    (gdal_calc's own precondition); mixed grids compose with
+    `operators.resample` first, as mosaic does."""
+    if op not in _CALC_OPS:
+        raise ValueError(f"op must be one of {sorted(_CALC_OPS)}, got {op!r}")
+    fn = _CALC_OPS[op]
+
+    def side(rid: str, band: int, tag: str) -> DataFrame:
+        return tiles.where(
+            (F.col("raster_id") == rid) & (F.col("band") == band)
+        ).select(
+            "tile_x", "tile_y", "tile_w",
+            F.col("nodata").alias(f"nd_{tag}"),
+            F.col("pixels").alias(f"px_{tag}"),
+        )
+
+    j = side(a[0], a[1], "a").join(side(b[0], b[1], "b"), ["tile_x", "tile_y", "tile_w"])
+    out = j.withColumn(
+        "px_o",
+        F.zip_with(
+            "px_a", "px_b",
+            lambda x, y: F.when(
+                (x == F.col("nd_a")) | (y == F.col("nd_b")), F.lit(None)
+            ).otherwise(fn(x, y)),
+        ),
+    )
+    return out.select(
+        "tile_x", "tile_y", "tile_w", F.posexplode("px_o").alias("idx", "value")
+    ).select(
+        (F.col("tile_x").cast("long") * tile_size + F.col("idx") % F.col("tile_w")).alias("gx"),
+        (F.col("tile_y").cast("long") * tile_size + (F.col("idx") / F.col("tile_w")).cast("long")).alias("gy"),
+        "value",
+    )
+
+
+_CALC_SQL_OPS = {
+    "add": "va + vb",
+    "sub": "va - vb",
+    "mul": "va * vb",
+    "min": "least(va, vb)",
+    "max": "greatest(va, vb)",
+}
+
+
+def raster_calc_oracle_sql(
+    tiles_rel: str, a: tuple[str, int], b: tuple[str, int], op: str = "sub",
+    tile_size: int = 32,
+) -> str:
+    expr = _CALC_SQL_OPS[op]
+    px = """
+  SELECT CAST(tile_x AS BIGINT) * {ts} + (idx - 1) % tile_w AS gx,
+         CAST(tile_y AS BIGINT) * {ts} + (idx - 1) // tile_w AS gy,
+         v, nodata
+  FROM (
+    SELECT tile_x, tile_y, tile_w, nodata,
+           generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+    FROM {rel} WHERE raster_id = '{rid}' AND band = {band}
+  )
+"""
+    pa = px.format(ts=tile_size, rel=tiles_rel, rid=a[0], band=a[1])
+    pb = px.format(ts=tile_size, rel=tiles_rel, rid=b[0], band=b[1])
+    return f"""
+WITH pa AS ({pa}), pb AS ({pb})
+SELECT pa.gx, pa.gy,
+       CASE WHEN pa.v = pa.nodata OR pb.v = pb.nodata THEN NULL
+            ELSE {expr.replace("va", "pa.v").replace("vb", "pb.v")} END AS value
+FROM pa JOIN pb ON pa.gx = pb.gx AND pa.gy = pb.gy
+"""
+
+
 Ramp = list[tuple[float, int, int, int]]
 
 

@@ -55,6 +55,33 @@ class TestRasterInfo:
         assert rows[2] == (100, 50, 25)   # midpoint interpolation
         assert rows[3] == (200, 100, 50)  # above last entry: clamp
 
+    def test_raster_calc_ops_and_nodata(self, spark):
+        a = np.array([[1.0, 2.0], [NODATA, 4.0]])
+        b = np.array([[10.0, NODATA], [30.0, 40.0]])
+        h, w = a.shape
+        rows = [
+            dict(raster_id=rid, band=1, nodata=NODATA, tile_x=0, tile_y=0,
+                 tile_w=w, tile_h=h, pixels=arr.ravel().tolist())
+            for rid, arr in (("A", a), ("B", b))
+        ]
+        tiles = spark.createDataFrame(pd.DataFrame(rows))
+        got = {
+            (r.gx, r.gy): r.value
+            for r in rasterinfo.raster_calc(
+                tiles, a=("A", 1), b=("B", 1), op="add", tile_size=4
+            ).collect()
+        }
+        assert got == {(0, 0): 11.0, (1, 0): None, (0, 1): None, (1, 1): 44.0}
+        mx = {
+            (r.gx, r.gy): r.value
+            for r in rasterinfo.raster_calc(
+                tiles, a=("A", 1), b=("B", 1), op="max", tile_size=4
+            ).collect()
+        }
+        assert mx[(0, 0)] == 10.0 and mx[(1, 1)] == 40.0
+        with pytest.raises(ValueError):
+            rasterinfo.raster_calc(tiles, a=("A", 1), b=("B", 1), op="xor")
+
     def test_color_relief_rejects_unsorted(self, spark):
         with pytest.raises(ValueError):
             rasterinfo.color_relief(
