@@ -934,6 +934,14 @@ def q_centroids(spark, sf_dir):
     return measures.centroid(zones).select("zone_id", "centroid_x", "centroid_y")
 
 
+def q_keywords(spark, sf_dir):
+    """Integer tf-idf keywords: floor-log2 idf bits (exact in any IEEE
+    engine), integer scores, token-ASC tie-break — fully deterministic
+    ranking; vocab broadcast is top-k-capped."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.keywords_tfidf(docs, top_k=5, vocab_top_k=1 << 15)
+
+
 def q_raster_calc(spark, sf_dir):
     """gdal_calc analog: tile-key equi-join of two same-grid bands + one
     native zip_with — all arithmetic JVM-side, nodata -> NULL."""
@@ -1138,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroids": q_centroids,
         "convex_hull": q_convex_hull,
         "raster_calc": q_raster_calc,
+        "keywords": q_keywords,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2315,6 +2324,35 @@ ORDER BY n_occurrences DESC, token ASC
 LIMIT 200
 """
 
+_SQL_KEYWORDS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok2 AS (SELECT * FROM tok WHERE token != ''),
+vocab AS (
+  SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY token
+  ORDER BY count(*) DESC, token ASC LIMIT 32768
+),
+nd AS (SELECT CAST(floor(log2(count(*))) AS BIGINT) AS b FROM documents),
+dt AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+scored AS (
+  SELECT dt.doc_id, dt.token, dt.tf,
+         nd.b - CAST(floor(log2(coalesce(v.df, 1))) AS BIGINT) AS idf_bits
+  FROM dt LEFT JOIN vocab v USING (token), nd
+),
+ranked AS (
+  SELECT doc_id, token, tf, idf_bits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tf * idf_bits DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, token,
+       CAST(tf AS BIGINT) AS tf, idf_bits,
+       CAST(tf * idf_bits AS BIGINT) AS score
+FROM ranked WHERE rank <= 5
+"""
+
 _SQL_SURPRISAL = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
@@ -2851,6 +2889,7 @@ def oracle_sql() -> dict[str, str]:
         "centroids": _SQL_CENTROIDS,
         "convex_hull": _SQL_CONVEX_HULL,
         "raster_calc": _SQL_RASTER_CALC,
+        "keywords": _SQL_KEYWORDS,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

@@ -147,6 +147,7 @@ def run_queries(spark, sdir):
         "reclass_regions",
         "bigram_surprisal",
         "vocabulary",
+        "keywords",
         "surprisal",
         "stratified_split",
     ]

@@ -216,6 +216,65 @@ def vocabulary(
     return vocab
 
 
+def keywords_tfidf(
+    docs: DataFrame,
+    top_k: int = 5,
+    vocab_top_k: int = 1 << 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer tf-idf keyword extraction:
+    (doc_id, rank, token, tf, idf_bits, score) — the `top_k` tokens per
+    document by score = tf * idf_bits, with
+
+        idf_bits = floor(log2(n_docs_total)) - floor(log2(df(token)))
+
+    (the surprisal_bits quantization discipline: floor-log2 on integers is
+    exact in any IEEE engine, products/sums are integer, so ranking is
+    fully deterministic; ties break on token ASC). Tokens outside the
+    capped vocabulary score df = 1 — maximum idf, which is what you want
+    from rare-term keywords. Stopwords self-select out: df ≈ N gives
+    idf_bits 0.
+
+    Scale shape: vocabulary() [one shuffle, map-side combined] ->
+    per-doc token counts [shuffle on (doc, token)] -> broadcast-join the
+    capped vocab -> ONE window per doc_id for the top-k."""
+    from pyspark.sql.window import Window
+
+    vocab = vocabulary(docs, top_k=vocab_top_k, text_col=text_col)
+    n_docs = docs.count() or 1
+    nd_bits = int(n_docs).bit_length() - 1  # floor(log2(n_docs))
+    doc_tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        F.lit(nd_bits).cast("long")
+        - F.floor(F.log2(F.coalesce("n_docs", F.lit(1)))).cast("long")
+    )
+    scored = doc_tok.join(
+        F.broadcast(vocab.select("token", "n_docs")), "token", "left"
+    ).select("doc_id", "token", "tf", idf.alias("idf_bits"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.col("idf_bits")).desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "doc_id", "rank", "token",
+            F.col("tf").cast("long").alias("tf"),
+            "idf_bits",
+            (F.col("tf") * F.col("idf_bits")).cast("long").alias("score"),
+        )
+    )
+
+
 def surprisal_bits(
     docs: DataFrame,
     vocab_top_k: int = 1 << 15,

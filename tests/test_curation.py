@@ -147,3 +147,42 @@ class TestProfileTable:
         df = spark.createDataFrame(pd.DataFrame({"a": list(range(100))}))
         r = profile_table(df, approx=True).collect()[0]
         assert abs(r.n_distinct - 100) <= 5  # HLL tolerance
+
+
+class TestKeywords:
+    def test_tfidf_picks_rare_terms(self, spark):
+        import pandas as pd
+        from gdal_common_python_spark.operators.text import keywords_tfidf
+
+        # 'the' appears in every doc (idf 0); each doc has one unique term
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    dict(doc_id=1, text="the the the zebra"),
+                    dict(doc_id=2, text="the quasar the"),
+                    dict(doc_id=3, text="the the marmot"),
+                    dict(doc_id=4, text="the the the the"),
+                ]
+            )
+        )
+        rows = keywords_tfidf(docs, top_k=1).collect()
+        got = {r.doc_id: (r.token, r.idf_bits, r.score) for r in rows}
+        # floor(log2(4 docs)) = 2; unique terms have df=1 -> idf_bits 2
+        assert got[1] == ("zebra", 2, 2)
+        assert got[2] == ("quasar", 2, 2)
+        assert got[3] == ("marmot", 2, 2)
+        # doc 4 has only the stopword: idf_bits 0, score 0, token tie-break
+        assert got[4] == ("the", 0, 0)
+
+    def test_rank_determinism_under_partitioning(self, spark):
+        import pandas as pd
+        from gdal_common_python_spark.operators.text import keywords_tfidf
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [dict(doc_id=i, text=f"alpha beta w{i} w{i} common") for i in range(20)]
+            )
+        )
+        a = sorted(map(tuple, keywords_tfidf(docs, top_k=3).collect()))
+        b = sorted(map(tuple, keywords_tfidf(docs.repartition(11), top_k=3).collect()))
+        assert a == b
