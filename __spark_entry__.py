@@ -942,6 +942,16 @@ def q_keywords(spark, sf_dir):
     return text_ops.keywords_tfidf(docs, top_k=5, vocab_top_k=1 << 15)
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact distributed quantiles via count-histogram: shuffle ∝ distinct
+    values per group, never rows; nearest-rank picks are deterministic and
+    hash-exact (identical IEEE ceil both engines)."""
+    from gdal_common_python_spark.operators import quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantiles.exact_quantiles(docs, ["lang"], "n_chars", [0.5, 0.9, 0.99])
+
+
 def q_raster_calc(spark, sf_dir):
     """gdal_calc analog: tile-key equi-join of two same-grid bands + one
     native zip_with — all arithmetic JVM-side, nodata -> NULL."""
@@ -1147,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "raster_calc": q_raster_calc,
         "keywords": q_keywords,
+        "length_quantiles": q_length_quantiles,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2437,6 +2448,13 @@ from gdal_common_python_spark.operators.hull import convex_hull_oracle_sql as _h
 _SQL_CONVEX_HULL = _hull_sql(_POINTS)
 del _hull_sql
 
+from gdal_common_python_spark.operators.quantiles import (
+    exact_quantiles_oracle_sql as _q_sql,
+)
+
+_SQL_LENGTH_QUANTILES = _q_sql("documents", ["lang"], "n_chars", [0.5, 0.9, 0.99])
+del _q_sql
+
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
     histogram_oracle_sql as _hist_sql,
@@ -2890,6 +2908,7 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull": _SQL_CONVEX_HULL,
         "raster_calc": _SQL_RASTER_CALC,
         "keywords": _SQL_KEYWORDS,
+        "length_quantiles": _SQL_LENGTH_QUANTILES,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

@@ -148,6 +148,7 @@ def run_queries(spark, sdir):
         "bigram_surprisal",
         "vocabulary",
         "keywords",
+        "length_quantiles",
         "surprisal",
         "stratified_split",
     ]
