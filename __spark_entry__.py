@@ -547,6 +547,13 @@ def q_embedding_topk(spark, sf_dir):
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization — native HOFs only, zero
+    shuffle; floor(x+0.5) + identical float->double casts keep it
+    hash-exact."""
+    return similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup over the synthesized planted-cluster table
     (driver embeddings are uniform-random: max pairwise cos ~0.51, so a
@@ -1158,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_calc": q_raster_calc,
         "keywords": q_keywords,
         "length_quantiles": q_length_quantiles,
+        "quantize_int8": q_quantize_int8,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2455,6 +2463,13 @@ from gdal_common_python_spark.operators.quantiles import (
 _SQL_LENGTH_QUANTILES = _q_sql("documents", ["lang"], "n_chars", [0.5, 0.9, 0.99])
 del _q_sql
 
+from gdal_common_python_spark.operators.similarity import (
+    quantize_int8_oracle_sql as _qi8_sql,
+)
+
+_SQL_QUANTIZE_INT8 = _qi8_sql("embeddings")
+del _qi8_sql
+
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
     histogram_oracle_sql as _hist_sql,
@@ -2909,6 +2924,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_calc": _SQL_RASTER_CALC,
         "keywords": _SQL_KEYWORDS,
         "length_quantiles": _SQL_LENGTH_QUANTILES,
+        "quantize_int8": _SQL_QUANTIZE_INT8,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,

@@ -149,6 +149,7 @@ def run_queries(spark, sdir):
         "vocabulary",
         "keywords",
         "length_quantiles",
+        "quantize_int8",
         "surprisal",
         "stratified_split",
     ]

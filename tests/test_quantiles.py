@@ -39,3 +39,36 @@ class TestQuantiles:
         assert tuple(a) == tuple(b)
         assert a.n == 5  # null excluded
         assert a.q_0_5 == 2 and a.q_0_99 == 100
+
+
+class TestQuantizeInt8:
+    def test_roundtrip_and_range(self, spark):
+        import numpy as np
+        import pandas as pd
+        from gdal_common_python_spark.operators.similarity import quantize_int8
+
+        rng = np.random.default_rng(58)
+        vecs = [rng.normal(size=16).astype(np.float32) for _ in range(20)]
+        vecs.append(np.zeros(16, dtype=np.float32))  # all-zero vector
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [dict(vec_id=i, embedding=v.tolist()) for i, v in enumerate(vecs)]
+            )
+        )
+        rows = quantize_int8(df).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.vec_id, {})[r.dim] = (r.q, r.scale)
+        for i, v in enumerate(vecs):
+            qs = by_id[i]
+            assert len(qs) == 16
+            mx = float(np.abs(v).max())
+            if mx == 0:
+                assert all(q == 0 and s is None for q, s in qs.values())
+                continue
+            scale = 127.0 / np.float64(mx)
+            for d, (q, s) in qs.items():
+                assert abs(q) <= 127
+                assert q == int(np.floor(np.float64(v[d]) * scale + 0.5))
+                # dequantized value within half a quantization step
+                assert abs(q / scale - np.float64(v[d])) <= 0.5 / scale + 1e-12
