@@ -351,3 +351,87 @@ class TestNewOperatorPlans:
         p = plan(stratified_split(docs, {"train": 0.8, "val": 0.2}))
         assert "Exchange" not in p, p[:1500]
         assert "Python" not in p, p[:1500]
+
+
+class TestSession3OperatorPlans:
+    def test_ruggedness_shuffles_once_on_tile_keys(self, spark, tiles):
+        from gdal_common_python_spark.operators import terrain
+
+        p = plan(terrain.ruggedness_pixels(tiles))
+        shuffles = [ln for ln in p.splitlines() if "Arguments: hashpartitioning" in ln]
+        assert len(shuffles) == 1 and "raster_id" in shuffles[0], shuffles
+
+    def test_proximity_shuffles_once_on_tile_keys(self, spark, tiles):
+        from gdal_common_python_spark.operators import proximity
+
+        p = plan(proximity.proximity_pixels(tiles, values=[255.0], maxdist=4.0))
+        shuffles = [ln for ln in p.splitlines() if "Arguments: hashpartitioning" in ln]
+        assert len(shuffles) == 1, shuffles
+
+    def test_raster_sample_is_pure_jvm(self, spark, tiles):
+        """Point sampling must stay whole-stage JVM: broadcast dims, no
+        Python anywhere in the plan."""
+        import pandas as pd
+
+        from gdal_common_python_spark.operators import sample
+
+        pts = spark.createDataFrame(
+            pd.DataFrame({"point_id": [1], "x": [0.5], "y": [0.5]})
+        )
+        p = plan(sample.sample_raster_at_points(pts, tiles))
+        assert "Python" not in p and "ArrowEval" not in p, p[:1500]
+        assert "BroadcastNestedLoopJoin" in p, p[:1500]
+
+    def test_color_relief_and_calc_no_python(self, spark, tiles):
+        from gdal_common_python_spark.operators import rasterinfo
+
+        ramp = [(0.0, 0, 0, 0), (255.0, 255, 255, 255)]
+        p = plan(rasterinfo.color_relief(tiles, ramp))
+        assert "Python" not in p and "Exchange" not in p, p[:1500]
+        p2 = plan(rasterinfo.raster_calc(tiles, ("r0", 1), ("r1", 1)))
+        assert "Python" not in p2, p2[:1500]
+
+    def test_quantize_int8_is_narrow_codegen(self, spark):
+        import pandas as pd
+
+        from gdal_common_python_spark.operators.similarity import quantize_int8
+
+        emb = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [1], "embedding": [[0.5, -1.0]]})
+        )
+        p = plan(quantize_int8(emb))
+        assert "Exchange" not in p and "Python" not in p, p[:1500]
+
+    def test_quantiles_shuffle_on_distinct_values_only(self, spark):
+        """The count-histogram agg must map-side combine BEFORE its
+        exchange — shuffle volume ∝ distinct values, not rows."""
+        import pandas as pd
+
+        from gdal_common_python_spark.operators import quantiles
+
+        df = spark.createDataFrame(pd.DataFrame({"g": ["a"], "v": [1]}))
+        p = plan(quantiles.exact_quantiles(df, ["g"], "v", [0.5]))
+        lines = p.splitlines()
+        first_ex = next(i for i, ln in enumerate(lines) if "Exchange" in ln)
+        assert any("HashAggregate" in ln for ln in lines[first_ex:]), p[:2000]
+
+    def test_hull_has_no_shuffle(self, spark):
+        import pandas as pd
+
+        from gdal_common_python_spark.operators import hull
+
+        pts = spark.createDataFrame(pd.DataFrame({"x": [0.0], "y": [0.0]}))
+        p = plan(hull.convex_hull(pts))
+        assert "Exchange" not in p, p[:1500]  # coalesce(1) is not a shuffle
+
+    def test_keywords_single_doc_window(self, spark):
+        import pandas as pd
+
+        from gdal_common_python_spark.operators.text import keywords_tfidf
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["a b"]})
+        )
+        p = plan(keywords_tfidf(docs, top_k=2, vocab_top_k=8))
+        assert p.count("Window") >= 1, p[:1500]
+        assert "BroadcastHashJoin" in p, p[:1500]  # capped vocab broadcast
