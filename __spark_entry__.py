@@ -949,6 +949,21 @@ def q_keywords(spark, sf_dir):
     return text_ops.keywords_tfidf(docs, top_k=5, vocab_top_k=1 << 15)
 
 
+_DP_EPS = 0.01
+_DP_DEPTH = 8
+
+
+def q_dp_simplify(spark, sf_dir):
+    """Bounded-depth Douglas-Peucker (OGR Simplify analog): breadth-first
+    splits at the max-deviation vertex, squared-cross-product tests only
+    (no sqrt/division), ties -> min index — the K-level truncation is the
+    pinned semantic, so the K-times-unrolled SQL oracle is hash-exact."""
+    from gdal_common_python_spark.operators import simplify
+
+    zones = _synth(spark, sf_dir, "zones")
+    return simplify.dp_simplify(zones, eps=_DP_EPS, max_depth=_DP_DEPTH)
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact distributed quantiles via count-histogram: shuffle ∝ distinct
     values per group, never rows; nearest-rank picks are deterministic and
@@ -1166,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords": q_keywords,
         "length_quantiles": q_length_quantiles,
         "quantize_int8": q_quantize_int8,
+        "dp_simplify": q_dp_simplify,
         "polygonize": q_polygonize,
         "geohash": q_geohash,
         "track_stats": q_track_stats,
@@ -2470,6 +2486,13 @@ from gdal_common_python_spark.operators.similarity import (
 _SQL_QUANTIZE_INT8 = _qi8_sql("embeddings")
 del _qi8_sql
 
+from gdal_common_python_spark.operators.simplify import (
+    dp_simplify_oracle_sql as _dp_sql,
+)
+
+_SQL_DP_SIMPLIFY = _dp_sql(_ZONES, _DP_EPS, _DP_DEPTH)
+del _dp_sql
+
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
     histogram_oracle_sql as _hist_sql,
@@ -2925,6 +2948,7 @@ def oracle_sql() -> dict[str, str]:
         "keywords": _SQL_KEYWORDS,
         "length_quantiles": _SQL_LENGTH_QUANTILES,
         "quantize_int8": _SQL_QUANTIZE_INT8,
+        "dp_simplify": _SQL_DP_SIMPLIFY,
         "polygonize": _SQL_POLYGONIZE,
         "geohash": _SQL_GEOHASH,
         "track_stats": _SQL_TRACK_STATS,
