@@ -152,6 +152,7 @@ def run_queries(spark, sdir):
         "quantize_int8",
         "surprisal",
         "stratified_split",
+        "dp_simplify",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)
