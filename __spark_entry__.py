@@ -1109,6 +1109,17 @@ def q_stratified_split(spark, sf_dir):
     return out.select("doc_id", "lang", "split")
 
 
+def q_dedup_lines(spark, sf_dir):
+    """C4/RefinedWeb-style segment-level corpus dedup: strike every
+    occurrence of any 8-token segment seen more than once corpus-wide,
+    rebuild the cleaned text. Text shuffles zero times (hash-keyed count +
+    strike-position join; rebuild is a doc-side filter HOF)."""
+    from gdal_common_python_spark.operators import dedup as dedup_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.dedup_segments(docs, window=8, max_count=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_pip": q_spatial_join_pip,
@@ -1193,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "surprisal": q_surprisal,
         "stratified_split": q_stratified_split,
+        "dedup_lines": q_dedup_lines,
     }
 
 
@@ -2493,6 +2505,13 @@ from gdal_common_python_spark.operators.simplify import (
 _SQL_DP_SIMPLIFY = _dp_sql(_ZONES, _DP_EPS, _DP_DEPTH)
 del _dp_sql
 
+from gdal_common_python_spark.operators.dedup import (
+    dedup_segments_oracle_sql as _dl_sql,
+)
+
+_SQL_DEDUP_LINES = _dl_sql("documents", window=8, max_count=1)
+del _dl_sql
+
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
     histogram_oracle_sql as _hist_sql,
@@ -2960,6 +2979,7 @@ def oracle_sql() -> dict[str, str]:
         "vocabulary": _SQL_VOCABULARY,
         "surprisal": _SQL_SURPRISAL,
         "stratified_split": _SQL_STRATIFIED_SPLIT,
+        "dedup_lines": _SQL_DEDUP_LINES,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -153,6 +153,7 @@ def run_queries(spark, sdir):
         "surprisal",
         "stratified_split",
         "dp_simplify",
+        "dedup_lines",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

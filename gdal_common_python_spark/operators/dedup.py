@@ -438,3 +438,99 @@ def simhash_docs(
         lambda acc, x: acc + x,
     )
     return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+
+
+def dedup_segments(
+    docs: DataFrame,
+    window: int = 8,
+    max_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line/segment-level corpus dedup (the C4/RefinedWeb boilerplate pass):
+    split each document into fixed ``window``-token segments, count each
+    segment's corpus frequency, and strike EVERY occurrence of segments
+    appearing more than ``max_count`` times; rebuild the cleaned text from
+    the surviving segments in order.
+
+    Returns (doc_id, clean_text, n_segments, n_removed).
+
+    100 TB shape — the document text shuffles ZERO times:
+    - the frequency count groups on ``xxhash64(segment)`` (64-bit, uniform
+      keys, map-side combined) — shuffle carries hashes + counts only;
+    - the strike-list join ships (doc_id, pos, hash) rows, never text;
+    - the rebuild recomputes segments natively on the unshuffled doc side
+      and drops struck positions with a single filter HOF.
+    The DuckDB oracle groups by the exact segment text; the two agree
+    absent a 64-bit xxhash collision (p ~ n^2 / 2^65 — at gate scale
+    ~1e-11, and any collision would only ever over-strike).
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    toks = F.split(F.col("__text"), " ")
+    nseg = F.ceil(F.size(toks) / F.lit(float(window))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(toks, i * window + 1, window), " "),
+    )
+    seg_rows = base.select(
+        "doc_id", F.posexplode(segs.alias("s")).alias("pos", "seg")
+    ).select("doc_id", "pos", F.xxhash64("seg").alias("h"))
+    dup = (
+        seg_rows.groupBy("h")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") > max_count)
+        .select("h")
+    )
+    struck = (
+        seg_rows.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("__rm"))
+    )
+    out = base.join(struck, "doc_id", "left")
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(segs, lambda s, i: ~F.array_contains(rm, i.cast("int")))
+    return out.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(segs).alias("n_segments"),
+        F.size(rm).alias("n_removed"),
+    )
+
+
+def dedup_segments_oracle_sql(
+    rel: str,
+    window: int = 8,
+    max_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`dedup_segments` (groups by exact segment
+    text — see the collision note there). Slice bounds are 1-based
+    inclusive on both engines (Spark slice(start, len); DuckDB l[a:b])."""
+    w = int(window)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, str_split({text_col}, ' ') AS toks
+  FROM {rel}
+),
+segs AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(toks[CAST(i*{w}+1 AS BIGINT):CAST(i*{w}+{w} AS BIGINT)], ' ') AS seg
+  FROM t, LATERAL unnest(range(0, CAST(ceil(len(toks) / {float(w)!r}) AS BIGINT))) AS u(i)
+),
+dup AS (
+  SELECT seg FROM segs GROUP BY seg HAVING count(*) > {int(max_count)}
+),
+struck AS (
+  SELECT s.doc_id, s.pos FROM segs s JOIN dup d USING (seg)
+)
+SELECT t.doc_id,
+       coalesce((SELECT string_agg(s.seg, ' ' ORDER BY s.pos)
+                 FROM segs s
+                 WHERE s.doc_id = t.doc_id
+                   AND s.pos NOT IN (SELECT pos FROM struck k WHERE k.doc_id = t.doc_id)),
+                '') AS clean_text,
+       CAST(ceil(len(toks) / {float(w)!r}) AS INT) AS n_segments,
+       CAST((SELECT count(*) FROM struck k WHERE k.doc_id = t.doc_id) AS INT) AS n_removed
+FROM t
+"""
