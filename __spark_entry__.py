@@ -1109,6 +1109,15 @@ def q_stratified_split(spark, sf_dir):
     return out.select("doc_id", "lang", "split")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-then-chop sequence packing: md5-sharded, one
+    running-sum window per shard; only (id, token-count) pairs shuffle."""
+    from gdal_common_python_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs, capacity=256, n_shards=16)
+
+
 def q_dedup_lines(spark, sf_dir):
     """C4/RefinedWeb-style segment-level corpus dedup: strike every
     occurrence of any 8-token segment seen more than once corpus-wide,
@@ -1205,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surprisal": q_surprisal,
         "stratified_split": q_stratified_split,
         "dedup_lines": q_dedup_lines,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2512,6 +2522,13 @@ from gdal_common_python_spark.operators.dedup import (
 _SQL_DEDUP_LINES = _dl_sql("documents", window=8, max_count=1)
 del _dl_sql
 
+from gdal_common_python_spark.operators.curation import (
+    pack_sequences_oracle_sql as _ps_sql,
+)
+
+_SQL_PACK_SEQUENCES = _ps_sql("documents", capacity=256, n_shards=16)
+del _ps_sql
+
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
     histogram_oracle_sql as _hist_sql,
@@ -2980,6 +2997,7 @@ def oracle_sql() -> dict[str, str]:
         "surprisal": _SQL_SURPRISAL,
         "stratified_split": _SQL_STRATIFIED_SPLIT,
         "dedup_lines": _SQL_DEDUP_LINES,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -154,6 +154,7 @@ def run_queries(spark, sdir):
         "stratified_split",
         "dp_simplify",
         "dedup_lines",
+        "pack_sequences",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

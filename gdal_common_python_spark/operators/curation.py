@@ -21,6 +21,7 @@ Scale shape:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from .dedup import ngram_structs_col, shingle_structs_col
 from .util import broadcastable
@@ -255,3 +256,98 @@ def profile_table(
         "min_val",
         "max_val",
     )
+
+
+def _shard(id_col: str, n_shards: int):
+    """Deterministic shard draw both engines compute bit-identically:
+    first 32 md5 bits of the stringified id, mod n_shards (the repo's
+    portable-hash discipline — no engine-specific hash functions)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % F.lit(int(n_shards))
+    ).cast("int")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chop): tokens of every doc
+    are laid end-to-end in a deterministic order and chopped into
+    fixed-``capacity`` training sequences; docs straddle chop boundaries
+    (the standard pretraining layout — no padding waste, unlike first-fit
+    bin packing, which is inherently sequential and approximate).
+
+    Per doc: (doc_id, shard, n_tokens, start_seq, start_off, end_seq):
+    ``start_seq``/``end_seq`` are the shard-local sequences holding the
+    doc's first and last token, ``start_off`` the first token's offset in
+    ``start_seq``; ``end_seq > start_seq`` means the doc straddles.
+    Zero-token docs occupy no space (end_seq = the sequence before the
+    cursor — degenerate but deterministic).
+
+    100 TB shape: docs hash into ``n_shards`` independent shards via the
+    md5 draw (pure row function — stable under partitioning, retries and
+    resume); within a shard the layout is ONE running-sum window ordered
+    by doc_id. Shards pack independently, so parallelism = n_shards
+    regardless of corpus size (pick n_shards >= cluster cores). One
+    shuffle, of (id, count) pairs only — token text never moves.
+    """
+    from .text import token_count
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _shard(id_col, n_shards).alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("__cum", F.sum("n_tokens").over(w))
+    start = F.col("__cum") - F.col("n_tokens")
+    cap = F.lit(int(capacity))
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / cap).cast("long").alias("start_seq"),
+        F.pmod(start, cap).cast("long").alias("start_off"),
+        F.floor((F.col("__cum") - 1) / cap).cast("long").alias("end_seq"),
+    )
+
+
+def pack_sequences_oracle_sql(
+    rel: str,
+    capacity: int,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`pack_sequences` — identical md5 shard draw,
+    identical token_count (regexp whitespace tokens), identical window."""
+    cap = int(capacity)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         CAST(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8) AS BIGINT)
+              % {int(n_shards)} AS INT) AS shard,
+         CAST(CASE WHEN len(trim({text_col})) = 0 THEN 0
+                   ELSE len(str_split_regex(trim(lower({text_col})), '\\s+')) END AS BIGINT)
+           AS n_tokens
+  FROM {rel}
+),
+cum AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS c
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((c - n_tokens) / {float(cap)!r}) AS BIGINT) AS start_seq,
+       CAST((c - n_tokens) % {cap} AS BIGINT) AS start_off,
+       CAST(floor((c - 1) / {float(cap)!r}) AS BIGINT) AS end_seq
+FROM cum
+"""
