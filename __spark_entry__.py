@@ -320,6 +320,25 @@ def q_mosaic_mixed_grid(spark, sf_dir):
     ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
 
 
+_WARP_TARGET = dict(
+    origin_x=-13400000.0, origin_y=5650000.0, px_x=28000.0, px_y=-32000.0,
+    width=128, height=128,
+)
+
+
+def q_raster_warp(spark, sf_dir):
+    """gdalwarp analog: nearest inverse-mapping warp of r0 (4326) onto a
+    Web-Mercator grid; 1e-9-degree quantized index rule pins bit-equality
+    across libm implementations (operators/warp.py header)."""
+    from gdal_common_python_spark.operators import warp as warp_ops
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    w = warp_ops.warp_raster(spark, tiles, "r0", 1, _WARP_TARGET, dst_srid=3857)
+    return w.select(
+        "tile_x", "tile_y", F.posexplode("pixels").alias("idx0", "value")
+    ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
+
+
 def q_media_metadata(spark, sf_dir):
     out = multimodal.extract_media_features(_synth(spark, sf_dir, "documents_spans"))
     return out.select("doc_id", "offset", "raster_id", "band", "width", "height")
@@ -1215,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": q_stratified_split,
         "dedup_lines": q_dedup_lines,
         "pack_sequences": q_pack_sequences,
+        "raster_warp": q_raster_warp,
     }
 
 
@@ -2529,6 +2549,11 @@ from gdal_common_python_spark.operators.curation import (
 _SQL_PACK_SEQUENCES = _ps_sql("documents", capacity=256, n_shards=16)
 del _ps_sql
 
+from gdal_common_python_spark.operators.warp import warp_oracle_sql as _warp_sql
+
+_SQL_RASTER_WARP = _warp_sql(_TILES, "r0", 1, _WARP_TARGET, dst_srid=3857)
+del _warp_sql
+
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
     histogram_oracle_sql as _hist_sql,
@@ -2998,6 +3023,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_split": _SQL_STRATIFIED_SPLIT,
         "dedup_lines": _SQL_DEDUP_LINES,
         "pack_sequences": _SQL_PACK_SEQUENCES,
+        "raster_warp": _SQL_RASTER_WARP,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -155,6 +155,7 @@ def run_queries(spark, sdir):
         "dp_simplify",
         "dedup_lines",
         "pack_sequences",
+        "raster_warp",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)
