@@ -339,6 +339,15 @@ def q_raster_warp(spark, sf_dir):
     ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
 
 
+def q_fillnodata(spark, sf_dir):
+    """gdal_fillnodata analog: nearest-valid fill with exact tie-averaging
+    (order-free integer sums) over one halo-exchange pass."""
+    from gdal_common_python_spark.operators import fillnodata as fill_ops
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return fill_ops.fillnodata_pixels(tiles, maxdist=4.0)
+
+
 def q_media_metadata(spark, sf_dir):
     out = multimodal.extract_media_features(_synth(spark, sf_dir, "documents_spans"))
     return out.select("doc_id", "offset", "raster_id", "band", "width", "height")
@@ -1235,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "pack_sequences": q_pack_sequences,
         "raster_warp": q_raster_warp,
+        "fillnodata": q_fillnodata,
     }
 
 
@@ -2554,6 +2564,13 @@ from gdal_common_python_spark.operators.warp import warp_oracle_sql as _warp_sql
 _SQL_RASTER_WARP = _warp_sql(_TILES, "r0", 1, _WARP_TARGET, dst_srid=3857)
 del _warp_sql
 
+from gdal_common_python_spark.operators.fillnodata import (
+    fillnodata_oracle_sql as _fn_sql,
+)
+
+_SQL_FILLNODATA = _fn_sql(_TILES, maxdist=4.0)
+del _fn_sql
+
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
     histogram_oracle_sql as _hist_sql,
@@ -3024,6 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _SQL_DEDUP_LINES,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "raster_warp": _SQL_RASTER_WARP,
+        "fillnodata": _SQL_FILLNODATA,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -156,6 +156,7 @@ def run_queries(spark, sdir):
         "dedup_lines",
         "pack_sequences",
         "raster_warp",
+        "fillnodata",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)
