@@ -339,6 +339,18 @@ def q_raster_warp(spark, sf_dir):
     ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
 
 
+def q_rasterize(spark, sf_dir):
+    """gdal_rasterize analog: burn zones into r0's grid (pixel-center
+    even-odd, R1-quantized vertices — the zonal kernel as a burn op);
+    overlaps resolve by max(zone_id). Sparse covered-pixel rows."""
+    from gdal_common_python_spark.operators import rasterize as rast_ops
+
+    zones = _synth(spark, sf_dir, "zones")
+    rasters = _synth(spark, sf_dir, "rasters")
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return rast_ops.rasterize_burn(spark, zones, rasters, tiles, "r0", 1)
+
+
 def q_fillnodata(spark, sf_dir):
     """gdal_fillnodata analog: nearest-valid fill with exact tie-averaging
     (order-free integer sums) over one halo-exchange pass."""
@@ -1245,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "raster_warp": q_raster_warp,
         "fillnodata": q_fillnodata,
+        "rasterize": q_rasterize,
     }
 
 
@@ -2571,6 +2584,16 @@ from gdal_common_python_spark.operators.fillnodata import (
 _SQL_FILLNODATA = _fn_sql(_TILES, maxdist=4.0)
 del _fn_sql
 
+# gdal_rasterize burn: the zonal pixel-center even-odd membership (same
+# machinery/CTEs), reported per PIXEL with max(zone_id) as the burn value
+_SQL_RASTERIZE = f"""
+WITH {_SQL_ZONAL_INSIDE}
+SELECT gc, gr, CAST(max(zone_id) AS BIGINT) AS burn_value
+FROM inside
+WHERE raster_id = 'r0' AND band = 1
+GROUP BY gc, gr
+"""
+
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
     histogram_oracle_sql as _hist_sql,
@@ -3042,6 +3065,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "raster_warp": _SQL_RASTER_WARP,
         "fillnodata": _SQL_FILLNODATA,
+        "rasterize": _SQL_RASTERIZE,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -157,6 +157,7 @@ def run_queries(spark, sdir):
         "pack_sequences",
         "raster_warp",
         "fillnodata",
+        "rasterize",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)
