@@ -339,6 +339,23 @@ def q_raster_warp(spark, sf_dir):
     ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
 
 
+_GRID_TARGET = dict(
+    origin_x=-120.0, origin_y=45.0, px_x=0.25, px_y=-0.25, width=128, height=128,
+)
+
+
+def q_grid_points(spark, sf_dir):
+    """gdal_grid analog (average:radius): scattered points -> r0's grid,
+    pure codegen fan-out + one map-side-combined pixel groupBy; order-free
+    quantized averages (operators/grid.py header)."""
+    from gdal_common_python_spark.operators import grid as grid_ops
+
+    pts = _synth(spark, sf_dir, "near_points").withColumn(
+        "v", F.pmod(F.col("point_id"), F.lit(97)).cast("double")
+    )
+    return grid_ops.grid_average(pts, _GRID_TARGET, radius=0.6)
+
+
 def q_rasterize(spark, sf_dir):
     """gdal_rasterize analog: burn zones into r0's grid (pixel-center
     even-odd, R1-quantized vertices — the zonal kernel as a burn op);
@@ -1258,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_warp": q_raster_warp,
         "fillnodata": q_fillnodata,
         "rasterize": q_rasterize,
+        "grid_points": q_grid_points,
     }
 
 
@@ -2594,6 +2612,17 @@ WHERE raster_id = 'r0' AND band = 1
 GROUP BY gc, gr
 """
 
+from gdal_common_python_spark.operators.grid import (
+    grid_average_oracle_sql as _grid_sql,
+)
+
+_SQL_GRID_POINTS = _grid_sql(
+    f"(SELECT *, CAST(point_id % 97 AS DOUBLE) AS v FROM {_POINTS})",
+    _GRID_TARGET,
+    0.6,
+)
+del _grid_sql
+
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
     histogram_oracle_sql as _hist_sql,
@@ -3066,6 +3095,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_warp": _SQL_RASTER_WARP,
         "fillnodata": _SQL_FILLNODATA,
         "rasterize": _SQL_RASTERIZE,
+        "grid_points": _SQL_GRID_POINTS,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -158,6 +158,7 @@ def run_queries(spark, sdir):
         "raster_warp",
         "fillnodata",
         "rasterize",
+        "grid_points",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)
