@@ -1175,6 +1175,28 @@ def q_pack_sequences(spark, sf_dir):
     return curation.pack_sequences(docs, capacity=256, n_shards=16)
 
 
+_MIX_WEIGHTS = {"src0": 0.25, "src1": 0.25, "src2": 0.2, "src3": 0.2, "src4": 0.1}
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap via deterministic md5-draw ranking (the
+    per-domain cap of web-corpus pipelines); identical across runs,
+    partitionings and engines."""
+    from gdal_common_python_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.source_cap(docs, 10).select("doc_id", "source", "grp_rank")
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget mixture sampling: per-source keep fractions from one
+    dimension-sized aggregate, then a pure md5-draw row filter."""
+    from gdal_common_python_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.mixture_sample(docs, _MIX_WEIGHTS, token_budget=3000)
+
+
 def q_dedup_lines(spark, sf_dir):
     """C4/RefinedWeb-style segment-level corpus dedup: strike every
     occurrence of any 8-token segment seen more than once corpus-wide,
@@ -1276,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fillnodata": q_fillnodata,
         "rasterize": q_rasterize,
         "grid_points": q_grid_points,
+        "source_cap": q_source_cap,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -2590,6 +2614,15 @@ from gdal_common_python_spark.operators.curation import (
 _SQL_PACK_SEQUENCES = _ps_sql("documents", capacity=256, n_shards=16)
 del _ps_sql
 
+from gdal_common_python_spark.operators.curation import (
+    mixture_sample_oracle_sql as _mx_sql,
+    source_cap_oracle_sql as _sc_sql,
+)
+
+_SQL_SOURCE_CAP = _sc_sql("documents", 10, ["doc_id", "source"])
+_SQL_MIXTURE_SAMPLE = _mx_sql("documents", _MIX_WEIGHTS, 3000)
+del _sc_sql, _mx_sql
+
 from gdal_common_python_spark.operators.warp import warp_oracle_sql as _warp_sql
 
 _SQL_RASTER_WARP = _warp_sql(_TILES, "r0", 1, _WARP_TARGET, dst_srid=3857)
@@ -3096,6 +3129,8 @@ def oracle_sql() -> dict[str, str]:
         "fillnodata": _SQL_FILLNODATA,
         "rasterize": _SQL_RASTERIZE,
         "grid_points": _SQL_GRID_POINTS,
+        "source_cap": _SQL_SOURCE_CAP,
+        "mixture_sample": _SQL_MIXTURE_SAMPLE,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

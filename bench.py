@@ -159,6 +159,8 @@ def run_queries(spark, sdir):
         "fillnodata",
         "rasterize",
         "grid_points",
+        "source_cap",
+        "mixture_sample",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

@@ -351,3 +351,145 @@ SELECT doc_id, shard, n_tokens,
        CAST(floor((c - 1) / {float(cap)!r}) AS BIGINT) AS end_seq
 FROM cum
 """
+
+
+def _draw(id_col: str, salt: str, extra: str | None = None):
+    """frac(md5) uniform draw in [0,1) — the stratified_split discipline
+    (pure row function: stable under partitioning, retries, resume)."""
+    parts = [F.lit(f"{salt}:")]
+    if extra is not None:
+        parts += [F.col(extra).cast("string"), F.lit(":")]
+    parts.append(F.col(id_col).cast("string"))
+    return F.conv(F.substring(F.md5(F.concat(*parts)), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 32))
+
+
+def source_cap(
+    docs: DataFrame,
+    max_per_group: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap1",
+) -> DataFrame:
+    """Per-group document cap (the per-domain cap of web-corpus pipelines):
+    keep at most ``max_per_group`` docs per ``group_col``, chosen by the
+    deterministic md5-draw ranking (draw asc, id asc — a uniform random
+    sample that is identical across runs, partitionings and engines).
+
+    Adds ``grp_rank`` (1-based rank within the group). Scale shape: one
+    window sort per group — groups are the parallelism unit; a hot group
+    sorts O(n log n) in its partition, which is the exact-top-N floor
+    (a threshold-refine two-pass would save the sort only when
+    max_per_group << group size; documented tradeoff, not needed at the
+    corpus shapes this targets where the group count is large).
+    """
+    if max_per_group <= 0:
+        raise ValueError(f"max_per_group must be > 0, got {max_per_group}")
+    w = Window.partitionBy(group_col).orderBy(
+        _draw(id_col, salt, extra=group_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("grp_rank", F.row_number().over(w))
+        .where(F.col("grp_rank") <= max_per_group)
+    )
+
+
+def source_cap_oracle_sql(
+    rel: str,
+    max_per_group: int,
+    columns: list[str],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap1",
+) -> str:
+    cols = ", ".join(columns)
+    return f"""
+SELECT {cols}, grp_rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group_col}
+    ORDER BY CAST('0x' || substr(md5('{salt}:' || {group_col} || ':' || CAST({id_col} AS VARCHAR)), 1, 8)
+                  AS BIGINT) / 4294967296.0 ASC, {id_col} ASC
+  ) AS grp_rank
+  FROM {rel}
+)
+WHERE grp_rank <= {int(max_per_group)}
+"""
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix1",
+) -> DataFrame:
+    """Token-budget mixture sampling (the training-mixture op): given
+    target mixing ``weights`` per group and a total ``token_budget``,
+    each group keeps a deterministic uniform sample of its docs at rate
+
+        keep_frac = min(1, budget * weight_g / group_token_count)
+
+    so the EXPECTED kept token mass matches the target mixture (groups
+    too small to fill their allocation keep everything — the standard
+    up-to-budget semantic). Groups absent from ``weights`` are dropped.
+
+    Scale shape: stage 1 is one map-side-combined groupBy collapsing the
+    corpus to (group, token_count) — rows ∝ groups; the per-group
+    fractions then ride a size-gated broadcast join back (group count is
+    dimension-sized by construction) and the keep decision is the pure
+    md5-draw row filter — zero extra shuffle of the corpus, resumable
+    for free."""
+    from .text import token_count
+
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    wts = F.create_map(
+        *[F.lit(v) for kv in weights.items() for v in (kv[0], float(kv[1]))]
+    )
+    with_n = docs.withColumn("__n", token_count(F.col(text_col)).cast("long"))
+    totals = with_n.groupBy(group_col).agg(F.sum("__n").alias("__tok"))
+    fracs = totals.select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget)) * wts[F.col(group_col)] / F.col("__tok").cast("double"),
+        ).alias("keep_frac"),
+    ).where(wts[F.col(group_col)].isNotNull())
+    out = with_n.join(F.broadcast(fracs), group_col)
+    return out.where(_draw(id_col, salt, extra=group_col) < F.col("keep_frac")).select(
+        F.col(id_col), F.col(group_col), F.col("__n").alias("n_tokens"), "keep_frac"
+    )
+
+
+def mixture_sample_oracle_sql(
+    rel: str,
+    weights: dict[str, float],
+    token_budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix1",
+) -> str:
+    wt_case = " ".join(
+        f"WHEN '{k}' THEN {float(v)!r}" for k, v in weights.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {group_col} AS grp,
+         CAST(CASE WHEN len(trim({text_col})) = 0 THEN 0
+                   ELSE len(str_split_regex(trim(lower({text_col})), '\\s+')) END AS BIGINT) AS n,
+         CASE {group_col} {wt_case} ELSE NULL END AS w
+  FROM {rel}
+),
+fr AS (
+  SELECT grp, least(1.0, {float(token_budget)!r} * any_value(w) / CAST(sum(n) AS DOUBLE)) AS keep_frac
+  FROM t WHERE w IS NOT NULL GROUP BY grp
+)
+SELECT t.doc_id, t.grp AS {group_col}, t.n AS n_tokens, fr.keep_frac
+FROM t JOIN fr USING (grp)
+WHERE CAST('0x' || substr(md5('{salt}:' || t.grp || ':' || CAST(t.doc_id AS VARCHAR)), 1, 8)
+           AS BIGINT) / 4294967296.0 < fr.keep_frac
+"""
