@@ -368,6 +368,22 @@ def q_rasterize(spark, sf_dir):
     return rast_ops.rasterize_burn(spark, zones, rasters, tiles, "r0", 1)
 
 
+_TR_SRCWIN = (20, 12, 80, 60)
+_TR_SCALE = (0.0, 255.0, 0.0, 100.0)
+
+
+def q_translate(spark, sf_dir):
+    """gdal_translate analog: -srcwin subset + -scale affine rescale as
+    pure codegen (native transform/element_at gathers; zero UDF)."""
+    from gdal_common_python_spark.operators import translate as tr_ops
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    t = tr_ops.translate_window(tiles, "r0", 1, _TR_SRCWIN, scale=_TR_SCALE)
+    return t.select(
+        "tile_x", "tile_y", F.posexplode("pixels").alias("idx0", "value")
+    ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
+
+
 def q_fillnodata(spark, sf_dir):
     """gdal_fillnodata analog: nearest-valid fill with exact tie-averaging
     (order-free integer sums) over one halo-exchange pass."""
@@ -1300,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_points": q_grid_points,
         "source_cap": q_source_cap,
         "mixture_sample": q_mixture_sample,
+        "translate": q_translate,
     }
 
 
@@ -2635,6 +2652,13 @@ from gdal_common_python_spark.operators.fillnodata import (
 _SQL_FILLNODATA = _fn_sql(_TILES, maxdist=4.0)
 del _fn_sql
 
+from gdal_common_python_spark.operators.translate import (
+    translate_oracle_sql as _tr_sql,
+)
+
+_SQL_TRANSLATE = _tr_sql(_TILES, "r0", 1, _TR_SRCWIN, scale=_TR_SCALE)
+del _tr_sql
+
 # gdal_rasterize burn: the zonal pixel-center even-odd membership (same
 # machinery/CTEs), reported per PIXEL with max(zone_id) as the burn value
 _SQL_RASTERIZE = f"""
@@ -3131,6 +3155,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_points": _SQL_GRID_POINTS,
         "source_cap": _SQL_SOURCE_CAP,
         "mixture_sample": _SQL_MIXTURE_SAMPLE,
+        "translate": _SQL_TRANSLATE,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -161,6 +161,7 @@ def run_queries(spark, sdir):
         "grid_points",
         "source_cap",
         "mixture_sample",
+        "translate",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

@@ -1,0 +1,177 @@
+"""gdal_translate analog: windowed subset + linear value rescale.
+
+The reference reads raster subwindows through GDAL's ReadAsArray window
+glue (rasters.py:143-174); gdal_translate's core batch surface on top of
+that is ``-srcwin`` (pixel-window subset) and ``-scale src_min src_max
+dst_min dst_max`` (affine value rescale, exact given explicit bounds —
+the auto-bounds form scans for min/max first and is one aggregate away).
+
+Pure whole-stage codegen, zero UDF, zero Python:
+- the tile table is FILTERED to tiles overlapping the source window
+  (partition pruning by construction — at 100 TB only the requested
+  window's tiles are ever read), then each tile's pixel array is sliced
+  and re-indexed NATIVELY (one `transform` over the output row sequence,
+  `element_at` gathers) into the re-originated output tile;
+- the rescale is one arithmetic map over the array (`transform`), nodata
+  passed through untouched, optional clip to the dst range
+  (gdal_translate clips by default).
+
+Output tiles sit on a fresh (0,0)-anchored grid of the same tile size;
+partial edge tiles carry exact tile_w/tile_h like the synth layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def translate_window(
+    tiles: DataFrame,
+    raster_id: str,
+    band: int,
+    srcwin: tuple[int, int, int, int],
+    scale: tuple[float, float, float, float] | None = None,
+    clip: bool = True,
+    tile_size: int = 32,
+) -> DataFrame:
+    """Subset (xoff, yoff, xsize, ysize) of one (raster_id, band) ->
+    output tile table (tile_x, tile_y, tile_w, tile_h, pixels) on a
+    re-originated grid; optional ``scale=(src_min, src_max, dst_min,
+    dst_max)`` affine rescale of valid (non-nodata) pixels."""
+    xoff, yoff, xs, ys = (int(v) for v in srcwin)
+    if xs <= 0 or ys <= 0:
+        raise ValueError(f"srcwin size must be positive, got {srcwin}")
+    src = tiles.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
+    # output tile grid
+    ntx = (xs + tile_size - 1) // tile_size
+    nty = (ys + tile_size - 1) // tile_size
+    ts = tile_size
+    # source tiles overlapping the window
+    tx0, tx1 = xoff // ts, (xoff + xs - 1) // ts
+    ty0, ty1 = yoff // ts, (yoff + ys - 1) // ts
+    src = src.filter(
+        (F.col("tile_x").between(tx0, tx1)) & (F.col("tile_y").between(ty0, ty1))
+    )
+    # fan each source tile to the output tiles it overlaps (bounded <= 4
+    # for any offset when output tile size == source tile size)
+    gx0 = F.col("tile_x") * ts - F.lit(xoff)  # source tile's origin in window coords
+    gy0 = F.col("tile_y") * ts - F.lit(yoff)
+    otx0 = F.greatest(F.floor(gx0 / ts), F.lit(0)).cast("int")
+    otx1 = F.least(F.floor((gx0 + F.col("tile_w") - 1) / ts), F.lit(ntx - 1)).cast("int")
+    oty0 = F.greatest(F.floor(gy0 / ts), F.lit(0)).cast("int")
+    oty1 = F.least(F.floor((gy0 + F.col("tile_h") - 1) / ts), F.lit(nty - 1)).cast("int")
+    fan = (
+        src.where((otx0 <= otx1) & (oty0 <= oty1))
+        .withColumn("otx", F.explode(F.sequence(otx0, otx1)))
+        .withColumn("oty", F.explode(F.sequence(oty0, oty1)))
+    )
+    ow = F.least(F.lit(ts), F.lit(xs) - F.col("otx") * ts).cast("int")
+    oh = F.least(F.lit(ts), F.lit(ys) - F.col("oty") * ts).cast("int")
+    fan = fan.select(
+        "nodata", "tile_x", "tile_y", "tile_w", "tile_h", "pixels",
+        "otx", "oty", ow.alias("ow"), oh.alias("oh"),
+    )
+
+    def _gather(i):
+        """Value of output pixel i (row-major in the output tile) taken
+        from THIS source tile, or null when i falls outside it."""
+        wx = F.col("otx") * ts + i % F.col("ow")  # window coords
+        wy = F.col("oty") * ts + F.floor(i / F.col("ow"))
+        sx = wx + F.lit(xoff) - F.col("tile_x") * ts  # source-tile-local
+        sy = wy + F.lit(yoff) - F.col("tile_y") * ts
+        return F.when(
+            sx.between(0, F.col("tile_w") - 1) & sy.between(0, F.col("tile_h") - 1),
+            F.element_at(F.col("pixels"), (sy * F.col("tile_w") + sx + 1).cast("int")),
+        )
+
+    gather = fan.select(
+        "nodata", "otx", "oty", "ow", "oh",
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.col("ow").cast("long") * F.col("oh") - 1),
+            ),
+            _gather,
+        ).alias("part"),
+    )
+    # fold the (<=4) source-tile parts of each output tile: first non-null wins
+    folded = gather.groupBy(F.col("otx").alias("tile_x"), F.col("oty").alias("tile_y")).agg(
+        F.first("ow").alias("tile_w"),
+        F.first("oh").alias("tile_h"),
+        F.first("nodata").alias("__nd"),
+        F.aggregate(
+            F.collect_list("part"),
+            F.expr("cast(null as array<double>)"),
+            lambda acc, p: F.when(acc.isNull(), p).otherwise(
+                F.zip_with(acc, p, lambda a, b: F.coalesce(a, b))
+            ),
+        ).alias("__px"),
+    )
+    out_px: Column = F.transform(F.col("__px"), lambda v: F.coalesce(v, F.col("__nd")))
+    if scale is not None:
+        s0, s1, d0, d1 = (float(v) for v in scale)
+        if s1 == s0:
+            raise ValueError("scale src_min == src_max")
+        k = (d1 - d0) / (s1 - s0)
+
+        def rescale(v):
+            y = (v - F.lit(s0)) * F.lit(k) + F.lit(d0)
+            if clip:
+                y = F.greatest(F.least(y, F.lit(max(d0, d1))), F.lit(min(d0, d1)))
+            return F.when(v == F.col("__nd"), v).otherwise(y)
+
+        out_px = F.transform(out_px, rescale)
+    return folded.select(
+        "tile_x", "tile_y", "tile_w", "tile_h", out_px.alias("pixels")
+    )
+
+
+def translate_oracle_sql(
+    tiles_rel: str,
+    raster_id: str,
+    band: int,
+    srcwin: tuple[int, int, int, int],
+    scale: tuple[float, float, float, float] | None = None,
+    clip: bool = True,
+    tile_size: int = 32,
+) -> str:
+    """DuckDB mirror, exploded per output pixel (tile_x, tile_y, idx,
+    value) with idx 1-based — identical affine expression tree."""
+    xoff, yoff, xs, ys = (int(v) for v in srcwin)
+    ts = tile_size
+    if scale is not None:
+        s0, s1, d0, d1 = (float(v) for v in scale)
+        k = (d1 - d0) / (s1 - s0)
+        # string-parsed doubles: DuckDB's DECIMAL-literal -> DOUBLE cast is
+        # 1 ulp off at full precision, while VARCHAR -> DOUBLE is correctly
+        # rounded (verified); engine literals must match bit-for-bit
+        def fl(x: float) -> str:
+            return f"CAST('{x!r}' AS DOUBLE)"
+
+        expr = f"(v - {fl(s0)}) * {fl(k)} + {fl(d0)}"
+        if clip:
+            expr = f"greatest(least({expr}, {fl(max(d0, d1))}), {fl(min(d0, d1))})"
+        vexpr = f"CASE WHEN v = nodata THEN v ELSE {expr} END"
+    else:
+        vexpr = "v"
+    return f"""
+WITH px AS (
+  SELECT nodata,
+         CAST(tile_x AS BIGINT) * {ts} + (idx - 1) % tile_w - {xoff} AS wx,
+         CAST(tile_y AS BIGINT) * {ts} + (idx - 1) // tile_w - {yoff} AS wy,
+         v
+  FROM (
+    SELECT nodata, tile_x, tile_y, tile_w,
+           generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+    FROM {tiles_rel}
+    WHERE raster_id = '{raster_id}' AND band = {int(band)}
+  )
+)
+SELECT CAST(wx // {ts} AS INT) AS tile_x,
+       CAST(wy // {ts} AS INT) AS tile_y,
+       CAST((wy % {ts}) * least({ts}, {xs} - (wx // {ts}) * {ts})
+            + (wx % {ts}) + 1 AS INT) AS idx,
+       {vexpr} AS value
+FROM px
+WHERE wx >= 0 AND wx < {xs} AND wy >= 0 AND wy < {ys}
+"""
