@@ -372,6 +372,15 @@ _TR_SRCWIN = (20, 12, 80, 60)
 _TR_SCALE = (0.0, 255.0, 0.0, 100.0)
 
 
+def q_overviews(spark, sf_dir):
+    """gdaladdo analog: factor-2 average overview level — ZERO shuffle
+    (2x2 blocks never cross tiles), pure codegen, order-free quantized
+    averages."""
+    from gdal_common_python_spark.operators import overviews as ov_ops
+
+    return ov_ops.overview_level(_synth(spark, sf_dir, "raster_tiles"))
+
+
 def q_translate(spark, sf_dir):
     """gdal_translate analog: -srcwin subset + -scale affine rescale as
     pure codegen (native transform/element_at gathers; zero UDF)."""
@@ -1317,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "mixture_sample": q_mixture_sample,
         "translate": q_translate,
+        "overviews": q_overviews,
     }
 
 
@@ -2659,6 +2669,13 @@ from gdal_common_python_spark.operators.translate import (
 _SQL_TRANSLATE = _tr_sql(_TILES, "r0", 1, _TR_SRCWIN, scale=_TR_SCALE)
 del _tr_sql
 
+from gdal_common_python_spark.operators.overviews import (
+    overview_oracle_sql as _ov_sql,
+)
+
+_SQL_OVERVIEWS = _ov_sql(_TILES)
+del _ov_sql
+
 # gdal_rasterize burn: the zonal pixel-center even-odd membership (same
 # machinery/CTEs), reported per PIXEL with max(zone_id) as the burn value
 _SQL_RASTERIZE = f"""
@@ -3156,6 +3173,7 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": _SQL_SOURCE_CAP,
         "mixture_sample": _SQL_MIXTURE_SAMPLE,
         "translate": _SQL_TRANSLATE,
+        "overviews": _SQL_OVERVIEWS,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -162,6 +162,7 @@ def run_queries(spark, sdir):
         "source_cap",
         "mixture_sample",
         "translate",
+        "overviews",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)
