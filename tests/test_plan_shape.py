@@ -435,3 +435,70 @@ class TestSession3OperatorPlans:
         p = plan(keywords_tfidf(docs, top_k=2, vocab_top_k=8))
         assert p.count("Window") >= 1, p[:1500]
         assert "BroadcastHashJoin" in p, p[:1500]  # capped vocab broadcast
+
+
+class TestSession4Plans:
+    """Plan pins for the session-4 operators (dedup_lines, packing,
+    mixture, grid, translate, overviews)."""
+
+    def test_dedup_segments_text_never_shuffles(self, spark):
+        # the frequency count and strike join must move hashes/ids only;
+        # any Exchange whose input carries the raw text column means the
+        # zero-text-shuffle claim broke
+        from gdal_common_python_spark.operators import dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = plan(dedup.dedup_segments(docs))
+        # locate every Exchange's input schema line in the formatted plan
+        for m in re.finditer(r"\(\d+\) Exchange\n(?:Input \[\d+\]: \[([^\]]*)\])?", p):
+            cols = m.group(1) or ""
+            assert "text" not in cols and "__text" not in cols, cols
+
+    def test_pack_sequences_single_shuffle_of_counts(self, spark):
+        from gdal_common_python_spark.operators import curation
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = plan(curation.pack_sequences(docs, capacity=256))
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+        # the one exchange must not carry the document text
+        m = re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p)
+        assert m and "text" not in m.group(1), p
+
+    def test_mixture_sample_broadcasts_fractions(self, spark):
+        from gdal_common_python_spark.operators import curation
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = curation.mixture_sample(docs, {"src0": 0.5, "src1": 0.5}, 1000)
+        p = plan(out)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+    def test_grid_average_partial_agg_before_exchange(self, spark):
+        from gdal_common_python_spark.operators import grid
+
+        pts = spark.read.parquet("data/synth/sf0.001/near_points.parquet").withColumn(
+            "v", F.pmod(F.col("point_id"), F.lit(97)).cast("double")
+        )
+        T = dict(origin_x=-120.0, origin_y=45.0, px_x=0.25, px_y=-0.25, width=128, height=128)
+        p = plan(grid.grid_average(pts, T, radius=0.6))
+        assert "Python" not in p, p  # pure codegen
+        tree = p[: p.index("(1) ")]
+        aggs = [m.start() for m in re.finditer(r"HashAggregate", tree)]
+        exchs = [m.start() for m in re.finditer(r"Exchange", tree)]
+        assert len(aggs) >= 2 and len(exchs) == 1, tree
+        assert any(a > exchs[0] for a in aggs), tree  # map-side combine
+
+    def test_translate_prunes_tiles_and_stays_jvm(self, spark):
+        from gdal_common_python_spark.operators import translate
+
+        tiles = spark.read.parquet("data/synth/sf0.001/raster_tiles.parquet")
+        p = plan(translate.translate_window(tiles, "r0", 1, (20, 12, 80, 60)))
+        assert "Python" not in p, p
+        # the tile_x/tile_y window filter must reach the scan as a pushed filter
+        assert re.search(r"PushedFilters:.*tile_x", p), p
+
+    def test_overviews_exchange_free(self, spark):
+        from gdal_common_python_spark.operators import overviews
+
+        tiles = spark.read.parquet("data/synth/sf0.001/raster_tiles.parquet")
+        p = plan(overviews.overview_level(tiles))
+        assert "Exchange" not in p and "Python" not in p, p
