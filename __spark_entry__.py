@@ -1046,6 +1046,14 @@ def q_dp_simplify(spark, sf_dir):
     return simplify.dp_simplify(zones, eps=_DP_EPS, max_depth=_DP_DEPTH)
 
 
+def q_segmentize(spark, sf_dir):
+    """OGR Segmentize analog: densify ring edges to <= 0.5 deg segments —
+    pure codegen HOFs, zero shuffle, one correctly-rounded sqrt."""
+    from gdal_common_python_spark.operators import segmentize as seg_ops
+
+    return seg_ops.segmentize(_synth(spark, sf_dir, "zones"), 0.5)
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact distributed quantiles via count-histogram: shuffle ∝ distinct
     values per group, never rows; nearest-rank picks are deterministic and
@@ -1327,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "translate": q_translate,
         "overviews": q_overviews,
+        "segmentize": q_segmentize,
     }
 
 
@@ -2676,6 +2685,13 @@ from gdal_common_python_spark.operators.overviews import (
 _SQL_OVERVIEWS = _ov_sql(_TILES)
 del _ov_sql
 
+from gdal_common_python_spark.operators.segmentize import (
+    segmentize_oracle_sql as _seg_sql,
+)
+
+_SQL_SEGMENTIZE = _seg_sql(_ZONES, 0.5)
+del _seg_sql
+
 # gdal_rasterize burn: the zonal pixel-center even-odd membership (same
 # machinery/CTEs), reported per PIXEL with max(zone_id) as the burn value
 _SQL_RASTERIZE = f"""
@@ -3174,6 +3190,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _SQL_MIXTURE_SAMPLE,
         "translate": _SQL_TRANSLATE,
         "overviews": _SQL_OVERVIEWS,
+        "segmentize": _SQL_SEGMENTIZE,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

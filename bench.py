@@ -163,6 +163,7 @@ def run_queries(spark, sdir):
         "mixture_sample",
         "translate",
         "overviews",
+        "segmentize",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)
