@@ -372,6 +372,14 @@ _TR_SRCWIN = (20, 12, 80, 60)
 _TR_SCALE = (0.0, 255.0, 0.0, 100.0)
 
 
+def q_raster_info(spark, sf_dir):
+    """gdalinfo -stats analog: per-band global stats; one aggregate HOF
+    per tile before the shuffle (exchange carries one row per tile)."""
+    from gdal_common_python_spark.operators import rasterinfo as ri_ops
+
+    return ri_ops.raster_info(_synth(spark, sf_dir, "raster_tiles"))
+
+
 def q_overviews(spark, sf_dir):
     """gdaladdo analog: factor-2 average overview level — ZERO shuffle
     (2x2 blocks never cross tiles), pure codegen, order-free quantized
@@ -1336,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translate": q_translate,
         "overviews": q_overviews,
         "segmentize": q_segmentize,
+        "raster_info": q_raster_info,
     }
 
 
@@ -2692,6 +2701,13 @@ from gdal_common_python_spark.operators.segmentize import (
 _SQL_SEGMENTIZE = _seg_sql(_ZONES, 0.5)
 del _seg_sql
 
+from gdal_common_python_spark.operators.rasterinfo import (
+    raster_info_oracle_sql as _ri_sql,
+)
+
+_SQL_RASTER_INFO = _ri_sql(_TILES)
+del _ri_sql
+
 # gdal_rasterize burn: the zonal pixel-center even-odd membership (same
 # machinery/CTEs), reported per PIXEL with max(zone_id) as the burn value
 _SQL_RASTERIZE = f"""
@@ -3191,6 +3207,7 @@ def oracle_sql() -> dict[str, str]:
         "translate": _SQL_TRANSLATE,
         "overviews": _SQL_OVERVIEWS,
         "segmentize": _SQL_SEGMENTIZE,
+        "raster_info": _SQL_RASTER_INFO,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -164,6 +164,7 @@ def run_queries(spark, sdir):
         "translate",
         "overviews",
         "segmentize",
+        "raster_info",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

@@ -229,3 +229,78 @@ FROM (
 )
 WHERE v != nodata
 """
+
+
+def raster_info(tiles: DataFrame) -> DataFrame:
+    """gdalinfo -stats analog: per-(raster_id, band) global statistics
+    (n_valid, vmin, vmax, mean, stdev), nodata excluded.
+
+    Exactness rides the A6 integer-raster discipline (kernels/raster.py
+    stats header): pixel values are integers, so the shuffled partial sums
+    of v and v*v are exact at any accumulation order (every partial stays
+    an integer < 2^53); mean and population stdev are then single
+    correctly-rounded divisions/sqrt on identical IEEE trees.
+
+    100 TB shape: ONE `aggregate` HOF collapses each tile to a 5-field
+    struct BEFORE the shuffle (no pixel explode — the exchange carries one
+    row per tile), then a map-side-combined groupBy over rasters x bands.
+    """
+    zero = F.struct(
+        F.lit(0.0).alias("s"),
+        F.lit(0.0).alias("sq"),
+        F.lit(None).cast("double").alias("mn"),
+        F.lit(None).cast("double").alias("mx"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def step(acc, v):
+        ok = v != F.col("nodata")
+        return F.struct(
+            (acc["s"] + F.when(ok, v).otherwise(F.lit(0.0))).alias("s"),
+            (acc["sq"] + F.when(ok, v * v).otherwise(F.lit(0.0))).alias("sq"),
+            F.when(ok, F.least(F.coalesce(acc["mn"], v), v)).otherwise(acc["mn"]).alias("mn"),
+            F.when(ok, F.greatest(F.coalesce(acc["mx"], v), v)).otherwise(acc["mx"]).alias("mx"),
+            (acc["n"] + F.when(ok, F.lit(1)).otherwise(F.lit(0)).cast("long")).alias("n"),
+        )
+
+    per_tile = tiles.select(
+        "raster_id", "band", F.aggregate("pixels", zero, step).alias("t")
+    )
+    agg = per_tile.groupBy("raster_id", "band").agg(
+        F.sum(F.col("t.n")).alias("n_valid"),
+        F.min(F.col("t.mn")).alias("vmin"),
+        F.max(F.col("t.mx")).alias("vmax"),
+        F.sum(F.col("t.s")).alias("s"),
+        F.sum(F.col("t.sq")).alias("sq"),
+    )
+    mean = F.col("s") / F.col("n_valid")
+    var = F.col("sq") / F.col("n_valid") - mean * mean
+    return agg.select(
+        "raster_id", "band", "n_valid", "vmin", "vmax",
+        F.when(F.col("n_valid") > 0, mean).otherwise(F.lit(0.0)).alias("mean"),
+        F.when(F.col("n_valid") > 0, F.sqrt(var)).otherwise(F.lit(0.0)).alias("stdev"),
+    )
+
+
+def raster_info_oracle_sql(tiles_rel: str) -> str:
+    """DuckDB mirror of :func:`raster_info` — identical moment tree."""
+    return f"""
+WITH px AS (
+  SELECT raster_id, band, nodata, unnest(pixels) AS v FROM {tiles_rel}
+),
+agg AS (
+  SELECT raster_id, band,
+         CAST(count(*) FILTER (v != nodata) AS BIGINT) AS n_valid,
+         min(v) FILTER (v != nodata) AS vmin,
+         max(v) FILTER (v != nodata) AS vmax,
+         sum(v) FILTER (v != nodata) AS s,
+         sum(v * v) FILTER (v != nodata) AS sq
+  FROM px GROUP BY raster_id, band
+)
+SELECT raster_id, band, n_valid, vmin, vmax,
+       CASE WHEN n_valid > 0 THEN s / n_valid ELSE 0.0 END AS mean,
+       CASE WHEN n_valid > 0
+            THEN sqrt(sq / n_valid - (s / n_valid) * (s / n_valid))
+            ELSE 0.0 END AS stdev
+FROM agg
+"""

@@ -1,0 +1,39 @@
+"""raster_info (gdalinfo -stats analog) — numpy cross-check + plan shape."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def info(spark, sf_dir):
+    from gdal_common_python_spark.operators import rasterinfo
+
+    tiles = spark.read.parquet(os.path.join(sf_dir, "raster_tiles.parquet"))
+    return tiles, rasterinfo.raster_info(tiles)
+
+
+def test_matches_numpy(spark, info):
+    tiles, out = info
+    got = {(r.raster_id, r.band): r for r in out.collect()}
+    vals = {}
+    for r in tiles.collect():
+        p = np.asarray(r.pixels, dtype=np.float64)
+        vals.setdefault((r.raster_id, r.band), []).append(p[p != r.nodata])
+    assert set(got) == set(vals)
+    for k, chunks in vals.items():
+        v = np.concatenate(chunks)
+        g = got[k]
+        assert g.n_valid == len(v)
+        assert g.vmin == v.min() and g.vmax == v.max()
+        assert g.mean == pytest.approx(v.mean(), rel=1e-12)
+        assert g.stdev == pytest.approx(v.std(), rel=1e-9)
+
+
+def test_exchange_carries_tile_rows_not_pixels(spark, info):
+    _, out = info
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    # no explode/generate before the exchange: the tile fold is a HOF
+    assert "Generate" not in plan
