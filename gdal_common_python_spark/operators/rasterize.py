@@ -53,7 +53,10 @@ def rasterize_burn(
     (gc, gr, burn_value) sparse covered-pixel rows, burn = max zone_id."""
     r1 = rasters.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
     t1 = tiles.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
-    cand = window_tiles(zones, r1, t1, tile_size)
+    # the burn op never reads pixel VALUES — drop the array before the
+    # grouped kernel so column pruning keeps the heavy column out of the
+    # window join and the Arrow transfer entirely
+    cand = window_tiles(zones, r1, t1, tile_size).drop("pixels")
     if "rings4326" in zones.columns:
         zr = zones.select(
             "zone_id", F.col("rings4326").alias("__rings"), F.lit(4326).alias("__srid")
