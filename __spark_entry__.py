@@ -356,6 +356,17 @@ def q_grid_points(spark, sf_dir):
     return grid_ops.grid_average(pts, _GRID_TARGET, radius=0.6)
 
 
+def q_grid_idw(spark, sf_dir):
+    """gdal_grid invdist analog: quantized-weight IDW (order-free integer
+    sums; gdal's own smoothing parameter bounds the near field)."""
+    from gdal_common_python_spark.operators import grid as grid_ops
+
+    pts = _synth(spark, sf_dir, "near_points").withColumn(
+        "v", F.pmod(F.col("point_id"), F.lit(97)).cast("double")
+    )
+    return grid_ops.grid_idw(pts, _GRID_TARGET, radius=0.6)
+
+
 def q_rasterize(spark, sf_dir):
     """gdal_rasterize analog: burn zones into r0's grid (pixel-center
     even-odd, R1-quantized vertices — the zonal kernel as a burn op);
@@ -1345,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overviews": q_overviews,
         "segmentize": q_segmentize,
         "raster_info": q_raster_info,
+        "grid_idw": q_grid_idw,
     }
 
 
@@ -2720,6 +2732,7 @@ GROUP BY gc, gr
 
 from gdal_common_python_spark.operators.grid import (
     grid_average_oracle_sql as _grid_sql,
+    grid_idw_oracle_sql as _gidw_sql,
 )
 
 _SQL_GRID_POINTS = _grid_sql(
@@ -2727,7 +2740,12 @@ _SQL_GRID_POINTS = _grid_sql(
     _GRID_TARGET,
     0.6,
 )
-del _grid_sql
+_SQL_GRID_IDW = _gidw_sql(
+    f"(SELECT *, CAST(point_id % 97 AS DOUBLE) AS v FROM {_POINTS})",
+    _GRID_TARGET,
+    0.6,
+)
+del _grid_sql, _gidw_sql
 
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
@@ -3208,6 +3226,7 @@ def oracle_sql() -> dict[str, str]:
         "overviews": _SQL_OVERVIEWS,
         "segmentize": _SQL_SEGMENTIZE,
         "raster_info": _SQL_RASTER_INFO,
+        "grid_idw": _SQL_GRID_IDW,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -165,6 +165,7 @@ def run_queries(spark, sdir):
         "overviews",
         "segmentize",
         "raster_info",
+        "grid_idw",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

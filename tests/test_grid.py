@@ -53,3 +53,35 @@ def test_no_python_in_plan(spark, pts):
 
     plan = grid.grid_average(pts, T, radius=1.0)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # pure codegen — no UDF stage
+
+
+class TestIdw:
+    def test_exact_hit_dominates(self, spark, pts):
+        from gdal_common_python_spark.operators import grid
+
+        out = {(r.gc, r.gr): r for r in grid.grid_idw(pts, T, radius=0.4, smoothing=0.001).collect()}
+        # points 1+2 sit exactly at pixel (2,3)'s center: equal max weights
+        # -> value = mean(10, 20) to quantization precision
+        assert out[(2, 3)].n_points == 2
+        assert abs(out[(2, 3)].value - 15.0) < 0.05
+
+    def test_closer_point_weighs_more(self, spark):
+        from gdal_common_python_spark.operators import grid
+
+        rows = [(1, 2.4, 6.5, 0.0), (2, 3.4, 6.5, 100.0)]  # nearer=0, farther=100
+        df = spark.createDataFrame(rows, ["point_id", "x", "y", "v"])
+        out = {(r.gc, r.gr): r for r in grid.grid_idw(df, T, radius=2.0).collect()}
+        v = out[(2, 3)].value  # center (2.5, 6.5): d=0.1 vs d=0.9
+        assert v < 10.0  # dominated by the nearby 0-valued point
+
+    def test_validation(self, spark, pts):
+        from gdal_common_python_spark.operators import grid
+
+        with pytest.raises(ValueError, match="smoothing"):
+            grid.grid_idw(pts, T, radius=1.0, smoothing=0.0)
+
+    def test_no_python_in_plan(self, spark, pts):
+        from gdal_common_python_spark.operators import grid
+
+        plan = grid.grid_idw(pts, T, radius=1.0)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
