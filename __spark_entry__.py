@@ -356,6 +356,18 @@ def q_grid_points(spark, sf_dir):
     return grid_ops.grid_average(pts, _GRID_TARGET, radius=0.6)
 
 
+def q_zonal_majority(spark, sf_dir):
+    """MODE-family zonal statistics (majority/minority/variety — the
+    gdal/QGIS zonal set beyond the reference's moment stats); ties break
+    to the smallest value, order-free by construction."""
+    from gdal_common_python_spark.operators import rasterize as rast_ops
+
+    zones = _synth(spark, sf_dir, "zones")
+    rasters = _synth(spark, sf_dir, "rasters")
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return rast_ops.zonal_majority(spark, zones, rasters, tiles, "r0", 1)
+
+
 def q_grid_idw(spark, sf_dir):
     """gdal_grid invdist analog: quantized-weight IDW (order-free integer
     sums; gdal's own smoothing parameter bounds the near field)."""
@@ -1357,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmentize": q_segmentize,
         "raster_info": q_raster_info,
         "grid_idw": q_grid_idw,
+        "zonal_majority": q_zonal_majority,
     }
 
 
@@ -2730,6 +2743,27 @@ WHERE raster_id = 'r0' AND band = 1
 GROUP BY gc, gr
 """
 
+# MODE-family zonal stats over the same membership CTEs
+_SQL_ZONAL_MAJORITY = f"""
+WITH {_SQL_ZONAL_INSIDE},
+vc AS (
+  SELECT zone_id, v AS value, count(*) AS cnt
+  FROM vals WHERE raster_id = 'r0' AND band = 1
+  GROUP BY zone_id, v
+),
+vc2 AS (
+  SELECT *, max(cnt) OVER (PARTITION BY zone_id) AS maxc,
+            min(cnt) OVER (PARTITION BY zone_id) AS minc
+  FROM vc
+)
+SELECT zone_id,
+       min(value) FILTER (cnt = maxc) AS majority,
+       min(value) FILTER (cnt = minc) AS minority,
+       count(*) AS variety,
+       CAST(sum(cnt) AS BIGINT) AS n_valid
+FROM vc2 GROUP BY zone_id
+"""
+
 from gdal_common_python_spark.operators.grid import (
     grid_average_oracle_sql as _grid_sql,
     grid_idw_oracle_sql as _gidw_sql,
@@ -3227,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         "segmentize": _SQL_SEGMENTIZE,
         "raster_info": _SQL_RASTER_INFO,
         "grid_idw": _SQL_GRID_IDW,
+        "zonal_majority": _SQL_ZONAL_MAJORITY,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

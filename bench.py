@@ -166,6 +166,7 @@ def run_queries(spark, sdir):
         "segmentize",
         "raster_info",
         "grid_idw",
+        "zonal_majority",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)
