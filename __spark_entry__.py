@@ -356,6 +356,22 @@ def q_grid_points(spark, sf_dir):
     return grid_ops.grid_average(pts, _GRID_TARGET, radius=0.6)
 
 
+def q_spans_text_profile(spark, sf_dir):
+    """The LLM text suite running DIRECTLY on the north-rule interleaved
+    spans table: text spans concatenated in span order (array order IS
+    offset order — preserved by filter/transform HOFs), then the standard
+    text_profile. Zero shuffle before the profile exprs."""
+    docs = _synth(spark, sf_dir, "documents_spans")
+    txt = F.array_join(
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+    return text_ops.text_profile(docs.select("doc_id", txt.alias("text")))
+
+
 def q_zonal_majority(spark, sf_dir):
     """MODE-family zonal statistics (majority/minority/variety — the
     gdal/QGIS zonal set beyond the reference's moment stats); ties break
@@ -1370,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_info": q_raster_info,
         "grid_idw": q_grid_idw,
         "zonal_majority": q_zonal_majority,
+        "spans_text_profile": q_spans_text_profile,
     }
 
 
@@ -2743,6 +2760,14 @@ WHERE raster_id = 'r0' AND band = 1
 GROUP BY gc, gr
 """
 
+# the text profile over the interleaved spans table: swap the source rel
+# for the span-concat subquery (array order is span/offset order)
+_SQL_SPANS_TEXT_PROFILE = _SQL_TEXT_PROFILE.replace(
+    "FROM documents",
+    "FROM (SELECT doc_id, coalesce(array_to_string(list_transform(list_filter(spans, "
+    f"s -> s.kind = 'text'), s -> s.text), ' '), '') AS text FROM {_DOCS})",
+)
+
 # MODE-family zonal stats over the same membership CTEs
 _SQL_ZONAL_MAJORITY = f"""
 WITH {_SQL_ZONAL_INSIDE},
@@ -3262,6 +3287,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_info": _SQL_RASTER_INFO,
         "grid_idw": _SQL_GRID_IDW,
         "zonal_majority": _SQL_ZONAL_MAJORITY,
+        "spans_text_profile": _SQL_SPANS_TEXT_PROFILE,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

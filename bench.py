@@ -167,6 +167,7 @@ def run_queries(spark, sdir):
         "raster_info",
         "grid_idw",
         "zonal_majority",
+        "spans_text_profile",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)
