@@ -1246,6 +1246,16 @@ def q_stratified_split(spark, sf_dir):
     return out.select("doc_id", "lang", "split")
 
 
+def q_dup_passages(spark, sf_dir):
+    """Exact duplicate-passage detection at 8-gram granularity (the
+    practical suffix-array dedup): hash-keyed gram frequencies + one
+    gap-and-islands window — text never shuffles."""
+    from gdal_common_python_spark.operators import dedup as dedup_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.duplicate_passages(docs, k=8, min_count=2)
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style concat-then-chop sequence packing: md5-sharded, one
     running-sum window per shard; only (id, token-count) pairs shuffle."""
@@ -1387,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_idw": q_grid_idw,
         "zonal_majority": q_zonal_majority,
         "spans_text_profile": q_spans_text_profile,
+        "dup_passages": q_dup_passages,
     }
 
 
@@ -2705,6 +2716,12 @@ from gdal_common_python_spark.operators.curation import (
     mixture_sample_oracle_sql as _mx_sql,
     source_cap_oracle_sql as _sc_sql,
 )
+from gdal_common_python_spark.operators.dedup import (
+    duplicate_passages_oracle_sql as _dp2_sql,
+)
+
+_SQL_DUP_PASSAGES = _dp2_sql("documents", k=8, min_count=2)
+del _dp2_sql
 
 _SQL_SOURCE_CAP = _sc_sql("documents", 10, ["doc_id", "source"])
 _SQL_MIXTURE_SAMPLE = _mx_sql("documents", _MIX_WEIGHTS, 3000)
@@ -3288,6 +3305,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_idw": _SQL_GRID_IDW,
         "zonal_majority": _SQL_ZONAL_MAJORITY,
         "spans_text_profile": _SQL_SPANS_TEXT_PROFILE,
+        "dup_passages": _SQL_DUP_PASSAGES,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

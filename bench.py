@@ -168,6 +168,7 @@ def run_queries(spark, sdir):
         "grid_idw",
         "zonal_majority",
         "spans_text_profile",
+        "dup_passages",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

@@ -534,3 +534,108 @@ SELECT t.doc_id,
        CAST((SELECT count(*) FROM struck k WHERE k.doc_id = t.doc_id) AS INT) AS n_removed
 FROM t
 """
+
+
+def duplicate_passages(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-passage detection at k-gram granularity (the
+    practical form of suffix-array substring dedup a la "Deduplicating
+    Training Data Makes Language Models Better" — maximal runs of
+    corpus-duplicated k-grams instead of a distributed suffix array):
+
+    a token position participates when the k-gram starting there occurs
+    >= ``min_count`` times corpus-wide; consecutive participating
+    positions merge into one passage  (doc_id, start_tok, end_tok,
+    n_grams)  with ``end_tok = last_pos + k`` (token-exclusive end).
+
+    100 TB shape — fully native, zero UDF, text shuffles zero times:
+    k-gram frequency = ONE map-side-combined groupBy on xxhash64(gram)
+    (hashes only cross the wire; the DuckDB oracle groups by the exact
+    gram text — identical absent a 2^-64 collision, which could only
+    over-merge); the hit join ships (doc_id, pos, hash); the run merge is
+    the classic gap-and-islands: one lag window + one running sum + one
+    groupBy, all on narrow integer rows.
+    """
+    if k <= 0 or min_count < 2:
+        raise ValueError(f"need k > 0 and min_count >= 2, got k={k}, min_count={min_count}")
+    from pyspark.sql.window import Window
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    toks = F.split(F.col("__text"), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
+    )
+    pos_rows = (
+        base.where(n >= k)
+        .select("doc_id", F.posexplode(grams).alias("pos", "h"))
+    )
+    dup = (
+        pos_rows.groupBy("h")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("h")
+    )
+    hits = pos_rows.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "__new", F.when(F.col("pos") > F.lag("pos", 1, -2).over(w) + 1, 1).otherwise(0)
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return isl.groupBy("doc_id", "__isl").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + k).alias("end_tok"),
+        F.count("*").alias("n_grams"),
+    ).select("doc_id", "start_tok", "end_tok", "n_grams")
+
+
+def duplicate_passages_oracle_sql(
+    rel: str,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror (exact gram text instead of the engine hash — see the
+    collision note on :func:`duplicate_passages`)."""
+    kk = int(k)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, str_split({text_col}, ' ') AS toks
+  FROM {rel}
+),
+posr AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(toks[CAST(i+1 AS BIGINT):CAST(i+{kk} AS BIGINT)], ' ') AS gram
+  FROM t, LATERAL unnest(range(0, len(toks) - {kk} + 1)) AS u(i)
+  WHERE len(toks) >= {kk}
+),
+dup AS (
+  SELECT gram FROM posr GROUP BY gram HAVING count(*) >= {int(min_count)}
+),
+hits AS (
+  SELECT p.doc_id, p.pos FROM posr p JOIN dup d USING (gram)
+),
+flags AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos, 1, -2) OVER (PARTITION BY doc_id ORDER BY pos) + 1
+              THEN 1 ELSE 0 END AS nw
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+  FROM flags
+)
+SELECT doc_id, min(pos) AS start_tok, max(pos) + {kk} AS end_tok,
+       count(*) AS n_grams
+FROM isl GROUP BY doc_id, g
+"""

@@ -72,3 +72,39 @@ def test_oracle_parity(spark, table):
     for doc_id, clean, nseg, nrm in oracle:
         r = got[doc_id]
         assert (r.clean_text, r.n_segments, r.n_removed) == (clean, nseg, nrm)
+
+
+class TestDupPassages:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        shared = "p q r s t u v w x y"  # 10 tokens -> 3 dup 8-gram positions
+        rows = [
+            (0, "alpha " + shared + " beta gamma"),
+            (1, "delta " + shared + " epsilon"),
+            (2, "totally unrelated words only here nothing shared at all now"),
+            (3, "short doc"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_passages_found_and_merged(self, spark, corpus):
+        from gdal_common_python_spark.operators import dedup
+
+        out = {r.doc_id: r for r in dedup.duplicate_passages(corpus, k=8).collect()}
+        # doc 0: shared block starts at token 1, 3 consecutive dup positions
+        # (1..3), passage = [1, 3+8) = [1, 11)
+        assert out[0].start_tok == 1 and out[0].end_tok == 11 and out[0].n_grams == 3
+        assert out[1].start_tok == 1 and out[1].end_tok == 11
+        assert 2 not in out and 3 not in out
+
+    def test_stable_under_repartitioning(self, spark, corpus):
+        from gdal_common_python_spark.operators import dedup
+
+        a = dedup.duplicate_passages(corpus, k=8).collect()
+        b = dedup.duplicate_passages(corpus.repartition(5), k=8).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_validation(self, spark, corpus):
+        from gdal_common_python_spark.operators import dedup
+
+        with pytest.raises(ValueError):
+            dedup.duplicate_passages(corpus, k=0)
