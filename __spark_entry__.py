@@ -372,6 +372,23 @@ def q_spans_text_profile(spark, sf_dir):
     return text_ops.text_profile(docs.select("doc_id", txt.alias("text")))
 
 
+def q_explode_collections(spark, sf_dir):
+    """ogr2ogr -explodecollections analog: multipart split by pure ring
+    algebra (quantized shoelace signs + one running-count window)."""
+    from gdal_common_python_spark.operators import collections as coll_ops
+
+    return coll_ops.explode_collections(_synth(spark, sf_dir, "zones"))
+
+
+def q_raster_compare(spark, sf_dir):
+    """gdalcompare analog: pixel-exact comparison of two same-grid rasters
+    in one tile-key join + per-tile HOF fold."""
+    from gdal_common_python_spark.operators import rasterinfo as ri_ops
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return ri_ops.compare_rasters(tiles, ("r0", 1), ("r2", 1))
+
+
 def q_zonal_majority(spark, sf_dir):
     """MODE-family zonal statistics (majority/minority/variety — the
     gdal/QGIS zonal set beyond the reference's moment stats); ties break
@@ -1398,6 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_majority": q_zonal_majority,
         "spans_text_profile": q_spans_text_profile,
         "dup_passages": q_dup_passages,
+        "explode_collections": q_explode_collections,
+        "raster_compare": q_raster_compare,
     }
 
 
@@ -2767,6 +2786,17 @@ from gdal_common_python_spark.operators.rasterinfo import (
 _SQL_RASTER_INFO = _ri_sql(_TILES)
 del _ri_sql
 
+from gdal_common_python_spark.operators.collections import (
+    explode_collections_oracle_sql as _ec_sql,
+)
+from gdal_common_python_spark.operators.rasterinfo import (
+    compare_rasters_oracle_sql as _rc_sql,
+)
+
+_SQL_EXPLODE_COLLECTIONS = _ec_sql(_ZONES)
+_SQL_RASTER_COMPARE = _rc_sql(_TILES, ("r0", 1), ("r2", 1))
+del _ec_sql, _rc_sql
+
 # gdal_rasterize burn: the zonal pixel-center even-odd membership (same
 # machinery/CTEs), reported per PIXEL with max(zone_id) as the burn value
 _SQL_RASTERIZE = f"""
@@ -3306,6 +3336,8 @@ def oracle_sql() -> dict[str, str]:
         "zonal_majority": _SQL_ZONAL_MAJORITY,
         "spans_text_profile": _SQL_SPANS_TEXT_PROFILE,
         "dup_passages": _SQL_DUP_PASSAGES,
+        "explode_collections": _SQL_EXPLODE_COLLECTIONS,
+        "raster_compare": _SQL_RASTER_COMPARE,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -169,6 +169,8 @@ def run_queries(spark, sdir):
         "zonal_majority",
         "spans_text_profile",
         "dup_passages",
+        "explode_collections",
+        "raster_compare",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

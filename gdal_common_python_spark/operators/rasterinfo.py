@@ -304,3 +304,89 @@ SELECT raster_id, band, n_valid, vmin, vmax,
             ELSE 0.0 END AS stdev
 FROM agg
 """
+
+
+def compare_rasters(
+    tiles: DataFrame,
+    a: tuple[str, int],
+    b: tuple[str, int],
+) -> DataFrame:
+    """gdalcompare analog: pixel-level comparison of two same-grid
+    (raster_id, band) entries -> ONE row (n_pixels, n_diff, n_nodata_mismatch,
+    max_abs_diff):
+
+    - n_diff counts pixels whose stored values differ at all;
+    - n_nodata_mismatch counts pixels nodata on exactly one side;
+    - max_abs_diff is over both-valid pixels (0.0 when none differ).
+
+    Pure codegen: ONE tile-key equi-join (both sides pruned to their
+    entry), per-tile fold via a single zip_with + aggregate HOF (the
+    exchange carries one 4-field struct per tile), then a global
+    aggregate. Exact for the integer-raster discipline (max over exact
+    values; counts are counts)."""
+    ta = tiles.filter(
+        (F.col("raster_id") == a[0]) & (F.col("band") == int(a[1]))
+    ).select("tile_x", "tile_y", F.col("nodata").alias("nd_a"), F.col("pixels").alias("pa"))
+    tb = tiles.filter(
+        (F.col("raster_id") == b[0]) & (F.col("band") == int(b[1]))
+    ).select("tile_x", "tile_y", F.col("nodata").alias("nd_b"), F.col("pixels").alias("pb"))
+    j = ta.join(tb, ["tile_x", "tile_y"])
+    zero = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("d"),
+        F.lit(0).cast("long").alias("m"),
+        F.lit(0.0).alias("x"),
+    )
+
+    def step(acc, pair):
+        va, vb = pair["va"], pair["vb"]
+        a_nd = va == F.col("nd_a")
+        b_nd = vb == F.col("nd_b")
+        mism = a_nd != b_nd
+        both = ~a_nd & ~b_nd
+        diff = F.when(both, F.abs(va - vb)).otherwise(F.lit(0.0))
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            (acc["d"] + F.when(va != vb, 1).otherwise(0).cast("long")).alias("d"),
+            (acc["m"] + F.when(mism, 1).otherwise(0).cast("long")).alias("m"),
+            F.greatest(acc["x"], diff).alias("x"),
+        )
+
+    per_tile = j.select(
+        F.aggregate(
+            F.zip_with("pa", "pb", lambda x, y: F.struct(x.alias("va"), y.alias("vb"))),
+            zero,
+            step,
+        ).alias("t")
+    )
+    return per_tile.agg(
+        F.sum(F.col("t.n")).alias("n_pixels"),
+        F.sum(F.col("t.d")).alias("n_diff"),
+        F.sum(F.col("t.m")).alias("n_nodata_mismatch"),
+        F.max(F.col("t.x")).alias("max_abs_diff"),
+    )
+
+
+def compare_rasters_oracle_sql(
+    tiles_rel: str, a: tuple[str, int], b: tuple[str, int]
+) -> str:
+    """DuckDB mirror of :func:`compare_rasters`."""
+    return f"""
+WITH pa AS (
+  SELECT tile_x, tile_y, nodata AS nd_a,
+         generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS va
+  FROM {tiles_rel} WHERE raster_id = '{a[0]}' AND band = {int(a[1])}
+),
+pb AS (
+  SELECT tile_x, tile_y, nodata AS nd_b,
+         generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS vb
+  FROM {tiles_rel} WHERE raster_id = '{b[0]}' AND band = {int(b[1])}
+),
+j AS (SELECT * FROM pa JOIN pb USING (tile_x, tile_y, idx))
+SELECT CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(count(*) FILTER (va != vb) AS BIGINT) AS n_diff,
+       CAST(count(*) FILTER ((va = nd_a) != (vb = nd_b)) AS BIGINT) AS n_nodata_mismatch,
+       coalesce(max(CASE WHEN va != nd_a AND vb != nd_b THEN abs(va - vb) END), 0.0)
+         AS max_abs_diff
+FROM j
+"""
