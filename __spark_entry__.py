@@ -372,6 +372,22 @@ def q_spans_text_profile(spark, sf_dir):
     return text_ops.text_profile(docs.select("doc_id", txt.alias("text")))
 
 
+def q_raster_xyz(spark, sf_dir):
+    """gdal2xyz analog: shuffle-free pixel -> (gx, gy, world x/y, value)
+    export, nodata skipped."""
+    from gdal_common_python_spark.operators import rasterinfo as ri_ops
+
+    return ri_ops.raster_to_xyz(_synth(spark, sf_dir, "raster_tiles"), "r3", 1)
+
+
+def q_slippy_tiles(spark, sf_dir):
+    """gdal2tiles analog (tile-scheme step): XYZ/slippy tile ranges per
+    raster at zoom 6 — standard Web-Mercator scheme, pure codegen."""
+    from gdal_common_python_spark.operators import rasterinfo as ri_ops
+
+    return ri_ops.slippy_tiles(_synth(spark, sf_dir, "rasters"), 6)
+
+
 def q_explode_collections(spark, sf_dir):
     """ogr2ogr -explodecollections analog: multipart split by pure ring
     algebra (quantized shoelace signs + one running-count window)."""
@@ -1417,6 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_passages": q_dup_passages,
         "explode_collections": q_explode_collections,
         "raster_compare": q_raster_compare,
+        "raster_xyz": q_raster_xyz,
+        "slippy_tiles": q_slippy_tiles,
     }
 
 
@@ -2797,6 +2815,15 @@ _SQL_EXPLODE_COLLECTIONS = _ec_sql(_ZONES)
 _SQL_RASTER_COMPARE = _rc_sql(_TILES, ("r0", 1), ("r2", 1))
 del _ec_sql, _rc_sql
 
+from gdal_common_python_spark.operators.rasterinfo import (
+    raster_to_xyz_oracle_sql as _xyz_sql,
+    slippy_tiles_oracle_sql as _st_sql,
+)
+
+_SQL_RASTER_XYZ = _xyz_sql(_TILES, "r3", 1)
+_SQL_SLIPPY_TILES = _st_sql(_RASTERS, 6)
+del _xyz_sql, _st_sql
+
 # gdal_rasterize burn: the zonal pixel-center even-odd membership (same
 # machinery/CTEs), reported per PIXEL with max(zone_id) as the burn value
 _SQL_RASTERIZE = f"""
@@ -3338,6 +3365,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_passages": _SQL_DUP_PASSAGES,
         "explode_collections": _SQL_EXPLODE_COLLECTIONS,
         "raster_compare": _SQL_RASTER_COMPARE,
+        "raster_xyz": _SQL_RASTER_XYZ,
+        "slippy_tiles": _SQL_SLIPPY_TILES,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

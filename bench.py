@@ -171,6 +171,8 @@ def run_queries(spark, sdir):
         "dup_passages",
         "explode_collections",
         "raster_compare",
+        "raster_xyz",
+        "slippy_tiles",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

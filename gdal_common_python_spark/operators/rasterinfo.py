@@ -12,6 +12,7 @@ never an engine round() whose half-even/half-up convention could differ.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -389,4 +390,132 @@ SELECT CAST(count(*) AS BIGINT) AS n_pixels,
        coalesce(max(CASE WHEN va != nd_a AND vb != nd_b THEN abs(va - vb) END), 0.0)
          AS max_abs_diff
 FROM j
+"""
+
+
+def raster_to_xyz(
+    tiles: DataFrame,
+    raster_id: str,
+    band: int,
+    skip_nodata: bool = True,
+    tile_size: int = 32,
+) -> DataFrame:
+    """gdal2xyz analog: one row per pixel (gx, gy, x, y, value) with
+    world coordinates at pixel CENTERS. Pure codegen (posexplode +
+    arithmetic); ``skip_nodata`` mirrors gdal2xyz's -skipnodata.
+    Shuffle-free — the export is a narrow map over the tile table."""
+    src = tiles.filter((F.col("raster_id") == raster_id) & (F.col("band") == int(band)))
+    ex = src.select(
+        "nodata", "origin_x", "origin_y", "px_x", "px_y", "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("i", "value"),
+    )
+    gx = F.col("tile_x").cast("long") * tile_size + F.col("i") % F.col("tile_w")
+    gy = F.col("tile_y").cast("long") * tile_size + (F.col("i") / F.col("tile_w")).cast("long")
+    out = ex.select(
+        gx.alias("gx"),
+        gy.alias("gy"),
+        (F.col("origin_x") + (gx + F.lit(0.5)) * F.col("px_x")).alias("x"),
+        (F.col("origin_y") + (gy + F.lit(0.5)) * F.col("px_y")).alias("y"),
+        "value",
+        "nodata",
+    )
+    if skip_nodata:
+        out = out.where(F.col("value") != F.col("nodata"))
+    return out.drop("nodata")
+
+
+def raster_to_xyz_oracle_sql(
+    tiles_rel: str, raster_id: str, band: int, skip_nodata: bool = True, tile_size: int = 32
+) -> str:
+    nd = "WHERE v != nodata" if skip_nodata else ""
+    return f"""
+WITH px AS (
+  SELECT nodata, origin_x, origin_y, px_x, px_y,
+         CAST(tile_x AS BIGINT) * {tile_size} + (idx - 1) % tile_w AS gx,
+         CAST(tile_y AS BIGINT) * {tile_size} + (idx - 1) // tile_w AS gy,
+         v
+  FROM (
+    SELECT nodata, origin_x, origin_y, px_x, px_y, tile_x, tile_y, tile_w,
+           generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+    FROM {tiles_rel}
+    WHERE raster_id = '{raster_id}' AND band = {int(band)}
+  )
+)
+SELECT gx, gy,
+       origin_x + (gx + 0.5) * px_x AS x,
+       origin_y + (gy + 0.5) * px_y AS y,
+       v AS value
+FROM px {nd}
+"""
+
+
+def slippy_tiles(
+    rasters: DataFrame,
+    zoom: int,
+) -> DataFrame:
+    """gdal2tiles analog (the tile-scheme assignment step): for every
+    raster entry, the XYZ/slippy-map tile range its extent covers at
+    ``zoom`` — (raster_id, band, zoom, tx0, ty0, tx1, ty1, n_tiles).
+    Standard Web-Mercator scheme: tx = floor((lon+180)/360 * 2^z),
+    ty = floor((1 - ln(tan(lat) + sec(lat)) / pi) / 2 * 2^z), identical
+    IEEE trees both engines (rasters carry 4326 extents). Pure codegen."""
+    n = float(1 << int(zoom))
+
+    def tx(lon):
+        return F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+
+    def ty(lat):
+        rad = F.radians(lat)
+        return F.floor(
+            (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(np.pi))
+            / F.lit(2.0)
+            * F.lit(n)
+        ).cast("long")
+
+    lon0 = F.col("origin_x")
+    lon1 = F.col("origin_x") + F.col("width") * F.col("px_x")
+    lat0 = F.col("origin_y")  # north edge (px_y < 0)
+    lat1 = F.col("origin_y") + F.col("height") * F.col("px_y")
+    # clamp the east/south EDGES inward by half a pixel so an extent ending
+    # exactly on a tile boundary does not claim the next (empty) tile row
+    e = lon1 - F.col("px_x") * F.lit(0.5)
+    s = lat1 - F.col("px_y") * F.lit(0.5)
+    out = rasters.select(
+        "raster_id", "band",
+        F.lit(int(zoom)).alias("zoom"),
+        tx(lon0).alias("tx0"), ty(lat0).alias("ty0"),
+        tx(e).alias("tx1"), ty(s).alias("ty1"),
+    )
+    return out.withColumn(
+        "n_tiles",
+        ((F.col("tx1") - F.col("tx0") + 1) * (F.col("ty1") - F.col("ty0") + 1)).cast("long"),
+    )
+
+
+def slippy_tiles_oracle_sql(rasters_rel: str, zoom: int) -> str:
+    n = float(1 << int(zoom))
+    pi = repr(np.pi)
+
+    def tx(lon):
+        return f"CAST(floor((({lon}) + 180.0) / 360.0 * {n!r}) AS BIGINT)"
+
+    def ty(lat):
+        return (
+            f"CAST(floor((1.0 - ln(tan(radians({lat})) + 1.0 / cos(radians({lat}))) / {pi})"
+            f" / 2.0 * {n!r}) AS BIGINT)"
+        )
+
+    return f"""
+WITH b AS (
+  SELECT raster_id, band,
+         origin_x AS lon0, origin_y AS lat0,
+         origin_x + width * px_x - px_x * 0.5 AS lone,
+         origin_y + height * px_y - px_y * 0.5 AS lats
+  FROM {rasters_rel}
+)
+SELECT raster_id, band, {int(zoom)} AS zoom,
+       {tx('lon0')} AS tx0, {ty('lat0')} AS ty0,
+       {tx('lone')} AS tx1, {ty('lats')} AS ty1,
+       ({tx('lone')} - {tx('lon0')} + 1) * ({ty('lats')} - {ty('lat0')} + 1) AS n_tiles
+FROM b
 """

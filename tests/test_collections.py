@@ -64,3 +64,39 @@ class TestCompareRasters:
         tiles = spark.read.parquet(os.path.join(sf_dir, "raster_tiles.parquet"))
         r = rasterinfo.compare_rasters(tiles, ("r0", 1), ("r2", 1)).first()
         assert r.n_diff > 0 and 0 < r.max_abs_diff <= 255.0
+
+
+class TestXyzAndSlippy:
+    def test_xyz_counts_and_world_coords(self, spark, sf_dir):
+        from gdal_common_python_spark.operators import rasterinfo
+
+        tiles = spark.read.parquet(os.path.join(sf_dir, "raster_tiles.parquet"))
+        out = rasterinfo.raster_to_xyz(tiles, "r3", 1, skip_nodata=False)
+        rows = out.collect()
+        assert len(rows) == 96 * 96
+        r = next(x for x in rows if x.gx == 0 and x.gy == 0)
+        assert r.x == -119.87 + 0.5 * 0.2 and r.y == 44.63 - 0.5 * 0.2
+
+    def test_xyz_skip_nodata(self, spark, sf_dir):
+        from gdal_common_python_spark.operators import rasterinfo
+
+        tiles = spark.read.parquet(os.path.join(sf_dir, "raster_tiles.parquet"))
+        kept = rasterinfo.raster_to_xyz(tiles, "r3", 1).count()
+        assert 0 < kept < 96 * 96  # ~5% nodata stripped
+
+    def test_xyz_plan_shuffle_free(self, spark, sf_dir):
+        from gdal_common_python_spark.operators import rasterinfo
+
+        tiles = spark.read.parquet(os.path.join(sf_dir, "raster_tiles.parquet"))
+        plan = rasterinfo.raster_to_xyz(tiles, "r3", 1)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_slippy_known_tile(self, spark, sf_dir):
+        from gdal_common_python_spark.operators import rasterinfo
+
+        rasters = spark.read.parquet(os.path.join(sf_dir, "rasters.parquet"))
+        r = {x.raster_id: x for x in rasterinfo.slippy_tiles(rasters, 6).collect()}["r0"]
+        # lon -120 at z6: (-120+180)/360*64 = 10.66 -> 10; lat 45 -> ty 23
+        assert r.tx0 == 10 and r.ty0 == 23
+        assert r.tx1 >= r.tx0 and r.ty1 >= r.ty0
+        assert r.n_tiles == (r.tx1 - r.tx0 + 1) * (r.ty1 - r.ty0 + 1)
