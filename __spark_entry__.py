@@ -372,6 +372,19 @@ def q_spans_text_profile(spark, sf_dir):
     return text_ops.text_profile(docs.select("doc_id", txt.alias("text")))
 
 
+_VIEWSHED_OBS = [(20, 20), (64, 64), (100, 40), (40, 100), (90, 90)]
+
+
+def q_viewshed(spark, sf_dir):
+    """gdal_viewshed analog (-md bounded): integer DDA sight lines with
+    cross-multiplied angle tests — float-free blocking decisions; one
+    halo-exchange pass (operators/viewshed.py header)."""
+    from gdal_common_python_spark.operators import viewshed as vs_ops
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return vs_ops.viewshed(tiles, "r0", 1, _VIEWSHED_OBS, maxdist=12)
+
+
 def q_raster_xyz(spark, sf_dir):
     """gdal2xyz analog: shuffle-free pixel -> (gx, gy, world x/y, value)
     export, nodata skipped."""
@@ -1435,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_compare": q_raster_compare,
         "raster_xyz": q_raster_xyz,
         "slippy_tiles": q_slippy_tiles,
+        "viewshed": q_viewshed,
     }
 
 
@@ -2824,6 +2838,13 @@ _SQL_RASTER_XYZ = _xyz_sql(_TILES, "r3", 1)
 _SQL_SLIPPY_TILES = _st_sql(_RASTERS, 6)
 del _xyz_sql, _st_sql
 
+from gdal_common_python_spark.operators.viewshed import (
+    viewshed_oracle_sql as _vs_sql,
+)
+
+_SQL_VIEWSHED = _vs_sql(_TILES, "r0", 1, _VIEWSHED_OBS, maxdist=12)
+del _vs_sql
+
 # gdal_rasterize burn: the zonal pixel-center even-odd membership (same
 # machinery/CTEs), reported per PIXEL with max(zone_id) as the burn value
 _SQL_RASTERIZE = f"""
@@ -3367,6 +3388,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_compare": _SQL_RASTER_COMPARE,
         "raster_xyz": _SQL_RASTER_XYZ,
         "slippy_tiles": _SQL_SLIPPY_TILES,
+        "viewshed": _SQL_VIEWSHED,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -173,6 +173,7 @@ def run_queries(spark, sdir):
         "raster_compare",
         "raster_xyz",
         "slippy_tiles",
+        "viewshed",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)
