@@ -385,6 +385,14 @@ def q_viewshed(spark, sf_dir):
     return vs_ops.viewshed(tiles, "r0", 1, _VIEWSHED_OBS, maxdist=12)
 
 
+def q_tile_stats(spark, sf_dir):
+    """Per-tile min/max skipping index (the raster analog of parquet
+    row-group stats): zero shuffle, zero UDF — one aggregate HOF/tile."""
+    from gdal_common_python_spark.operators import rasterinfo as ri_ops
+
+    return ri_ops.tile_stats(_synth(spark, sf_dir, "raster_tiles"))
+
+
 def q_raster_xyz(spark, sf_dir):
     """gdal2xyz analog: shuffle-free pixel -> (gx, gy, world x/y, value)
     export, nodata skipped."""
@@ -1449,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_xyz": q_raster_xyz,
         "slippy_tiles": q_slippy_tiles,
         "viewshed": q_viewshed,
+        "tile_stats": q_tile_stats,
     }
 
 
@@ -2845,6 +2854,13 @@ from gdal_common_python_spark.operators.viewshed import (
 _SQL_VIEWSHED = _vs_sql(_TILES, "r0", 1, _VIEWSHED_OBS, maxdist=12)
 del _vs_sql
 
+from gdal_common_python_spark.operators.rasterinfo import (
+    tile_stats_oracle_sql as _ts_sql,
+)
+
+_SQL_TILE_STATS = _ts_sql(_TILES)
+del _ts_sql
+
 # gdal_rasterize burn: the zonal pixel-center even-odd membership (same
 # machinery/CTEs), reported per PIXEL with max(zone_id) as the burn value
 _SQL_RASTERIZE = f"""
@@ -3389,6 +3405,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_xyz": _SQL_RASTER_XYZ,
         "slippy_tiles": _SQL_SLIPPY_TILES,
         "viewshed": _SQL_VIEWSHED,
+        "tile_stats": _SQL_TILE_STATS,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -174,6 +174,7 @@ def run_queries(spark, sdir):
         "raster_xyz",
         "slippy_tiles",
         "viewshed",
+        "tile_stats",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

@@ -519,3 +519,50 @@ SELECT raster_id, band, {int(zoom)} AS zoom,
        ({tx('lone')} - {tx('lon0')} + 1) * ({ty('lats')} - {ty('lat0')} + 1) AS n_tiles
 FROM b
 """
+
+
+def tile_stats(tiles: DataFrame) -> DataFrame:
+    """Per-TILE statistics index (raster_id, band, tile_x, tile_y,
+    n_valid, vmin, vmax) — the raster analog of parquet row-group min/max
+    stats: a downstream reader (zonal with value filters, reclass, calc
+    thresholds) can prune whole tiles against a value predicate before
+    touching pixel arrays, exactly how the Iceberg-layout manifest prunes
+    files. ZERO shuffle, zero UDF — one aggregate HOF per tile row;
+    all-nodata tiles report n_valid = 0 with null bounds."""
+    zero = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("mn"),
+        F.lit(None).cast("double").alias("mx"),
+    )
+
+    def step(acc, v):
+        ok = v != F.col("nodata")
+        return F.struct(
+            (acc["n"] + F.when(ok, F.lit(1)).otherwise(F.lit(0)).cast("long")).alias("n"),
+            F.when(ok, F.least(F.coalesce(acc["mn"], v), v)).otherwise(acc["mn"]).alias("mn"),
+            F.when(ok, F.greatest(F.coalesce(acc["mx"], v), v)).otherwise(acc["mx"]).alias("mx"),
+        )
+
+    return tiles.select(
+        "raster_id", "band", "tile_x", "tile_y",
+        F.aggregate("pixels", zero, step).alias("t"),
+    ).select(
+        "raster_id", "band", "tile_x", "tile_y",
+        F.col("t.n").alias("n_valid"),
+        F.col("t.mn").alias("vmin"),
+        F.col("t.mx").alias("vmax"),
+    )
+
+
+def tile_stats_oracle_sql(tiles_rel: str) -> str:
+    return f"""
+SELECT raster_id, band, tile_x, tile_y,
+       CAST(count(*) FILTER (v != nodata) AS BIGINT) AS n_valid,
+       min(v) FILTER (v != nodata) AS vmin,
+       max(v) FILTER (v != nodata) AS vmax
+FROM (
+  SELECT raster_id, band, tile_x, tile_y, nodata, unnest(pixels) AS v
+  FROM {tiles_rel}
+)
+GROUP BY raster_id, band, tile_x, tile_y
+"""

@@ -37,3 +37,30 @@ def test_exchange_carries_tile_rows_not_pixels(spark, info):
     assert "Python" not in plan
     # no explode/generate before the exchange: the tile fold is a HOF
     assert "Generate" not in plan
+
+
+class TestTileStats:
+    def test_matches_numpy_per_tile(self, spark, info):
+        from gdal_common_python_spark.operators import rasterinfo
+
+        tiles, _ = info
+        got = {
+            (r.raster_id, r.band, r.tile_x, r.tile_y): r
+            for r in rasterinfo.tile_stats(tiles).collect()
+        }
+        for t in tiles.collect():
+            p = np.asarray(t.pixels, dtype=np.float64)
+            v = p[p != t.nodata]
+            g = got[(t.raster_id, t.band, t.tile_x, t.tile_y)]
+            assert g.n_valid == len(v)
+            if len(v):
+                assert g.vmin == v.min() and g.vmax == v.max()
+            else:
+                assert g.vmin is None and g.vmax is None
+
+    def test_plan_exchange_and_python_free(self, spark, info):
+        from gdal_common_python_spark.operators import rasterinfo
+
+        tiles, _ = info
+        plan = rasterinfo.tile_stats(tiles)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
