@@ -14,28 +14,30 @@ Output is SPARSE: one row per covered pixel (gc, gr, burn_value) — the
 dense raster is a left join + nodata coalesce away, and at 100 TB sparse
 rows are the shape the next operator wants anyway.
 
-Distributed shape (the zonal plan): window snap -> overlapped-tile
+Distributed shape (the re-keyed zonal plan): window snap -> overlapped-tile
 equi-join (partition pruning by construction, window side broadcast while
-dimension-sized) -> per-zone grouped Arrow kernel (quantized-ring cache
-per window) -> pixel groupBy max. Shuffle ∝ covered pixels + tile rows,
-never the full raster.
+dimension-sized) -> mapInPandas over the candidate rows: each (zone, tile)
+row is masked where it sits (zero shuffle into the kernel; quantized-ring
+cache per (zone, window) per task) -> pixel groupBy max. A zone covering a
+continent spreads over as many tasks as it has tiles — never one task per
+zone. Shuffle ∝ covered pixels + tile rows, never the full raster.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..kernels import geom, proj
-from ..kernels import raster as rk
-from .zonal import window_tiles
+from .zonal import join_zone_rings, joined_rings_of, row_tile_mask, window_tiles
 
 _BURN_T = T.StructType(
     [
         T.StructField("zone_id", T.LongType()),
-        T.StructField("gcs", T.ArrayType(T.LongType())),
-        T.StructField("grs", T.ArrayType(T.LongType())),
+        T.StructField("gc", T.LongType()),
+        T.StructField("gr", T.LongType()),
     ]
 )
 
@@ -54,65 +56,51 @@ def rasterize_burn(
     r1 = rasters.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
     t1 = tiles.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
     # the burn op never reads pixel VALUES — drop the array before the
-    # grouped kernel so column pruning keeps the heavy column out of the
+    # tile kernel so column pruning keeps the heavy column out of the
     # window join and the Arrow transfer entirely
-    cand = window_tiles(zones, r1, t1, tile_size).drop("pixels")
-    if "rings4326" in zones.columns:
-        zr = zones.select(
-            "zone_id", F.col("rings4326").alias("__rings"), F.lit(4326).alias("__srid")
-        )
-    else:
-        zr = zones.select(
-            "zone_id", F.col("rings").alias("__rings"), F.col("srid").alias("__srid")
-        )
-    cand = cand.join(zr, "zone_id")
+    cand = join_zone_rings(window_tiles(zones, r1, t1, tile_size).drop("pixels"), zones)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        zid = int(pdf["zone_id"].iloc[0])
-        rings = geom.rings_from_cell(pdf["__rings"].iloc[0])
-        srid = int(pdf["__srid"].iloc[0])
-        if srid != 4326:
-            rings = proj.transform_rings(rings, srid, 4326)
-        gcs: list[int] = []
-        grs: list[int] = []
-        qcache: dict[tuple, list] = {}
-        for row in pdf.itertuples(index=False):
-            key = (row.win_ox, row.win_oy, row.px_x, row.px_y)
-            edges = qcache.get(key)
-            if edges is None:
-                q = rk.quantize_rings(rings, row.win_ox, row.win_oy, row.px_x, row.px_y)
-                edges = geom.rings_to_edges(q)
-                qcache[key] = edges
-            tgx = int(row.tile_x) * tile_size
-            tgy = int(row.tile_y) * tile_size
-            c0 = max(int(row.off_x), tgx) - int(row.off_x)
-            c1 = min(int(row.off_x + row.res_x), tgx + row.tile_w) - int(row.off_x)
-            r0 = max(int(row.off_y), tgy) - int(row.off_y)
-            r1_ = min(int(row.off_y + row.res_y), tgy + row.tile_h) - int(row.off_y)
-            if c1 <= c0 or r1_ <= r0:
-                continue
-            m = rk.mask_subwindow(edges, c0, c1, r0, r1_)
-            my, mx = np.nonzero(m)
-            gcs.extend((mx + c0 + int(row.off_x)).tolist())
-            grs.extend((my + r0 + int(row.off_y)).tolist())
-        if not gcs:
-            return pd.DataFrame(columns=[f.name for f in _BURN_T.fields])
-        return pd.DataFrame([(zid, gcs, grs)], columns=[f.name for f in _BURN_T.fields])
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qcache: dict[tuple, np.ndarray] = {}
+        for pdf in batches:
+            rings_of = joined_rings_of(pdf)
+            out_z: list[int] = []
+            out_c: list[np.ndarray] = []
+            out_r: list[np.ndarray] = []
+            cols = [c for c in pdf.columns if not c.startswith("__")]
+            for i, row in enumerate(pdf[cols].itertuples(index=False)):
+                zid = int(row.zone_id)
+                hit = row_tile_mask(row, rings_of(i, zid), tile_size, qcache)
+                if hit is None:
+                    continue
+                m, c0, r0, _lc0, _lr0 = hit
+                my, mx = np.nonzero(m)
+                if len(mx) == 0:
+                    continue
+                out_z.extend([zid] * len(mx))
+                out_c.append(mx.astype(np.int64) + (c0 + int(row.off_x)))
+                out_r.append(my.astype(np.int64) + (r0 + int(row.off_y)))
+            yield pd.DataFrame(
+                {
+                    "zone_id": pd.Series(out_z, dtype="int64"),
+                    "gc": pd.Series(
+                        np.concatenate(out_c) if out_c else [], dtype="int64"
+                    ),
+                    "gr": pd.Series(
+                        np.concatenate(out_r) if out_r else [], dtype="int64"
+                    ),
+                }
+            )
 
-    per_zone = cand.groupBy("zone_id").applyInPandas(kernel, schema=_BURN_T)
-    return (
-        per_zone.select("zone_id", F.explode(F.arrays_zip("gcs", "grs")).alias("z"))
-        .select("zone_id", F.col("z.gcs").alias("gc"), F.col("z.grs").alias("gr"))
-        .groupBy("gc", "gr")
-        .agg(F.max("zone_id").alias("burn_value"))
-    )
+    covered = cand.mapInPandas(kernel, schema=_BURN_T)
+    return covered.groupBy("gc", "gr").agg(F.max("zone_id").alias("burn_value"))
 
 
 _VC_T = T.StructType(
     [
         T.StructField("zone_id", T.LongType()),
-        T.StructField("vals", T.ArrayType(T.DoubleType())),
-        T.StructField("cnts", T.ArrayType(T.LongType())),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("cnt", T.LongType()),
     ]
 )
 
@@ -129,65 +117,47 @@ def zonal_value_counts(
     """(zone_id, value, cnt) — per-zone histogram of the (raster_id, band)
     pixels whose centers fall inside the zone (same membership kernel as
     the zonal gates), nodata excluded. The value-level table behind the
-    MODE-family zonal statistics (:func:`zonal_majority`). Shuffle ∝
-    zones × distinct values, never pixels."""
+    MODE-family zonal statistics (:func:`zonal_majority`). Emitted per
+    (zone, tile) by the shared mapInPandas kernel, merged by a map-side
+    combined groupBy — shuffle ∝ zones × distinct values, never pixels,
+    and no per-zone Python task anywhere."""
     r1 = rasters.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
     t1 = tiles.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
-    cand = window_tiles(zones, r1, t1, tile_size)
-    if "rings4326" in zones.columns:
-        zr = zones.select(
-            "zone_id", F.col("rings4326").alias("__rings"), F.lit(4326).alias("__srid")
-        )
-    else:
-        zr = zones.select(
-            "zone_id", F.col("rings").alias("__rings"), F.col("srid").alias("__srid")
-        )
-    cand = cand.join(zr, "zone_id")
+    cand = join_zone_rings(window_tiles(zones, r1, t1, tile_size), zones)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        zid = int(pdf["zone_id"].iloc[0])
-        rings = geom.rings_from_cell(pdf["__rings"].iloc[0])
-        srid = int(pdf["__srid"].iloc[0])
-        if srid != 4326:
-            rings = proj.transform_rings(rings, srid, 4326)
-        counts: dict[float, int] = {}
-        qcache: dict[tuple, list] = {}
-        for row in pdf.itertuples(index=False):
-            key = (row.win_ox, row.win_oy, row.px_x, row.px_y)
-            edges = qcache.get(key)
-            if edges is None:
-                q = rk.quantize_rings(rings, row.win_ox, row.win_oy, row.px_x, row.px_y)
-                edges = geom.rings_to_edges(q)
-                qcache[key] = edges
-            tgx = int(row.tile_x) * tile_size
-            tgy = int(row.tile_y) * tile_size
-            c0 = max(int(row.off_x), tgx) - int(row.off_x)
-            c1 = min(int(row.off_x + row.res_x), tgx + row.tile_w) - int(row.off_x)
-            r0 = max(int(row.off_y), tgy) - int(row.off_y)
-            r1_ = min(int(row.off_y + row.res_y), tgy + row.tile_h) - int(row.off_y)
-            if c1 <= c0 or r1_ <= r0:
-                continue
-            m = rk.mask_subwindow(edges, c0, c1, r0, r1_)
-            px = np.asarray(row.pixels, dtype=np.float64).reshape(row.tile_h, row.tile_w)
-            lc0 = c0 + int(row.off_x) - tgx
-            lr0 = r0 + int(row.off_y) - tgy
-            vals = px[lr0 : lr0 + (r1_ - r0), lc0 : lc0 + (c1 - c0)][m]
-            vals = vals[vals != row.nodata]
-            uv, uc = np.unique(vals, return_counts=True)
-            for v, c in zip(uv, uc):
-                counts[float(v)] = counts.get(float(v), 0) + int(c)
-        if not counts:
-            return pd.DataFrame(columns=[f.name for f in _VC_T.fields])
-        ks = sorted(counts)
-        return pd.DataFrame(
-            [(zid, ks, [counts[k] for k in ks])],
-            columns=[f.name for f in _VC_T.fields],
-        )
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qcache: dict[tuple, np.ndarray] = {}
+        for pdf in batches:
+            rings_of = joined_rings_of(pdf)
+            out_z, out_v, out_c = [], [], []
+            cols = [c for c in pdf.columns if not c.startswith("__")]
+            for i, row in enumerate(pdf[cols].itertuples(index=False)):
+                zid = int(row.zone_id)
+                hit = row_tile_mask(row, rings_of(i, zid), tile_size, qcache)
+                if hit is None:
+                    continue
+                m, _c0, _r0, lc0, lr0 = hit
+                px = np.asarray(row.pixels, dtype=np.float64).reshape(
+                    row.tile_h, row.tile_w
+                )
+                vals = px[lr0 : lr0 + m.shape[0], lc0 : lc0 + m.shape[1]][m]
+                vals = vals[vals != row.nodata]
+                if len(vals) == 0:
+                    continue
+                uv, uc = np.unique(vals, return_counts=True)
+                out_z.extend([zid] * len(uv))
+                out_v.extend(uv.tolist())
+                out_c.extend(uc.tolist())
+            yield pd.DataFrame(
+                {
+                    "zone_id": pd.Series(out_z, dtype="int64"),
+                    "value": pd.Series(out_v, dtype="float64"),
+                    "cnt": pd.Series(out_c, dtype="int64"),
+                }
+            )
 
-    per_zone = cand.groupBy("zone_id").applyInPandas(kernel, schema=_VC_T)
-    return per_zone.select(
-        "zone_id", F.explode(F.arrays_zip("vals", "cnts")).alias("z")
-    ).select("zone_id", F.col("z.vals").alias("value"), F.col("z.cnts").alias("cnt"))
+    hist = cand.mapInPandas(kernel, schema=_VC_T)
+    return hist.groupBy("zone_id", "value").agg(F.sum("cnt").alias("cnt"))
 
 
 def zonal_majority(

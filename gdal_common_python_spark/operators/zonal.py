@@ -5,22 +5,36 @@ rasterize a mask (R3), collect masked pixels per raster (R4), then compute
 MIN/MAX/MEAN/MEDIAN/VARIANCE/STDEV/PERC90 over the COMBINED pixel pool with
 per-raster counts (lib/zonal.py:141-162). Single-threaded, per-pixel Python.
 
-Engine plan (two shuffles):
+Engine plan (re-keyed per (zone, tile) — no per-zone task anywhere):
   1. windows = tile_assign(zones x raster entries)   [native codegen]
   2. explode windows to overlapped tile coords, equi-join raster_tiles on
      (raster_id, band, tile_x, tile_y)               [broadcast or SMJ]
-  3. groupBy(zone_id).applyInPandas(kernel): per distinct grid+window the
-     zone's rings are quantized ONCE and the mask is evaluated only on each
-     tile's slice (mask_subwindow) — the identical-raster fast path
-     (lib/zonal.py:69-89,130-137) falls out of the layout: entries sharing a
-     grid share the quantized rings.
-  4. zones with no window/tiles are restored with all-zero rows
-     (lib/zonal.py:201-208 empty semantics) via a left anti-join union.
+  3. mapInPandas over the join output: each candidate (zone, tile) row is
+     masked WHERE IT SITS (zero shuffle into the kernel; the zone's rings
+     are quantized once per (zone, window) per task and the mask is
+     evaluated only on the tile's slice) and emits the tile's masked VALUE
+     HISTOGRAM rows (zone_id, raster_id, band, value, cnt). A
+     continent-sized zone therefore spreads over as many tasks as it has
+     candidate tiles — the one-task-per-zone straggler/OOM of the previous
+     groupBy(zone_id).applyInPandas shape is gone, and what shuffles
+     downstream is counts per distinct value, never the pixel multiset.
+  4. counts: groupBy(zone, raster, band).sum(cnt)    [map-side combined]
+  5. stats: merge the per-zone histogram natively (groupBy(zone, value)
+     then one window pass) and read every statistic off the count
+     histogram — min/max/mean/var from exact moments, median/perc90 by
+     NEAREST RANK over the cumulative counts with the exact reference
+     index conventions (lib/zonal.py:235,237; the same technique as
+     operators/quantiles.py). No Python past step 3.
+  6. zones with no window/tiles/valid pixels are restored with all-zero
+     rows (lib/zonal.py:201-208 empty semantics) via a left join.
 
 Two stat modes:
-- ``exact_formulas`` (default): the A6 reference formulas verbatim
-  (incremental mean sum(v/n), two-pass population variance) — floating-point
-  faithful to the reference up to summation order.
+- ``exact_formulas`` (default): the A6 reference formulas re-read off the
+  histogram — mean is the sum-of-(v/n) form (lib/zonal.py:213-215) summed
+  in ascending-value order, variance the two-pass population form —
+  floating-point faithful to the reference up to summation order (the
+  previous per-zone kernel was already order-nondeterministic; this form
+  is deterministic).
 - ``hash_safe``: identical values computed from exact integer moments
   (sum, sum of squares are exact in float64 for integral pixel values), so
   the result is bit-reproducible across engines — used by the driver
@@ -33,9 +47,12 @@ Output is long-format counts plus per-zone stats; the reference's wide
 
 from __future__ import annotations
 
+from typing import Callable, Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window
 
 from ..kernels import geom, proj, raster as rk
 from .tile_assign import tile_assign
@@ -60,6 +77,16 @@ _COUNTS_SCHEMA = T.StructType(
         T.StructField("raster_id", T.StringType()),
         T.StructField("band", T.IntegerType()),
         T.StructField("pixel_count", T.LongType()),
+    ]
+)
+
+_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("cnt", T.LongType()),
     ]
 )
 
@@ -109,6 +136,74 @@ def window_tiles(
     return t.join(w, ["raster_id", "band", "tile_x", "tile_y"])
 
 
+def join_zone_rings(cand: DataFrame, zones: DataFrame) -> DataFrame:
+    """Attach the zone ring payload (``__rings``/``__srid``) to candidate
+    rows — the zero-driver-materialization path shared by every re-keyed
+    tile kernel (zonal stats, rasterize burn, value counts)."""
+    if "rings4326" in zones.columns:
+        zr = zones.select(
+            "zone_id", F.col("rings4326").alias("__rings"), F.lit(4326).alias("__srid")
+        )
+    else:
+        zr = zones.select(
+            "zone_id", F.col("rings").alias("__rings"), F.col("srid").alias("__srid")
+        )
+    return cand.join(zr, "zone_id")
+
+
+def joined_rings_of(pdf: pd.DataFrame) -> Callable:
+    """Per-batch ring accessor for kernels over :func:`join_zone_rings`
+    output: ``rings_of(i, zone_id)`` -> 4326 rings, cached per zone so a
+    task touching many tiles of one zone parses/reprojects once."""
+    cells = pdf["__rings"].tolist()
+    srids = pdf["__srid"].tolist()
+    cache: dict[int, list] = {}
+
+    def rings_of(i: int, zid: int):
+        rr = cache.get(zid)
+        if rr is None:
+            rr = geom.rings_from_cell(cells[i])
+            srid = int(srids[i])
+            if srid != 4326:
+                rr = proj.transform_rings(rr, srid, 4326)
+            cache[zid] = rr
+        return rr
+
+    return rings_of
+
+
+def row_tile_mask(row, rings, tile_size: int, qcache: dict):
+    """Mask ONE candidate (zone, tile) row's slice of its zone window —
+    the shared geometric core of every tile kernel. Quantizes the zone's
+    rings once per (zone, window) per task (``qcache``), evaluates the R3
+    pixel-center even-odd mask only on the tile's sub-window.
+
+    Returns ``None`` when the tile-window overlap is empty, else
+    ``(mask, c0, r0, lc0, lr0)`` — mask over the overlap slice, (c0, r0)
+    the slice origin in window coords, (lc0, lr0) in tile-local coords."""
+    zid = int(row.zone_id)
+    key = (zid, row.win_ox, row.win_oy, row.px_x, row.px_y)
+    edges = qcache.get(key)
+    if edges is None:
+        q = rk.quantize_rings(rings, row.win_ox, row.win_oy, row.px_x, row.px_y)
+        edges = geom.rings_to_edges(q)
+        qcache[key] = edges
+    # global tile pixel origin (nominal tile_size grid; edge tiles may be
+    # smaller than tile_size but sit on the nominal grid)
+    tgx = int(row.tile_x) * tile_size
+    tgy = int(row.tile_y) * tile_size
+    c0 = max(int(row.off_x), tgx) - int(row.off_x)
+    c1 = min(int(row.off_x + row.res_x), tgx + row.tile_w) - int(row.off_x)
+    r0 = max(int(row.off_y), tgy) - int(row.off_y)
+    r1 = min(int(row.off_y + row.res_y), tgy + row.tile_h) - int(row.off_y)
+    if c1 <= c0 or r1 <= r0:
+        return None
+    m = rk.mask_subwindow(edges, c0, c1, r0, r1)
+    lc0 = c0 + int(row.off_x) - tgx
+    lr0 = r0 + int(row.off_y) - tgy
+    return m, c0, r0, lc0, lr0
+
+
 _STAT_NAMES = ("min", "max", "mean", "median", "var", "stdev", "perc90")
 
 # reference-accepted aliases (lib/zonal.py:175-201 name dispatch)
@@ -151,7 +246,7 @@ def zonal_statistics(
 
     rings_mode: 'broadcast' collects the zone rings once to a broadcast dict
     (dimension-sized zone layers — no per-row ring payload through the
-    shuffle); 'join' ships rings as a joined column into the grouped kernel
+    shuffle); 'join' ships rings as a joined column into the tile kernel
     — zero driver-side zone materialization, the path for zone sides too
     large to collect. 'auto' counts the zone side and picks.
     """
@@ -202,54 +297,37 @@ def zonal_statistics(
                 rect[int(zid)] = proj.transform_rings(geom.rings_from_cell(rings), int(srid), 4326)
         bc_rings = spark.sparkContext.broadcast({z: [r.tolist() for r in rr] for z, rr in rect.items()})
 
-        def get_rings(pdf: pd.DataFrame):
-            zid = int(pdf["zone_id"].iloc[0])
-            return [np.asarray(r, dtype=np.float64) for r in bc_rings.value.get(zid, [])]
+        def make_rings_of(pdf: pd.DataFrame, task_cache: dict) -> Callable:
+            def rings_of(i: int, zid: int):
+                rr = task_cache.get(zid)
+                if rr is None:
+                    rr = [np.asarray(r, dtype=np.float64) for r in bc_rings.value.get(zid, [])]
+                    task_cache[zid] = rr
+                return rr
+
+            return rings_of
 
     else:
-        if "rings4326" in zones.columns:
-            zr = zones.select(
-                "zone_id", F.col("rings4326").alias("__rings"), F.lit(4326).alias("__srid")
-            )
-        else:
-            zr = zones.select("zone_id", F.col("rings").alias("__rings"), F.col("srid").alias("__srid"))
-        cand = cand.join(zr, "zone_id")
+        cand = join_zone_rings(cand, zones)
 
-        def get_rings(pdf: pd.DataFrame):
-            rr = geom.rings_from_cell(pdf["__rings"].iloc[0])
-            srid = int(pdf["__srid"].iloc[0])
-            return rr if srid == 4326 else proj.transform_rings(rr, srid, 4326)
+        def make_rings_of(pdf: pd.DataFrame, task_cache: dict) -> Callable:
+            return joined_rings_of(pdf)
 
-    def kernel(pdf: pd.DataFrame):
-        zid = int(pdf["zone_id"].iloc[0])
-        rings = get_rings(pdf)
-        counts: dict[tuple, int] = {}
-        values = []
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qcache: dict[tuple, np.ndarray] = {}
-        for row in pdf.itertuples(index=False):
-            key = (row.win_ox, row.win_oy, row.px_x, row.px_y)
-            edges = qcache.get(key)
-            if edges is None:
-                q = rk.quantize_rings(rings, row.win_ox, row.win_oy, row.px_x, row.px_y)
-                edges = geom.rings_to_edges(q)
-                qcache[key] = edges
-            # global tile pixel origin (nominal tile_size grid; edge tiles
-            # may be smaller than tile_size but sit on the nominal grid)
-            tgx = int(row.tile_x) * tile_size
-            tgy = int(row.tile_y) * tile_size
-            c0 = max(int(row.off_x), tgx) - int(row.off_x)
-            c1 = min(int(row.off_x + row.res_x), tgx + row.tile_w) - int(row.off_x)
-            r0 = max(int(row.off_y), tgy) - int(row.off_y)
-            r1 = min(int(row.off_y + row.res_y), tgy + row.tile_h) - int(row.off_y)
-            if c1 <= c0 or r1 <= r0:
-                n_vals = 0
-            else:
-                m = rk.mask_subwindow(edges, c0, c1, r0, r1)
+        rcache: dict[int, list] = {}
+        for pdf in batches:
+            rings_of = make_rings_of(pdf, rcache)
+            out_z, out_r, out_b, out_v, out_c = [], [], [], [], []
+            cols = [c for c in pdf.columns if not c.startswith("__")]
+            for i, row in enumerate(pdf[cols].itertuples(index=False)):
+                zid = int(row.zone_id)
+                hit = row_tile_mask(row, rings_of(i, zid), tile_size, qcache)
+                if hit is None:
+                    continue
+                m, _c0, _r0, lc0, lr0 = hit
                 px = np.asarray(row.pixels, dtype=np.float64).reshape(row.tile_h, row.tile_w)
-                # same slice in tile-local coords
-                lc0 = c0 + int(row.off_x) - tgx
-                lr0 = r0 + int(row.off_y) - tgy
-                sl = px[lr0 : lr0 + (r1 - r0), lc0 : lc0 + (c1 - c0)]
+                sl = px[lr0 : lr0 + m.shape[0], lc0 : lc0 + m.shape[1]]
                 vals = sl[m]
                 if ignore_nodata:
                     vals = vals[vals != row.nodata]
@@ -258,36 +336,34 @@ def zonal_statistics(
                         vals = vals[~np.asarray(ignore_values(vals), dtype=bool)]
                     else:
                         vals = vals[~np.isin(vals, ignore_values)]
-                values.append(vals)
-                n_vals = len(vals)
-            k = (row.raster_id, int(row.band))
-            counts[k] = counts.get(k, 0) + n_vals
-        v = np.concatenate(values) if values else np.array([], dtype=np.float64)
-        st = _stats_values(v, hash_safe)
-        out = [
-            {
-                "zone_id": zid,
-                "raster_id": rid,
-                "band": b,
-                "pixel_count": c,
-                **st,
-                "count_total": int(len(v)),
-            }
-            for (rid, b), c in counts.items()
-        ]
-        return pd.DataFrame(out)
+                if len(vals) == 0:
+                    continue
+                uv, uc = np.unique(vals, return_counts=True)
+                out_z.extend([zid] * len(uv))
+                out_r.extend([row.raster_id] * len(uv))
+                out_b.extend([int(row.band)] * len(uv))
+                out_v.extend(uv.tolist())
+                out_c.extend(uc.tolist())
+            yield pd.DataFrame(
+                {
+                    "zone_id": pd.Series(out_z, dtype="int64"),
+                    "raster_id": pd.Series(out_r, dtype="object"),
+                    "band": pd.Series(out_b, dtype="int32"),
+                    "value": pd.Series(out_v, dtype="float64"),
+                    "cnt": pd.Series(out_c, dtype="int64"),
+                }
+            )
 
-    combined_schema = T.StructType(list(_COUNTS_SCHEMA.fields) + [f for f in _STATS_SCHEMA.fields if f.name != "zone_id"])
-    grouped = cand.groupBy("zone_id").applyInPandas(kernel, schema=combined_schema)
-    # two consumers (counts + stats) read the expensive kernel output — a
-    # legit barrier; the SAME handle rides both results, so util.release()
+    hist = cand.mapInPandas(kernel, schema=_HIST_SCHEMA)
+    # two consumers (counts + stats) read the kernel output — a legit
+    # barrier; the SAME handle rides both results, so util.release()
     # belongs after BOTH are consumed (util.release docstring)
-    grouped = grouped.cache()
+    hist = hist.cache()
 
-    counts = grouped.select("zone_id", "raster_id", "band", "pixel_count")
-    stats = grouped.select(
-        "zone_id", "count_total", "min", "max", "mean", "median", "var", "stdev", "perc90"
-    ).dropDuplicates(["zone_id"])
+    counts = hist.groupBy("zone_id", "raster_id", "band").agg(
+        F.sum("cnt").alias("pixel_count")
+    )
+    stats = _stats_from_histogram(hist, hash_safe)
 
     # zero rows for zones with no candidates and (zone, entry) pairs with no tiles
     entries = rasters.select("raster_id", "band").distinct()
@@ -309,10 +385,69 @@ def zonal_statistics(
     )
     from .util import track_persisted
 
-    return track_persisted(stats, grouped), track_persisted(counts, grouped)
+    return track_persisted(stats, hist), track_persisted(counts, hist)
+
+
+def _stats_from_histogram(hist: DataFrame, hash_safe: bool) -> DataFrame:
+    """A6 statistics read entirely off the (zone, value, cnt) histogram —
+    native plan, no Python. Median/perc90 are NEAREST RANK over the
+    cumulative counts with the exact reference index conventions:
+
+    - median 1-based rank = ((round_half_even(0.5*n) - 1 + n) mod n) + 1
+      (lib/zonal.py:235 incl. the n==1 wraparound; ``F.bround`` is IEEE
+      half-even on the exact binary 0.5*n, identical to the Python rule);
+    - perc90 1-based rank = ceil(0.9*n) (lib/zonal.py:237).
+
+    ``hash_safe`` reads mean/var from exact moments (sum, sum-of-squares);
+    the default reads the reference's sum-of-(v/n) mean and two-pass
+    population variance, summed in ascending-value order.
+    """
+    zh = hist.groupBy("zone_id", "value").agg(F.sum("cnt").alias("c"))
+    # full-frame window ordered by value: shares ONE (zone_id, value) sort
+    # with the cumulative window AND pins the float summation order
+    wz = (
+        Window.partitionBy("zone_id")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = (
+        Window.partitionBy("zone_id")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zh = zh.withColumn("n", F.sum("c").over(wz)).withColumn(
+        "cum", F.sum("c").over(wo)
+    )
+    v, c, n = F.col("value"), F.col("c"), F.col("n")
+    if hash_safe:
+        zh = zh.withColumn("zmean", F.sum(v * c).over(wz) / n)
+        var_agg = (
+            F.sum(v * v * c) / F.max("n") - F.max("zmean") * F.max("zmean")
+        ).alias("var")
+    else:
+        zh = zh.withColumn("zmean", F.sum(v / n * c).over(wz))
+        var_agg = F.sum((v - F.col("zmean")) * (v - F.col("zmean")) / n * c).alias("var")
+    rank_med = ((F.bround(n * 0.5).cast("long") - 1 + n) % n) + 1
+    rank_p90 = F.ceil(n * 0.9)
+    out = zh.groupBy("zone_id").agg(
+        F.max("n").alias("count_total"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.max("zmean").alias("mean"),
+        F.min(F.when(F.col("cum") >= rank_med, v)).alias("median"),
+        var_agg,
+        F.min(F.when(F.col("cum") >= rank_p90, v)).alias("perc90"),
+    )
+    return out.select(
+        "zone_id", "count_total", "min", "max", "mean", "median", "var",
+        F.sqrt("var").alias("stdev"), "perc90",
+    )
 
 
 def _stats_values(v: np.ndarray, hash_safe: bool) -> dict:
+    """Local (numpy) A6 stats kernel over a value array — the single-node
+    reference for what :func:`_stats_from_histogram` computes distributed;
+    kept for unit tests and small in-process use."""
     if len(v) == 0:
         return {k: 0.0 for k in ("min", "max", "mean", "median", "var", "stdev", "perc90")}
     n = len(v)
