@@ -87,6 +87,84 @@ def _edge_points(edge, level, j, i, v00, v01, v10, v11):
     return j.astype(np.float64), i + (level - v00) / (v10 - v00)  # left
 
 
+def _march_tile(c, pad, lvls, tile_size: int) -> pd.DataFrame:
+    """Marching-squares over one assembled tile -> segment rows plus the
+    level INDEX (`lvl_ix`) — shared by the plain segment kernel and the
+    local-stitch kernel so the two paths cannot drift."""
+    w, h = int(c.bw), int(c.bh)
+    nodata = float(c.nodata)
+    valid = (~np.isnan(pad)) & (pad != nodata)
+    # cell corners for cells whose top-left pixel is a core pixel:
+    # padded rows 1..1+h, cols 1..1+w
+    v00 = pad[1 : 1 + h, 1 : 1 + w]
+    v01 = pad[1 : 1 + h, 2 : 2 + w]
+    v10 = pad[2 : 2 + h, 1 : 1 + w]
+    v11 = pad[2 : 2 + h, 2 : 2 + w]
+    ok = (
+        valid[1 : 1 + h, 1 : 1 + w]
+        & valid[1 : 1 + h, 2 : 2 + w]
+        & valid[2 : 2 + h, 1 : 1 + w]
+        & valid[2 : 2 + h, 2 : 2 + w]
+    )
+    ii, jj = np.mgrid[0:h, 0:w]
+    gx0 = int(c.tile_x) * tile_size
+    gy0 = int(c.tile_y) * tile_size
+    out: list[pd.DataFrame] = []
+    for lv_ix, lv in enumerate(lvls):
+        case = (
+            (v00 >= lv).astype(np.int8)
+            + 2 * (v01 >= lv).astype(np.int8)
+            + 4 * (v11 >= lv).astype(np.int8)
+            + 8 * (v10 >= lv).astype(np.int8)
+        )
+        center_hi = (v00 + v01 + v10 + v11) / 4.0 >= lv
+        for cs in range(1, 15):
+            if cs in (5, 10):
+                variants = [
+                    (ok & (case == cs) & center_hi, SADDLE_HI[cs]),
+                    (ok & (case == cs) & ~center_hi, SADDLE_LO[cs]),
+                ]
+            else:
+                variants = [(ok & (case == cs), CASES[cs])]
+            for mask, segs in variants:
+                idx = np.flatnonzero(mask.ravel())
+                if len(idx) == 0:
+                    continue
+                # GLOBAL integer coords BEFORE interpolation: x = gx + t
+                # must associate exactly like the oracle's gx + t (a
+                # post-hoc tile-offset add would round differently)
+                i = (gy0 + ii.ravel()[idx]).astype(np.int64)
+                j = (gx0 + jj.ravel()[idx]).astype(np.int64)
+                args = (
+                    np.float64(lv), j, i,
+                    v00.ravel()[idx], v01.ravel()[idx],
+                    v10.ravel()[idx], v11.ravel()[idx],
+                )
+                for k, (ea, eb) in enumerate(segs):
+                    x1, y1 = _edge_points(ea, *args)
+                    x2, y2 = _edge_points(eb, *args)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "raster_id": c.raster_id,
+                                "band": int(c.band),
+                                "level": lv,
+                                "lvl_ix": np.int32(lv_ix),
+                                "gx": j,
+                                "gy": i,
+                                "seg": np.int32(k),
+                                "x1": x1, "y1": y1,
+                                "x2": x2, "y2": y2,
+                            }
+                        )
+                    )
+    cols = ["raster_id", "band", "level", "lvl_ix", "gx", "gy", "seg",
+            "x1", "y1", "x2", "y2"]
+    if not out:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(out, ignore_index=True)[cols]
+
+
 def contour_segments(
     tiles: DataFrame, levels: list[float], tile_size: int = 32
 ) -> DataFrame:
@@ -96,81 +174,14 @@ def contour_segments(
     (x*, y*) are grid-space crossings."""
     lvls = [float(v) for v in levels]
     halos = halo_exchange(tiles, radius=1)
+    seg_cols = [f.name for f in _SEG_T.fields]
 
     def march(key, pdf: pd.DataFrame) -> pd.DataFrame:
         got = assemble_padded(pdf, 1)
         if got is None:
-            return pd.DataFrame(columns=[f.name for f in _SEG_T.fields])
+            return pd.DataFrame(columns=seg_cols)
         c, pad = got
-        w, h = int(c.bw), int(c.bh)
-        nodata = float(c.nodata)
-        valid = (~np.isnan(pad)) & (pad != nodata)
-        # cell corners for cells whose top-left pixel is a core pixel:
-        # padded rows 1..1+h, cols 1..1+w
-        v00 = pad[1 : 1 + h, 1 : 1 + w]
-        v01 = pad[1 : 1 + h, 2 : 2 + w]
-        v10 = pad[2 : 2 + h, 1 : 1 + w]
-        v11 = pad[2 : 2 + h, 2 : 2 + w]
-        ok = (
-            valid[1 : 1 + h, 1 : 1 + w]
-            & valid[1 : 1 + h, 2 : 2 + w]
-            & valid[2 : 2 + h, 1 : 1 + w]
-            & valid[2 : 2 + h, 2 : 2 + w]
-        )
-        ii, jj = np.mgrid[0:h, 0:w]
-        gx0 = int(c.tile_x) * tile_size
-        gy0 = int(c.tile_y) * tile_size
-        out: list[pd.DataFrame] = []
-        for lv in lvls:
-            case = (
-                (v00 >= lv).astype(np.int8)
-                + 2 * (v01 >= lv).astype(np.int8)
-                + 4 * (v11 >= lv).astype(np.int8)
-                + 8 * (v10 >= lv).astype(np.int8)
-            )
-            center_hi = (v00 + v01 + v10 + v11) / 4.0 >= lv
-            for cs in range(1, 15):
-                if cs in (5, 10):
-                    variants = [
-                        (ok & (case == cs) & center_hi, SADDLE_HI[cs]),
-                        (ok & (case == cs) & ~center_hi, SADDLE_LO[cs]),
-                    ]
-                else:
-                    variants = [(ok & (case == cs), CASES[cs])]
-                for mask, segs in variants:
-                    idx = np.flatnonzero(mask.ravel())
-                    if len(idx) == 0:
-                        continue
-                    # GLOBAL integer coords BEFORE interpolation: x = gx + t
-                    # must associate exactly like the oracle's gx + t (a
-                    # post-hoc tile-offset add would round differently)
-                    i = (gy0 + ii.ravel()[idx]).astype(np.int64)
-                    j = (gx0 + jj.ravel()[idx]).astype(np.int64)
-                    args = (
-                        np.float64(lv), j, i,
-                        v00.ravel()[idx], v01.ravel()[idx],
-                        v10.ravel()[idx], v11.ravel()[idx],
-                    )
-                    for k, (ea, eb) in enumerate(segs):
-                        x1, y1 = _edge_points(ea, *args)
-                        x2, y2 = _edge_points(eb, *args)
-                        out.append(
-                            pd.DataFrame(
-                                {
-                                    "raster_id": c.raster_id,
-                                    "band": int(c.band),
-                                    "level": lv,
-                                    "gx": j,
-                                    "gy": i,
-                                    "seg": np.int32(k),
-                                    "x1": x1, "y1": y1,
-                                    "x2": x2, "y2": y2,
-                                }
-                            )
-                        )
-        if not out:
-            return pd.DataFrame(columns=[f.name for f in _SEG_T.fields])
-        return pd.concat(out, ignore_index=True)
+        return _march_tile(c, pad, lvls, tile_size)[seg_cols]
 
     return halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
         march, schema=_SEG_T
@@ -196,6 +207,27 @@ def _segment_node_id(levels: list[float]):
     )
 
 
+_LOCAL_T = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),  # 's' segment / 'p' border point
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("gx", T.LongType()),
+        T.StructField("gy", T.LongType()),
+        T.StructField("seg", T.IntegerType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+        T.StructField("x2", T.DoubleType()),
+        T.StructField("y2", T.DoubleType()),
+        T.StructField("chain", T.StringType()),  # local chain label (min seg id)
+        T.StructField("id", T.StringType()),  # segment id at a border point
+        T.StructField("px", T.DoubleType()),  # border-point coords ('p' rows)
+        T.StructField("py", T.DoubleType()),
+    ]
+)
+
+
 def contour_lines(
     tiles: DataFrame, levels: list[float], tile_size: int = 32
 ) -> DataFrame:
@@ -204,38 +236,150 @@ def contour_lines(
     through shared endpoints — a polyline/loop, since marching-squares
     endpoint degree is always <= 2).
 
-    Distributed shape: endpoints are EXACT doubles (adjacent cells compute
-    the shared crossing from the same two pixels with the same expression),
-    so adjacency is one groupBy on (raster, band, level, x, y) — min/max
-    segment id per endpoint — and stitching is the shared
-    `graph.min_label_components` propagation (O(log diameter) rounds,
-    checkpointed). gdal_contour's line orientation/vertex-order convention
-    is a documented divergence: this emits the segment set + line ids."""
-    from .graph import min_label_components
+    Distributed shape (the polygonize discipline, `polygonize.py`): each
+    tile stitches its own segments into CHAINS with a local union-find
+    (endpoints are EXACT doubles — adjacent cells compute the shared
+    crossing from the same two pixels with the same IEEE expression), so
+    only chains whose endpoints sit ON a tile-boundary grid line (x or y
+    ≡ 0 mod tile_size — a segment endpoint can be shared across tiles only
+    there) enter the global stage: one groupBy over exported border points
+    -> chain-chain edges -> `graph.min_label_components` over border
+    chains only. Labels entering the loop drop from all segments to
+    border-crossing chains (perimeter-scale), and interior chains skip the
+    iterative stage entirely. Chain labels are min segment ids, so the
+    component min equals the min segment id of the whole polyline — the
+    oracle's recursive-CTE answer. gdal_contour's line orientation /
+    vertex-order convention is a documented divergence: this emits the
+    segment set + line ids."""
+    from .graph import _ensure_checkpoint_dir, min_label_components
 
     spark = tiles.sparkSession
-    segs = contour_segments(tiles, levels, tile_size=tile_size).withColumn(
-        "id", _segment_node_id(levels)
+    lvls = [float(v) for v in levels]
+    halos = halo_exchange(tiles, radius=1)
+    local_cols = [f.name for f in _LOCAL_T.fields]
+
+    def stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        got = assemble_padded(pdf, 1)
+        if got is None:
+            return pd.DataFrame(columns=local_cols)
+        segs = _march_tile(got[0], got[1], lvls, tile_size)
+        n = len(segs)
+        if n == 0:
+            return pd.DataFrame(columns=local_cols)
+        # the oracle-visible node id (must match _segment_node_id exactly)
+        ids = (
+            segs["raster_id"]
+            + ":" + segs["band"].astype(str)
+            + ":" + segs["lvl_ix"].astype(str)
+            + ":" + segs["gy"].astype(str).str.zfill(7)
+            + ":" + segs["gx"].astype(str).str.zfill(7)
+            + ":" + segs["seg"].astype(str)
+        ).to_numpy()
+        # group endpoints by exact point; the adjacency rule is the
+        # oracle's: ONE edge per point, (min seg id, max seg id) — NOT
+        # all-pairs (a corner-hit crossing can put >2 segments on a point)
+        parent = np.arange(n)
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        lvl_ix = segs["lvl_ix"].to_numpy()
+        exs = (segs["x1"].to_numpy(), segs["x2"].to_numpy())
+        eys = (segs["y1"].to_numpy(), segs["y2"].to_numpy())
+        at_point: dict[tuple, list[int]] = {}
+        for xs, ys in zip(exs, eys):
+            for s in range(n):
+                at_point.setdefault(
+                    (int(lvl_ix[s]), float(xs[s]), float(ys[s])), []
+                ).append(s)
+        border_pts: list[tuple] = []  # (lvl_ix, x, y, seg_index)
+        for (li, x, y), members in at_point.items():
+            # a point can be shared across tiles only on a tile-boundary
+            # grid line (x or y ≡ 0 mod tile_size); those defer to the
+            # global stage so the min/max runs over ALL tiles' segments
+            if x % tile_size == 0 or y % tile_size == 0:
+                for s in members:
+                    border_pts.append((li, x, y, s))
+                continue
+            if len(members) < 2:
+                continue
+            lo = min(members, key=lambda s: ids[s])
+            hi = max(members, key=lambda s: ids[s])
+            if ids[lo] != ids[hi]:
+                ra, rb = find(lo), find(hi)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(s) for s in range(n)])
+        # chain label = min segment id within the local chain
+        chain = pd.Series(ids).groupby(roots).transform("min").to_numpy()
+        seg_rows = segs.assign(kind="s", chain=chain, id=ids, px=np.nan, py=np.nan)
+        frames = [seg_rows]
+        if border_pts:
+            sidx = np.array([s for (_, _, _, s) in border_pts])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": "p",
+                        "raster_id": segs["raster_id"].to_numpy()[sidx],
+                        "band": segs["band"].to_numpy()[sidx],
+                        "level": segs["level"].to_numpy()[sidx],
+                        "chain": chain[sidx],
+                        "id": ids[sidx],
+                        "px": np.array([x for (_, x, _, _) in border_pts]),
+                        "py": np.array([y for (_, _, y, _) in border_pts]),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        for col in local_cols:
+            if col not in out.columns:
+                out[col] = None
+        return out[local_cols]
+
+    _ensure_checkpoint_dir(spark)
+    # eager reliable checkpoint: the table feeds segments, border points,
+    # and the final join — without it the marching kernel re-runs per
+    # consumer and per propagation round
+    local = (
+        halos.groupBy("raster_id", "band", "tile_x", "tile_y")
+        .applyInPandas(stitch, schema=_LOCAL_T)
+        .checkpoint(eager=True)
     )
-    pts = segs.select(
-        "raster_id", "band", "level", "id", F.col("x1").alias("x"), F.col("y1").alias("y")
-    ).unionByName(
-        segs.select(
-            "raster_id", "band", "level", "id",
-            F.col("x2").alias("x"), F.col("y2").alias("y"),
-        )
+    segs = local.filter(F.col("kind") == "s").select(
+        "raster_id", "band", "level", "gx", "gy", "seg",
+        "x1", "y1", "x2", "y2", "chain",
     )
+    pts = local.filter(F.col("kind") == "p").select(
+        "raster_id", "band", "level", "px", "py", "chain", "id"
+    )
+    # the oracle's adjacency rule at a shared point: one edge between the
+    # min- and max-ID SEGMENTS there, mapped onto their chains
     edges = (
-        pts.groupBy("raster_id", "band", "level", "x", "y")
-        .agg(F.min("id").alias("l_id"), F.max("id").alias("r_id"))
-        .where(F.col("l_id") != F.col("r_id"))
+        pts.groupBy("raster_id", "band", "level", "px", "py")
+        .agg(
+            F.min_by("chain", "id").alias("l_id"),
+            F.max_by("chain", "id").alias("r_id"),
+            F.min("id").alias("__lo"),
+            F.max("id").alias("__hi"),
+        )
+        .where((F.col("__lo") != F.col("__hi")) & (F.col("l_id") != F.col("r_id")))
         .select("l_id", "r_id")
     )
-    comps = min_label_components(spark, segs.select("id"), edges, id_col="id")
-    return segs.join(comps, "id").select(
+    # propagate ONLY over chains that actually cross a tile border; the
+    # interior majority keep their local label and skip the loop
+    endpoints = (
+        edges.select(F.col("l_id").alias("id"))
+        .unionByName(edges.select(F.col("r_id").alias("id")))
+        .distinct()
+    )
+    comps = min_label_components(spark, endpoints, edges, id_col="id")
+    return segs.join(comps, segs["chain"] == comps["id"], "left").select(
         "raster_id", "band", "level", "gx", "gy", "seg",
         "x1", "y1", "x2", "y2",
-        F.col("component").alias("line_id"),
+        F.coalesce(F.col("component"), F.col("chain")).alias("line_id"),
     )
 
 

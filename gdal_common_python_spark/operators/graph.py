@@ -40,10 +40,20 @@ def min_label_components(
     edges: DataFrame,
     id_col: str = "id",
     max_iters: int = 50,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(id, component) for every node, component = min node id reachable
     through `edges` (columns l_id, r_id; one direction suffices — the graph
     is symmetrized here). Isolated nodes label themselves.
+
+    Three regimes, chosen by the symmetric-edge count (one count, paid
+    against the edge cache round 1 needs anyway): zero edges -> identity
+    labels, no loop; <= `driver_threshold` edges -> driver union-find + one
+    broadcast-mapped join (the treeReduce discipline — callers feed
+    perimeter-scale graphs already reduced from area scale, so this is the
+    common case and costs one collect of a few MB); larger -> the
+    distributed loop below, its label table repartitioned to ~200k rows per
+    partition so per-round task counts track the data.
 
     Labels decrease monotonically pointwise (every update is a min of
     current values; the halving hop maps L -> label[L] <= L), so for
@@ -73,6 +83,71 @@ def min_label_components(
     labels = nodes.select(
         F.col(id_col).alias("__nid"), F.col(id_col).alias("component")
     )
+    # size the loop to the graph, not to the session default: the edge
+    # count materializes the cache (paid anyway by round 1), and the label
+    # table is repartitioned once so every round's map side — and the
+    # checkpoint file count — is proportional to the data. A 30-node border
+    # graph runs 1-partition rounds; a 10^9-edge graph gets ~1 partition
+    # per 200k rows. Without this, every round schedules
+    # spark.sql.shuffle.partitions tasks regardless of size.
+    n_edges = sym.count()
+    if n_edges == 0:
+        # no adjacency at all: every node is its own component; skip the
+        # loop (lineage is one narrow select — no checkpoint needed)
+        out = track_persisted(labels.withColumnRenamed("__nid", id_col), sym)
+        out._gcp_cc_rounds = 0
+        return out
+    if n_edges <= driver_threshold:
+        # size-gated driver finish — the treeReduce discipline: the callers
+        # of this operator feed PERIMETER-scale graphs (tile-border regions,
+        # chain endpoints, LSH pair survivors), already reduced from
+        # area-scale by their local passes, so the common case is a graph of
+        # a few MB. A driver union-find is then one collect + one broadcast
+        # join — milliseconds — instead of O(log d) checkpointed rounds each
+        # costing multiple distributed jobs. Graphs past the threshold
+        # (collect would strain the driver) take the distributed loop below;
+        # the label semantics (min id per component, python `min` ==
+        # F.min for the ASCII/integer ids used here) are identical.
+        parent: dict = {}
+
+        def find(a):
+            root = a
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(a, a) != root:
+                parent[a], a = root, parent[a]
+            return root
+
+        for row in sym.collect():
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict = {}
+        for node in list(parent):
+            comp[node] = find(node)
+        id_type = nodes.schema[id_col].dataType
+        map_df = spark.createDataFrame(
+            [(k, v) for k, v in comp.items() if k != v],
+            T.StructType(
+                [T.StructField("__mk", id_type), T.StructField("__mv", id_type)]
+            ),
+        )
+        out = (
+            labels.join(
+                F.broadcast(map_df), labels["__nid"] == map_df["__mk"], "left"
+            )
+            .select(
+                F.col("__nid").alias(id_col),
+                F.coalesce(F.col("__mv"), F.col("component")).alias("component"),
+            )
+        )
+        out = track_persisted(out, sym)
+        out._gcp_cc_rounds = 1
+        out._gcp_cc_driver = True
+        return out
+    n_nodes = labels.count()
+    parts = int(max(1, max(n_nodes, 2 * n_edges) // 200_000 + 1))
+    labels = labels.repartition(parts, "__nid")
 
     numeric_ids = isinstance(
         nodes.schema[id_col].dataType,
@@ -110,22 +185,31 @@ def min_label_components(
         # one-hop-per-round propagation (O(diameter) rounds on a chain)
         # into O(log(diameter)).
         hop = mn.select(F.col("__nid").alias("__cz"), F.col("component").alias("__cc"))
-        new_labels = (
+        new_plan = (
             mn.alias("x")
             .join(hop, F.col("x.component") == F.col("__cz"), "left")
             .select(
                 F.col("x.__nid").alias("__nid"),
                 F.coalesce(F.col("__cc"), F.col("x.component")).alias("component"),
             )
-            # eager reliable checkpoint: materializes AND truncates lineage
-            # (see module docstring); adds no persistent-RDD storage
-            .checkpoint(eager=True)
         )
         if numeric_ids:
-            cur_sum = _label_sum(new_labels)
+            # fuse the O(1)-state convergence probe into the checkpoint's
+            # own job: observed metrics fire during the eager materialize,
+            # so a round is ONE action, not two
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_labels = new_plan.observe(
+                obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).checkpoint(eager=True)
+            cur_sum = obs.get["s"]
             converged = cur_sum == prev_sum
             prev_sum = cur_sum
         else:
+            # eager reliable checkpoint: materializes AND truncates lineage
+            # (see module docstring); adds no persistent-RDD storage
+            new_labels = new_plan.checkpoint(eager=True)
             converged = not _changed(labels, new_labels)
         labels = new_labels
         if converged:

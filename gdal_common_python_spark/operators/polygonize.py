@@ -296,14 +296,20 @@ def sieve_regions(
     local pass + the same border-pixel shuffle WITHOUT the value-equality
     key — perimeter-scale); the argmax is one window over small regions
     only."""
+    from .util import track_persisted
+
     labeled, local = _labeled_regions(
         spark, tiles, tile_size=tile_size, max_iters=max_iters, with_adjacency=True
     )
+    # `labeled` feeds the mapping AND the sizes; `sizes` appears three times
+    # in the final plan (small-region filter, neighbor stats, final join) —
+    # cache both so the label join executes once, not five times
+    labeled = labeled.cache()
     mapping = labeled.select("raster_id", "band", "rlocal", "region")
     sizes = labeled.groupBy("raster_id", "band", "region").agg(
         F.min("value").alias("value"),
         F.sum("n_pixels").cast("long").alias("n_pixels"),
-    )
+    ).cache()
     # intra-tile cross-value pairs (kind 'a': partner id rides in `line`)
     intra = local.filter(F.col("kind") == "a").select(
         "raster_id", "band",
@@ -333,8 +339,13 @@ def sieve_regions(
         .where(F.col("ra") != F.col("rb"))
         .select("raster_id", "band", "ra", "rb")
     )
-    adj = adj.unionByName(
-        adj.select("raster_id", "band", F.col("rb").alias("ra"), F.col("ra").alias("rb"))
+    # symmetrizing references `adj` twice and the neighbor join once more —
+    # cache the one-sided table so its two mapping joins execute once
+    adj_one = adj.cache()
+    adj = adj_one.unionByName(
+        adj_one.select(
+            "raster_id", "band", F.col("rb").alias("ra"), F.col("ra").alias("rb")
+        )
     ).distinct()
     small = sizes.where(F.col("n_pixels") < threshold).select(
         "raster_id", "band", F.col("region").alias("ra")
@@ -360,8 +371,9 @@ def sieve_regions(
             F.col("rb").alias("t_region"), F.col("nb_value").alias("t_value"),
         )
     )
-    return sizes.join(target, ["raster_id", "band", "region"], "left").select(
+    out = sizes.join(target, ["raster_id", "band", "region"], "left").select(
         "raster_id", "band", "region", "value", "n_pixels",
         F.coalesce("t_region", "region").alias("new_region"),
         F.coalesce("t_value", "value").alias("new_value"),
     )
+    return track_persisted(out, labeled, sizes, adj)
