@@ -36,7 +36,11 @@ def _ring_area_q(ring):
         y2 = F.element_at(F.element_at(ring, (i % n) + 1), 2)
         return acc + F.floor((x1 * y2 - x2 * y1) * F.lit(CENTROID_Q)).cast("long")
 
-    return F.aggregate(F.sequence(F.lit(1), n), F.lit(0).cast("long"), term)
+    # guard n == 0: F.sequence(1, n) would descend to [1, 0] and
+    # element_at(ring, 0) errors; an empty ring has zero area
+    return F.when(
+        n > 0, F.aggregate(F.sequence(F.lit(1), n), F.lit(0).cast("long"), term)
+    ).otherwise(F.lit(0).cast("long"))
 
 
 def explode_collections(
@@ -48,10 +52,17 @@ def explode_collections(
     its 1-based part assignment; ``area_q`` is the quantized doubled
     signed area (positive = outer). Group by (zone_id, part_idx) to
     materialize per-part features."""
-    ex = zones.select(
-        F.col(id_col).alias("zone_id"),
-        F.posexplode(F.col(rings_col)).alias("ri", "__ring"),
-    ).select("zone_id", "ri", _ring_area_q(F.col("__ring")).alias("area_q"))
+    ex = (
+        zones.select(
+            F.col(id_col).alias("zone_id"),
+            F.posexplode(F.col(rings_col)).alias("ri", "__ring"),
+        )
+        # drop degenerate empty rings: the DuckDB oracle's
+        # generate_series(1, 0) is empty and silently loses them, so both
+        # engines agree by construction (ri keeps the original position)
+        .where(F.size("__ring") > 0)
+        .select("zone_id", "ri", _ring_area_q(F.col("__ring")).alias("area_q"))
+    )
     w = (
         Window.partitionBy("zone_id")
         .orderBy("ri")

@@ -139,6 +139,14 @@ def grid_idw(
     regularizes the interpolant AND keeps every sum far inside int64.
     Same plan shape as :func:`grid_average` — pure codegen, zero UDF, one
     map-side-combined pixel groupBy.
+
+    Weight-cutoff contract: the quantization floors ``qw`` to 0 once
+    ``d2 + s^2 > 2 * 2^_WBITS`` (= 2048 for the default _WBITS=10), i.e.
+    points farther than ~sqrt(2048) ≈ 45.25 grid units contribute NOTHING
+    even when inside ``radius``. For ``radius`` <= that cutoff the semantic
+    matches gdal_grid invdist up to the pinned quantization; beyond it the
+    far field is silently truncated, so a larger radius diverges from
+    gdal_grid — a warning is raised when ``radius`` exceeds the cutoff.
     """
     ox, oy = float(target["origin_x"]), float(target["origin_y"])
     px, py = float(target["px_x"]), float(target["px_y"])
@@ -151,6 +159,16 @@ def grid_idw(
     s2 = float(smoothing) * float(smoothing)
     if s2 <= 0:
         raise ValueError("smoothing must be > 0 (it bounds the near-field weight)")
+    cutoff = (2.0 * _WF - s2) ** 0.5  # qw floors to 0 past this distance
+    if r > cutoff:
+        import warnings
+
+        warnings.warn(
+            f"grid_idw radius={r} exceeds the quantized-weight cutoff "
+            f"(~{cutoff:.2f} units for _WBITS={_WBITS}); points beyond the "
+            "cutoff contribute zero weight, diverging from gdal_grid invdist",
+            stacklevel=2,
+        )
     x, y = F.col(x_col), F.col(y_col)
     c0 = F.greatest(F.floor((x - r - F.lit(ox)) / F.lit(px)) - 1, F.lit(0)).cast("long")
     c1 = F.least(F.floor((x + r - F.lit(ox)) / F.lit(px)) + 1, F.lit(w - 1)).cast("long")

@@ -40,10 +40,21 @@ def near_table(
     near: DataFrame | None = None,
     radius: float | None = None,
     res: int = 7,
+    allow_cross: bool = False,
 ) -> DataFrame:
     """(from_id, to_id, distance) pairs; planar distance in native units
     (lib/analysis.py:315 semantics). Self-join when `near` is None; the
-    (i, i) self-pair is excluded for self-joins."""
+    (i, i) self-pair is excluded for self-joins.
+
+    ``radius=None`` is the reference-parity O(n*m) cross join — it requires
+    an explicit ``allow_cross=True`` so the nested-loop plan can never be
+    reached by accident; at scale always pass a radius."""
+    if radius is None and not allow_cross:
+        raise ValueError(
+            "near_table(radius=None) is the O(n*m) reference-parity cross "
+            "join; pass a radius for the pruned cell-band join, or opt in "
+            "explicitly with allow_cross=True"
+        )
     self_join = near is None
     a = points.select(
         F.col("point_id").alias("from_id"), F.col("x").alias("ax"), F.col("y").alias("ay")
@@ -81,6 +92,7 @@ def near_table_geoms(
     left: DataFrame,
     right: DataFrame | None = None,
     radius: float | None = None,
+    allow_cross: bool = False,
 ) -> DataFrame:
     """near_table for POLYGON layers (zone-shaped tables) — the reference's
     geom.Distance semantics (lib/analysis.py:315: 0 when intersecting, else
@@ -93,10 +105,16 @@ def near_table_geoms(
     EQUI-join past the gate, so the candidate count is O(pairs-in-range)
     and the plan never degenerates to a nested loop over two large sides;
     without a radius it degrades to the reference's full cross join
-    (parity mode only)."""
+    (parity mode only — gated behind an explicit ``allow_cross=True``)."""
     from ..kernels import geom
     from .overlay import _pair_candidates
 
+    if radius is None and not allow_cross:
+        raise ValueError(
+            "near_table_geoms(radius=None) is the O(n*m) reference-parity "
+            "cross join; pass a radius for the candidate-pruned join, or "
+            "opt in explicitly with allow_cross=True"
+        )
     self_join = right is None
     r = right if right is not None else left
     if radius is None:

@@ -360,11 +360,13 @@ def compare_rasters(
             step,
         ).alias("t")
     )
+    # coalesce: two entries sharing no tile keys must yield the same
+    # zero-row as the oracle's coalesce over an empty join, not NULLs
     return per_tile.agg(
-        F.sum(F.col("t.n")).alias("n_pixels"),
-        F.sum(F.col("t.d")).alias("n_diff"),
-        F.sum(F.col("t.m")).alias("n_nodata_mismatch"),
-        F.max(F.col("t.x")).alias("max_abs_diff"),
+        F.coalesce(F.sum(F.col("t.n")), F.lit(0).cast("long")).alias("n_pixels"),
+        F.coalesce(F.sum(F.col("t.d")), F.lit(0).cast("long")).alias("n_diff"),
+        F.coalesce(F.sum(F.col("t.m")), F.lit(0).cast("long")).alias("n_nodata_mismatch"),
+        F.coalesce(F.max(F.col("t.x")), F.lit(0.0)).alias("max_abs_diff"),
     )
 
 

@@ -49,7 +49,12 @@ def segmentize(
                 lambda k: F.array(x1 + (dx * k) / m, y1 + (dy * k) / m),
             )
 
-        return F.flatten(F.transform(F.sequence(F.lit(0), n - 1), edge_points))
+        # guard n == 0: F.sequence(0, n-1) would descend to [0, -1] and
+        # element_at(ring, 0) errors; an empty ring densifies to nothing
+        # (the DuckDB oracle's range(0, len(ring)) is empty and agrees)
+        return F.when(
+            n > 0, F.flatten(F.transform(F.sequence(F.lit(0), n - 1), edge_points))
+        ).otherwise(F.expr("cast(array() as array<array<double>>)"))
 
     ex = zones.select(
         F.col(id_col).alias("zone_id"),

@@ -78,6 +78,15 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = list(by)
+    if not by:
+        import warnings
+
+        warnings.warn(
+            "asof_join with empty `by` uses a GLOBAL window — the whole "
+            "union sorts in a single partition. Fine for dimension-sized "
+            "inputs; pass partition keys for corpus-scale joins",
+            stacklevel=2,
+        )
     lcols, rcols = left.columns, right.columns
     for k in by + [on]:
         if k not in lcols or k not in rcols:

@@ -37,11 +37,18 @@ def translate_window(
     """Subset (xoff, yoff, xsize, ysize) of one (raster_id, band) ->
     output tile table (tile_x, tile_y, tile_w, tile_h, pixels) on a
     re-originated grid; optional ``scale=(src_min, src_max, dst_min,
-    dst_max)`` affine rescale of valid (non-nodata) pixels."""
+    dst_max)`` affine rescale of valid (non-nodata) pixels.
+
+    The output covers the FULL requested window: window pixels outside the
+    source raster are nodata-filled, whether their output tile is partially
+    or entirely beyond the source (same enumerated-target-grid semantics as
+    ``warp_raster``). A (raster_id, band) with no tiles yields an empty
+    result."""
     xoff, yoff, xs, ys = (int(v) for v in srcwin)
     if xs <= 0 or ys <= 0:
         raise ValueError(f"srcwin size must be positive, got {srcwin}")
-    src = tiles.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
+    base = tiles.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
+    src = base
     # output tile grid
     ntx = (xs + tile_size - 1) // tile_size
     nty = (ys + tile_size - 1) // tile_size
@@ -68,7 +75,7 @@ def translate_window(
     ow = F.least(F.lit(ts), F.lit(xs) - F.col("otx") * ts).cast("int")
     oh = F.least(F.lit(ts), F.lit(ys) - F.col("oty") * ts).cast("int")
     fan = fan.select(
-        "nodata", "tile_x", "tile_y", "tile_w", "tile_h", "pixels",
+        "tile_x", "tile_y", "tile_w", "tile_h", "pixels",
         "otx", "oty", ow.alias("ow"), oh.alias("oh"),
     )
 
@@ -85,7 +92,7 @@ def translate_window(
         )
 
     gather = fan.select(
-        "nodata", "otx", "oty", "ow", "oh",
+        "otx", "oty", "ow", "oh",
         F.transform(
             F.sequence(
                 F.lit(0).cast("long"),
@@ -96,9 +103,6 @@ def translate_window(
     )
     # fold the (<=4) source-tile parts of each output tile: first non-null wins
     folded = gather.groupBy(F.col("otx").alias("tile_x"), F.col("oty").alias("tile_y")).agg(
-        F.first("ow").alias("tile_w"),
-        F.first("oh").alias("tile_h"),
-        F.first("nodata").alias("__nd"),
         F.aggregate(
             F.collect_list("part"),
             F.expr("cast(null as array<double>)"),
@@ -107,7 +111,32 @@ def translate_window(
             ),
         ).alias("__px"),
     )
-    out_px: Column = F.transform(F.col("__px"), lambda v: F.coalesce(v, F.col("__nd")))
+    # full output coverage: enumerate the ntx*nty output grid and left-join
+    # the folded parts, so a srcwin extending past the source raster gets
+    # CONSISTENT edge semantics — fully-outside tiles emit nodata arrays,
+    # exactly like partially-covered tiles (mirrors warp_raster's enumerated
+    # target grid). The grid side is output-tile-sized; the folded side is
+    # already hash-partitioned on (tile_x, tile_y) from its groupBy, so the
+    # extra exchange is grid-side only. A (raster_id, band) with no tiles at
+    # all has no nodata value to fill with and yields an empty result.
+    spark = tiles.sparkSession
+    grid = spark.range(ntx * nty).select(
+        (F.col("id") % ntx).cast("int").alias("tile_x"),
+        F.floor(F.col("id") / ntx).cast("int").alias("tile_y"),
+    )
+    nd_row = base.agg(F.min("nodata").alias("__nd"))
+    gw = F.least(F.lit(ts), F.lit(xs) - F.col("tile_x") * ts).cast("int")
+    gh = F.least(F.lit(ts), F.lit(ys) - F.col("tile_y") * ts).cast("int")
+    folded = (
+        grid.crossJoin(F.broadcast(nd_row))
+        .where(F.col("__nd").isNotNull())
+        .select("tile_x", "tile_y", gw.alias("tile_w"), gh.alias("tile_h"), "__nd")
+        .join(folded, ["tile_x", "tile_y"], "left")
+    )
+    out_px: Column = F.coalesce(
+        F.transform(F.col("__px"), lambda v: F.coalesce(v, F.col("__nd"))),
+        F.array_repeat(F.col("__nd"), F.col("tile_w") * F.col("tile_h")),
+    )
     if scale is not None:
         s0, s1, d0, d1 = (float(v) for v in scale)
         if s1 == s0:
@@ -166,12 +195,20 @@ WITH px AS (
     FROM {tiles_rel}
     WHERE raster_id = '{raster_id}' AND band = {int(band)}
   )
+),
+nd AS (
+  SELECT min(nodata) AS gnd FROM {tiles_rel}
+  WHERE raster_id = '{raster_id}' AND band = {int(band)}
+),
+grid AS (
+  SELECT CAST(g1.wx AS BIGINT) AS wx, CAST(g2.wy AS BIGINT) AS wy
+  FROM generate_series(0, {xs - 1}) g1(wx), generate_series(0, {ys - 1}) g2(wy)
 )
 SELECT CAST(wx // {ts} AS INT) AS tile_x,
        CAST(wy // {ts} AS INT) AS tile_y,
        CAST((wy % {ts}) * least({ts}, {xs} - (wx // {ts}) * {ts})
             + (wx % {ts}) + 1 AS INT) AS idx,
-       {vexpr} AS value
-FROM px
-WHERE wx >= 0 AND wx < {xs} AND wy >= 0 AND wy < {ys}
+       CASE WHEN v IS NULL THEN gnd ELSE {vexpr} END AS value
+FROM grid CROSS JOIN nd LEFT JOIN px USING (wx, wy)
+WHERE gnd IS NOT NULL
 """

@@ -26,8 +26,6 @@ kernel is embarrassingly parallel per tile and shuffle stays
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -122,6 +120,11 @@ def viewshed(
         rows = []
         for obs_id, ogx, ogy in mine:
             py, px = ogy - gy0 + R, ogx - gx0 + R  # observer in padded coords
+            # observers past a truncated edge tile's real extent are
+            # out-of-raster: skip them like nodata observers instead of
+            # indexing past the padded array
+            if py < 0 or py >= pad.shape[0] or px < 0 or px >= pad.shape[1]:
+                continue
             if not valid[py, px]:
                 continue
             h0 = int(pad[py, px]) + int(obs_height)
