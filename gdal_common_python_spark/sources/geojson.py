@@ -95,6 +95,41 @@ def feature_json(
     return df.select(F.col(key), F.to_json(feature).alias("feature"))
 
 
+def write_ndjson(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partitions: int | None = None,
+    **kwargs,
+) -> None:
+    """Distributed newline-delimited GeoJSON sink (GeoJSONSeq, RFC 8142
+    minus the RS framing — the line-oriented form every GIS reader and
+    ``ogr2ogr -f GeoJSONSeq`` accepts): one Feature per line, written
+    executor-side via ``df.write.text``. This is the scale path next to the
+    driver-string :func:`to_feature_collection` — nothing ever collects,
+    output parallelism = input partitioning (or ``partitions`` when given).
+    Accepts the same geometry kwargs as :func:`feature_json`."""
+    feats = feature_json(df, **kwargs).select(F.col("feature").alias("value"))
+    if partitions:
+        feats = feats.repartition(partitions)
+    feats.write.mode(mode).text(path)
+
+
+def read_ndjson(spark, path: str, properties_schema: str | None = None) -> DataFrame:
+    """Read a :func:`write_ndjson` layer back: one row per Feature with
+    ``properties`` (optionally typed via ``properties_schema``, else a
+    map<string,string>) and the raw ``geometry`` JSON string."""
+    raw = spark.read.text(path)
+    props = F.from_json(
+        F.get_json_object("value", "$.properties"),
+        properties_schema or "map<string,string>",
+    )
+    return raw.select(
+        props.alias("properties"),
+        F.get_json_object("value", "$.geometry").alias("geometry"),
+    )
+
+
 def to_feature_collection(df: DataFrame, **kwargs) -> str:
     """Small-result driver-side FeatureCollection (lib/conversionfeature.py:14-26)."""
     feats = [r.feature for r in feature_json(df, **kwargs).collect()]
