@@ -164,6 +164,13 @@ def ivf_topk(
         mids = mpdf["vec_id"].to_numpy()
         Q = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
         M = np.stack([np.asarray(x, dtype=np.float64) for x in mpdf["v"]])
+        # pre-sort members by id: a STABLE row-wise argsort on -cos then
+        # tie-breaks by position == by neighbor_id, replacing the former
+        # per-query np.lexsort Python loop (the profiled hot spot) with one
+        # vectorized argsort over the whole query block
+        mo = np.argsort(mids, kind="stable")
+        mids = mids[mo]
+        M = M[mo]
         qn = np.linalg.norm(Q, axis=1)
         mn = np.linalg.norm(M, axis=1)
         qn[qn == 0] = 1.0
@@ -171,16 +178,19 @@ def ivf_topk(
         C = (Q @ M.T) / np.outer(qn, mn)
         C[qids[:, None] == mids[None, :]] = -np.inf  # exclude self
         kk = min(k, C.shape[1])
-        rows_v, rows_n, rows_c = [], [], []
-        for i in range(len(qids)):
-            order = np.lexsort((mids, -C[i]))[:kk]
-            order = order[np.isfinite(C[i][order])]
-            rows_v.extend([qids[i]] * len(order))
-            rows_n.extend(mids[order].tolist())
-            rows_c.extend(C[i][order].tolist())
-        # plain lists, not np.concatenate: id columns keep the input's type
-        # (string ids survive the Arrow cast; numeric ids unaffected)
-        return pd.DataFrame({"vec_id": rows_v, "neighbor_id": rows_n, "cos": rows_c})
+        order = np.argsort(-C, axis=1, kind="stable")[:, :kk]
+        cos = np.take_along_axis(C, order, axis=1)
+        keep = np.isfinite(cos)
+        qi, _ = np.nonzero(keep)
+        # .tolist(): id columns keep the input's type (string ids survive
+        # the Arrow cast; numeric ids unaffected)
+        return pd.DataFrame(
+            {
+                "vec_id": qids[qi].tolist(),
+                "neighbor_id": mids[order[keep]].tolist(),
+                "cos": cos[keep].tolist(),
+            }
+        )
 
     cand = ex.groupBy("cluster_id").applyInPandas(rerank, cand_schema)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
