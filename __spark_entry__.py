@@ -1028,6 +1028,16 @@ def q_ruggedness(spark, sf_dir):
     return terrain.ruggedness_pixels(tiles, tile_size=32)
 
 
+def q_slope(spark, sf_dir):
+    """gdaldem slope -p (percent) analog: 100*sqrt(dzdx^2+dzdy^2) over the
+    Horn gradient — sqrt/mul/div only (no trig), shares the halo-exchange
+    gradient pass with hillshade, so the oracle hash-matches."""
+    from gdal_common_python_spark.operators import terrain
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return terrain.slope_pixels(tiles, tile_size=32)
+
+
 def q_raster_sample(spark, sf_dir):
     """gdallocationinfo analog: every raster band sampled at every point
     via R1 trunc-toward-zero pixel coords (rasters.py:113-116), a tiny
@@ -1411,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mean": q_focal_mean,
         "hillshade": q_hillshade,
         "ruggedness": q_ruggedness,
+        "slope": q_slope,
         "raster_sample": q_raster_sample,
         "proximity": q_proximity,
         "contour": q_contour,
@@ -2711,11 +2722,13 @@ GROUP BY 1, 2, 3, 4
 from gdal_common_python_spark.operators.terrain import (
     hillshade_oracle_sql as _hs_sql,
     ruggedness_oracle_sql as _rug_sql,
+    slope_oracle_sql as _slope_sql,
 )
 
 _SQL_HILLSHADE = _hs_sql(_TILES)
 _SQL_RUGGEDNESS = _rug_sql(_TILES)
-del _hs_sql, _rug_sql
+_SQL_SLOPE = _slope_sql(_TILES)
+del _hs_sql, _rug_sql, _slope_sql
 
 from gdal_common_python_spark.operators.sample import sample_oracle_sql as _samp_sql
 
@@ -3358,6 +3371,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_rollup": _SQL_CELL_ROLLUP,
         "focal_mean": _SQL_FOCAL_MEAN,
         "hillshade": _SQL_HILLSHADE,
+        "slope": _SQL_SLOPE,
         "ruggedness": _SQL_RUGGEDNESS,
         "raster_sample": _SQL_RASTER_SAMPLE,
         "proximity": _SQL_PROXIMITY,

@@ -129,6 +129,7 @@ def run_queries(spark, sdir):
         "cell_rollup",
         "focal_mean",
         "hillshade",
+        "slope",
         "ruggedness",
         "raster_sample",
         "proximity",

@@ -329,24 +329,34 @@ FROM w
 """
 
 
-def hillshade_oracle_sql(
-    tiles_rel: str,
-    azimuth_deg: float = 315.0,
-    altitude_deg: float = 45.0,
+def slope_pixels(
+    tiles: DataFrame,
     z_factor: float = 1.0,
-    slope_breaks_deg: tuple[float, ...] = (5.0, 15.0, 30.0, 45.0),
     tile_size: int = 32,
-) -> str:
-    """The DuckDB oracle for :func:`hillshade_pixels`, generated from the
-    SAME driver-side constants so engine and oracle stay in lockstep. The
-    Horn numerators come from a weighted 3x3 neighbor self-join (HAVING
-    count(*) = 9 enforces the full-window edge semantics)."""
-    lx, ly, lz = light_vector(azimuth_deg, altitude_deg)
-    tan225 = math.tan(math.radians(22.5))
-    cls = "0"
-    for k, deg in enumerate(slope_breaks_deg):
-        t = math.tan(math.radians(deg)) ** 2
-        cls = f"CASE WHEN t2 >= {t!r} THEN {k + 1} ELSE {cls} END"
+) -> DataFrame:
+    """gdaldem slope ``-p`` (percent) analog -> (raster_id, band, gx, gy,
+    slope_pct) with slope_pct = 100 * sqrt(dzdx^2 + dzdy^2) over the Horn
+    gradient. Percent form ONLY, deliberately: it is sqrt/mul/div of
+    exactly-derived doubles (all correctly-rounded IEEE, so the DuckDB
+    oracle hash-matches); the degree form needs atan, whose last-ulp libm
+    rounding Spark and DuckDB do not pin — callers wanting degrees apply
+    ``degrees(atan(slope_pct / 100))`` themselves with that caveat. Same
+    halo-exchange plan and edge semantics as :func:`hillshade_pixels`."""
+    gpx = horn_gradient_pixels(tiles, tile_size=tile_size)
+    dzdx = F.col("gx_num") * F.lit(float(z_factor)) / (F.lit(8.0) * F.col("px_x"))
+    dzdy = -F.col("gy_num") * F.lit(float(z_factor)) / (F.lit(8.0) * F.col("px_y"))
+    t2 = dzdx * dzdx + dzdy * dzdy
+    return gpx.select(
+        "raster_id", "band", "gx", "gy",
+        (F.lit(100.0) * F.sqrt(t2)).alias("slope_pct"),
+    )
+
+
+def _horn_grad_cte(tiles_rel: str, z_factor: float, tile_size: int) -> str:
+    """Shared DuckDB CTE: tiled raster -> per-pixel Horn numerators and
+    dzdx/dzdy (weighted 3x3 neighbor self-join; HAVING count(*) = 9
+    enforces the full-window edge semantics). Used by the hillshade and
+    slope oracles so both stay in lockstep with the engine expressions."""
     return f"""
 WITH px AS (
   SELECT raster_id, band, nodata, px_x, abs(px_y) AS px_y,
@@ -382,7 +392,26 @@ d AS (
          gx_num * {float(z_factor)!r} / (8.0 * px_x) AS dzdx,
          -gy_num * {float(z_factor)!r} / (8.0 * px_y) AS dzdy
   FROM grad
-),
+)"""
+
+
+def hillshade_oracle_sql(
+    tiles_rel: str,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+    slope_breaks_deg: tuple[float, ...] = (5.0, 15.0, 30.0, 45.0),
+    tile_size: int = 32,
+) -> str:
+    """The DuckDB oracle for :func:`hillshade_pixels`, generated from the
+    SAME driver-side constants so engine and oracle stay in lockstep."""
+    lx, ly, lz = light_vector(azimuth_deg, altitude_deg)
+    tan225 = math.tan(math.radians(22.5))
+    cls = "0"
+    for k, deg in enumerate(slope_breaks_deg):
+        t = math.tan(math.radians(deg)) ** 2
+        cls = f"CASE WHEN t2 >= {t!r} THEN {k + 1} ELSE {cls} END"
+    return f"""{_horn_grad_cte(tiles_rel, z_factor, tile_size)},
 s AS (
   SELECT *, dzdx * dzdx + dzdy * dzdy AS t2,
          {lz!r} - {lx!r} * dzdx - {ly!r} * dzdy AS ndotl
@@ -403,4 +432,18 @@ SELECT raster_id, band, gx, gy, gx_num, gy_num,
          ELSE 7
        END AS INT) AS aspect_octant
 FROM s
+"""
+
+
+def slope_oracle_sql(
+    tiles_rel: str,
+    z_factor: float = 1.0,
+    tile_size: int = 32,
+) -> str:
+    """The DuckDB oracle for :func:`slope_pixels` — same Horn CTE, final
+    expression 100 * sqrt(dzdx^2 + dzdy^2) (identical expression shape)."""
+    return f"""{_horn_grad_cte(tiles_rel, z_factor, tile_size)}
+SELECT raster_id, band, gx, gy,
+       100.0 * sqrt(dzdx * dzdx + dzdy * dzdy) AS slope_pct
+FROM d
 """

@@ -87,6 +87,21 @@ class TestTerrain:
         dark = sum(r.hillshade for r in west) / len(west)
         assert bright > dark  # lit from the facing side
 
+    def test_slope_percent(self, spark):
+        # flat raster: slope 0 everywhere
+        flat = _tile_df(spark, np.full((8, 8), 7.0), tile=4)
+        rows = terrain.slope_pixels(flat, tile_size=4).collect()
+        assert rows and all(r.slope_pct == 0.0 for r in rows)
+        # uniform west-rising ramp (step 10 per 0.5-unit pixel): dz/dx = -20,
+        # dz/dy = 0 -> slope = 100 * 20 = 2000%
+        arr = np.tile(np.arange(12, 0, -1, dtype=np.float64) * 10, (12, 1))
+        tiles = _tile_df(spark, arr, tile=6)
+        rows = terrain.slope_pixels(tiles, tile_size=6).collect()
+        assert rows and all(r.slope_pct == 2000.0 for r in rows)
+        # z_factor scales linearly
+        half = terrain.slope_pixels(tiles, z_factor=0.5, tile_size=6).collect()
+        assert all(r.slope_pct == 1000.0 for r in half)
+
     def test_north_ramp_octant(self, spark):
         # z rises to the SOUTH (y down) -> descent faces NORTH (octant 0)
         arr = np.tile(np.arange(0, 12, dtype=np.float64)[:, None] * 10, (1, 12))
