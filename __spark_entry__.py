@@ -494,6 +494,19 @@ def q_translate(spark, sf_dir):
     ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
 
 
+def q_retile(spark, sf_dir):
+    """gdal_retile analog: pixel-preserving re-grid of r0 from 32- to
+    48-pixel tiles (full extent; bounded source-to-output fan + first-non-
+    null fold, pure codegen)."""
+    from gdal_common_python_spark.operators import translate as tr_ops
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    t = tr_ops.retile(tiles, "r0", 1, out_tile_size=48)
+    return t.select(
+        "tile_x", "tile_y", F.posexplode("pixels").alias("idx0", "value")
+    ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
+
+
 def q_fillnodata(spark, sf_dir):
     """gdal_fillnodata analog: nearest-valid fill with exact tie-averaging
     (order-free integer sums) over one halo-exchange pass."""
@@ -1456,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "mixture_sample": q_mixture_sample,
         "translate": q_translate,
+        "retile": q_retile,
         "overviews": q_overviews,
         "segmentize": q_segmentize,
         "raster_info": q_raster_info,
@@ -2817,6 +2831,8 @@ from gdal_common_python_spark.operators.translate import (
 )
 
 _SQL_TRANSLATE = _tr_sql(_TILES, "r0", 1, _TR_SRCWIN, scale=_TR_SCALE)
+# retile gate: r0 is 128x128 (synth layout), re-gridded to 48-pixel tiles
+_SQL_RETILE = _tr_sql(_TILES, "r0", 1, (0, 0, 128, 128), out_tile_size=48)
 del _tr_sql
 
 from gdal_common_python_spark.operators.overviews import (
@@ -3407,6 +3423,7 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": _SQL_SOURCE_CAP,
         "mixture_sample": _SQL_MIXTURE_SAMPLE,
         "translate": _SQL_TRANSLATE,
+        "retile": _SQL_RETILE,
         "overviews": _SQL_OVERVIEWS,
         "segmentize": _SQL_SEGMENTIZE,
         "raster_info": _SQL_RASTER_INFO,

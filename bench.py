@@ -163,6 +163,7 @@ def run_queries(spark, sdir):
         "source_cap",
         "mixture_sample",
         "translate",
+        "retile",
         "overviews",
         "segmentize",
         "raster_info",

@@ -33,11 +33,16 @@ def translate_window(
     scale: tuple[float, float, float, float] | None = None,
     clip: bool = True,
     tile_size: int = 32,
+    out_tile_size: int | None = None,
 ) -> DataFrame:
     """Subset (xoff, yoff, xsize, ysize) of one (raster_id, band) ->
     output tile table (tile_x, tile_y, tile_w, tile_h, pixels) on a
     re-originated grid; optional ``scale=(src_min, src_max, dst_min,
     dst_max)`` affine rescale of valid (non-nodata) pixels.
+
+    ``out_tile_size`` re-grids the output onto a DIFFERENT tile size
+    (default: same as the source) — the gdal_retile primitive; see
+    :func:`retile`.
 
     The output covers the FULL requested window: window pixels outside the
     source raster are nodata-filled, whether their output tile is partially
@@ -47,11 +52,14 @@ def translate_window(
     xoff, yoff, xs, ys = (int(v) for v in srcwin)
     if xs <= 0 or ys <= 0:
         raise ValueError(f"srcwin size must be positive, got {srcwin}")
+    ots = int(out_tile_size or tile_size)
+    if ots <= 0:
+        raise ValueError(f"out_tile_size must be positive, got {out_tile_size}")
     base = tiles.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
     src = base
     # output tile grid
-    ntx = (xs + tile_size - 1) // tile_size
-    nty = (ys + tile_size - 1) // tile_size
+    ntx = (xs + ots - 1) // ots
+    nty = (ys + ots - 1) // ots
     ts = tile_size
     # source tiles overlapping the window
     tx0, tx1 = xoff // ts, (xoff + xs - 1) // ts
@@ -59,21 +67,22 @@ def translate_window(
     src = src.filter(
         (F.col("tile_x").between(tx0, tx1)) & (F.col("tile_y").between(ty0, ty1))
     )
-    # fan each source tile to the output tiles it overlaps (bounded <= 4
-    # for any offset when output tile size == source tile size)
+    # fan each source tile to the output tiles it overlaps — bounded <= 4
+    # when out tile size == source tile size, (ceil(ts/ots)+1)^2 when
+    # re-gridding finer; always O(tile area ratio), never data-dependent
     gx0 = F.col("tile_x") * ts - F.lit(xoff)  # source tile's origin in window coords
     gy0 = F.col("tile_y") * ts - F.lit(yoff)
-    otx0 = F.greatest(F.floor(gx0 / ts), F.lit(0)).cast("int")
-    otx1 = F.least(F.floor((gx0 + F.col("tile_w") - 1) / ts), F.lit(ntx - 1)).cast("int")
-    oty0 = F.greatest(F.floor(gy0 / ts), F.lit(0)).cast("int")
-    oty1 = F.least(F.floor((gy0 + F.col("tile_h") - 1) / ts), F.lit(nty - 1)).cast("int")
+    otx0 = F.greatest(F.floor(gx0 / ots), F.lit(0)).cast("int")
+    otx1 = F.least(F.floor((gx0 + F.col("tile_w") - 1) / ots), F.lit(ntx - 1)).cast("int")
+    oty0 = F.greatest(F.floor(gy0 / ots), F.lit(0)).cast("int")
+    oty1 = F.least(F.floor((gy0 + F.col("tile_h") - 1) / ots), F.lit(nty - 1)).cast("int")
     fan = (
         src.where((otx0 <= otx1) & (oty0 <= oty1))
         .withColumn("otx", F.explode(F.sequence(otx0, otx1)))
         .withColumn("oty", F.explode(F.sequence(oty0, oty1)))
     )
-    ow = F.least(F.lit(ts), F.lit(xs) - F.col("otx") * ts).cast("int")
-    oh = F.least(F.lit(ts), F.lit(ys) - F.col("oty") * ts).cast("int")
+    ow = F.least(F.lit(ots), F.lit(xs) - F.col("otx") * ots).cast("int")
+    oh = F.least(F.lit(ots), F.lit(ys) - F.col("oty") * ots).cast("int")
     fan = fan.select(
         "tile_x", "tile_y", "tile_w", "tile_h", "pixels",
         "otx", "oty", ow.alias("ow"), oh.alias("oh"),
@@ -82,8 +91,8 @@ def translate_window(
     def _gather(i):
         """Value of output pixel i (row-major in the output tile) taken
         from THIS source tile, or null when i falls outside it."""
-        wx = F.col("otx") * ts + i % F.col("ow")  # window coords
-        wy = F.col("oty") * ts + F.floor(i / F.col("ow"))
+        wx = F.col("otx") * ots + i % F.col("ow")  # window coords
+        wy = F.col("oty") * ots + F.floor(i / F.col("ow"))
         sx = wx + F.lit(xoff) - F.col("tile_x") * ts  # source-tile-local
         sy = wy + F.lit(yoff) - F.col("tile_y") * ts
         return F.when(
@@ -125,8 +134,8 @@ def translate_window(
         F.floor(F.col("id") / ntx).cast("int").alias("tile_y"),
     )
     nd_row = base.agg(F.min("nodata").alias("__nd"))
-    gw = F.least(F.lit(ts), F.lit(xs) - F.col("tile_x") * ts).cast("int")
-    gh = F.least(F.lit(ts), F.lit(ys) - F.col("tile_y") * ts).cast("int")
+    gw = F.least(F.lit(ots), F.lit(xs) - F.col("tile_x") * ots).cast("int")
+    gh = F.least(F.lit(ots), F.lit(ys) - F.col("tile_y") * ots).cast("int")
     folded = (
         grid.crossJoin(F.broadcast(nd_row))
         .where(F.col("__nd").isNotNull())
@@ -155,6 +164,29 @@ def translate_window(
     )
 
 
+def retile(
+    tiles: DataFrame,
+    raster_id: str,
+    band: int,
+    out_tile_size: int,
+    tile_size: int = 32,
+) -> DataFrame:
+    """gdal_retile analog: re-chunk one (raster_id, band) onto a new tile
+    grid, full extent, pixel-preserving (no resampling — retiling is pure
+    data movement). Raster width/height come from the tile table's own
+    metadata columns (one dimension-sized aggregate); everything else is
+    :func:`translate_window`'s bounded fan + fold, so the shuffle carries
+    each pixel exactly once regardless of the size ratio."""
+    base = tiles.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
+    meta = base.agg(F.min("width").alias("w"), F.min("height").alias("h")).first()
+    if meta is None or meta.w is None:
+        raise ValueError(f"no tiles for ({raster_id!r}, band {band})")
+    return translate_window(
+        tiles, raster_id, band, (0, 0, int(meta.w), int(meta.h)),
+        tile_size=tile_size, out_tile_size=out_tile_size,
+    )
+
+
 def translate_oracle_sql(
     tiles_rel: str,
     raster_id: str,
@@ -163,11 +195,13 @@ def translate_oracle_sql(
     scale: tuple[float, float, float, float] | None = None,
     clip: bool = True,
     tile_size: int = 32,
+    out_tile_size: int | None = None,
 ) -> str:
     """DuckDB mirror, exploded per output pixel (tile_x, tile_y, idx,
     value) with idx 1-based — identical affine expression tree."""
     xoff, yoff, xs, ys = (int(v) for v in srcwin)
     ts = tile_size
+    ots = int(out_tile_size or tile_size)
     if scale is not None:
         s0, s1, d0, d1 = (float(v) for v in scale)
         k = (d1 - d0) / (s1 - s0)
@@ -204,10 +238,10 @@ grid AS (
   SELECT CAST(g1.wx AS BIGINT) AS wx, CAST(g2.wy AS BIGINT) AS wy
   FROM generate_series(0, {xs - 1}) g1(wx), generate_series(0, {ys - 1}) g2(wy)
 )
-SELECT CAST(wx // {ts} AS INT) AS tile_x,
-       CAST(wy // {ts} AS INT) AS tile_y,
-       CAST((wy % {ts}) * least({ts}, {xs} - (wx // {ts}) * {ts})
-            + (wx % {ts}) + 1 AS INT) AS idx,
+SELECT CAST(wx // {ots} AS INT) AS tile_x,
+       CAST(wy // {ots} AS INT) AS tile_y,
+       CAST((wy % {ots}) * least({ots}, {xs} - (wx // {ots}) * {ots})
+            + (wx % {ots}) + 1 AS INT) AS idx,
        CASE WHEN v IS NULL THEN gnd ELSE {vexpr} END AS value
 FROM grid CROSS JOIN nd LEFT JOIN px USING (wx, wy)
 WHERE gnd IS NOT NULL

@@ -70,6 +70,38 @@ def test_no_python_in_plan(spark, tiles):
     assert "Python" not in plan
 
 
+def test_retile_pixel_preserving(spark, tiles):
+    from gdal_common_python_spark.operators import translate
+
+    out = translate.retile(tiles, "r0", 1, out_tile_size=48)
+    rows = out.collect()
+    assert len(rows) == 3 * 3  # ceil(128/48)^2
+    # edge tiles truncated to 128 - 2*48 = 32
+    dims = {(r.tile_x, r.tile_y): (r.tile_w, r.tile_h) for r in rows}
+    assert dims[(0, 0)] == (48, 48) and dims[(2, 2)] == (32, 32)
+    got = np.full((128, 128), np.nan)
+    for r in rows:
+        p = np.asarray(r.pixels, dtype=np.float64).reshape(r.tile_h, r.tile_w)
+        got[r.tile_y * 48 : r.tile_y * 48 + r.tile_h,
+            r.tile_x * 48 : r.tile_x * 48 + r.tile_w] = p
+    assert np.array_equal(got, src_grid(tiles))
+
+
+def test_retile_finer_than_source(spark, tiles):
+    from gdal_common_python_spark.operators import translate
+
+    out = translate.retile(tiles, "r0", 1, out_tile_size=10).collect()
+    assert len(out) == 13 * 13
+    got = np.full((128, 128), np.nan)
+    for r in out:
+        p = np.asarray(r.pixels, dtype=np.float64).reshape(r.tile_h, r.tile_w)
+        got[r.tile_y * 10 : r.tile_y * 10 + r.tile_h,
+            r.tile_x * 10 : r.tile_x * 10 + r.tile_w] = p
+    assert np.array_equal(got, src_grid(tiles))
+    with pytest.raises(ValueError, match="no tiles"):
+        translate.retile(tiles, "absent", 1, out_tile_size=10)
+
+
 def test_validation(spark, tiles):
     from gdal_common_python_spark.operators import translate
 
