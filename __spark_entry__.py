@@ -81,6 +81,17 @@ def q_spatial_join_pip(spark, sf_dir):
     )
 
 
+def q_media_geotag(spark, sf_dir):
+    """Interleaved-payload composition: media spans inherit the zone of the
+    nearest preceding geo span in the same document — PIP join for the geo
+    spans, then a join-free backward as-of keyed on doc_id (one hash
+    shuffle + per-doc sort; no pairwise explosion). DuckDB mirror is an
+    ASOF LEFT JOIN over the same grouped PIP subquery."""
+    return sj.media_geotag(
+        spark, _synth(spark, sf_dir, "documents_spans"), _synth(spark, sf_dir, "zones")
+    )
+
+
 def q_spatial_join_pip_salted(spark, sf_dir):
     """Same join, forced sort-merge + hot-cell salting physical path — must
     produce byte-identical rows (same oracle as spatial_join_pip)."""
@@ -1378,6 +1389,7 @@ def q_dedup_lines(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_pip": q_spatial_join_pip,
+        "media_geotag": q_media_geotag,
         "spatial_join_pip_salted": q_spatial_join_pip_salted,
         "spatial_join_pip_distributed": q_spatial_join_pip_distributed,
         "spatial_join_polygons": q_spatial_join_polygons,
@@ -1516,6 +1528,24 @@ WHERE (e.ey1 > p.py) != (e.ey2 > p.py)
   AND p.px < (e.ex2 - e.ex1) * (p.py - e.ey1) / (e.ey2 - e.ey1) + e.ex1
 GROUP BY 1, 2, 3
 HAVING count(*) % 2 = 1
+"""
+
+# media geotag: ASOF LEFT JOIN over the grouped PIP subquery — each media
+# span inherits min(zone_id) of the nearest preceding geo span per doc
+_SQL_MEDIA_GEOTAG = f"""
+WITH geo AS (
+  SELECT doc_id, "offset", min(zone_id) AS zone_id
+  FROM ({_SQL_SPATIAL_JOIN_PIP}) pip
+  GROUP BY 1, 2
+),
+media AS (
+  SELECT doc_id, s."offset" AS "offset", s.media_ref AS media_ref
+  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
+  WHERE s.kind = 'media'
+)
+SELECT m.doc_id, m."offset", m.media_ref, g.zone_id
+FROM media m ASOF LEFT JOIN geo g
+  ON m.doc_id = g.doc_id AND m."offset" >= g."offset"
 """
 
 # window snap (north-up grids only — all synth rasters have px_y < 0)
@@ -3339,6 +3369,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **ann,
         "spatial_join_pip": _SQL_SPATIAL_JOIN_PIP,
+        "media_geotag": _SQL_MEDIA_GEOTAG,
         "spatial_join_pip_salted": _SQL_SPATIAL_JOIN_PIP,
         "spatial_join_pip_distributed": _SQL_SPATIAL_JOIN_PIP,
         "tile_assignment": _SQL_TILE_ASSIGNMENT,

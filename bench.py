@@ -86,6 +86,7 @@ def run_queries(spark, sdir):
 
     names = [
         "spatial_join_pip",
+        "media_geotag",
         "spatial_join_pip_salted",
         "spatial_join_pip_distributed",
         "spatial_join_polygons",

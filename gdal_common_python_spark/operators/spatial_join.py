@@ -748,3 +748,43 @@ def spatial_join_with_fields(
     pairs = spatial_join_geoms(spark, docs, zones, **kwargs)
     attrs = F.broadcast(zones.select("zone_id", *join_fields))
     return pairs.join(attrs, "zone_id", "left")
+
+
+def media_geotag(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Geotag MEDIA spans from their surrounding text context: each media
+    span inherits the zone of the nearest PRECEDING geo span in the same
+    document (backward as-of over span offsets, per doc_id) ->
+    (doc_id, offset, media_ref, zone_id), zone_id null when no geo span
+    precedes. When a geo point sits in several overlapping zones the
+    smallest zone_id wins (deterministic).
+
+    The interleaved-document composition: spatial PIP join for the geo
+    spans (cell equi-join + exact kernel) feeds a join-free as-of — one
+    hash shuffle on doc_id + per-doc sort, no pairwise explosion, so the
+    plan holds at 10^12 documents. DuckDB mirror: ASOF LEFT JOIN over the
+    same grouped PIP subquery."""
+    from pyspark.sql import functions as F
+
+    from .temporal import asof_join
+
+    geo = (
+        spatial_join_points(spark, docs, zones, **kwargs)
+        .groupBy("doc_id", "offset")
+        .agg(F.min("zone_id").alias("zone_id"))
+    )
+    media = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+    out = asof_join(media, geo, on="offset", by=["doc_id"], direction="backward")
+    return out.select("doc_id", "offset", "media_ref", "zone_id")

@@ -635,3 +635,42 @@ def test_spatial_join_with_fields(spark, docs, zones):
     zmap = {r.zone_id: (r.name, r.category) for r in zones.select("zone_id", "name", "category").collect()}
     for r in rows:
         assert (r.name, r.category) == zmap[r.zone_id]
+
+
+def test_media_geotag_inherits_preceding_geo_zone(spark, docs, zones):
+    """Each media span carries min(zone_id) of the nearest preceding geo
+    span in its document; null when no geo span precedes."""
+    import re
+
+    from gdal_common_python_spark.operators import spatial_join as sj
+    from gdal_common_python_spark.kernels import geom as G
+
+    got = {
+        (r.doc_id, r.offset): (r.media_ref, r.zone_id)
+        for r in sj.media_geotag(spark, docs, zones).collect()
+    }
+    zp = zones.toPandas()
+    edges = {
+        int(z.zone_id): G.rings_to_edges(G.rings_from_cell(z.rings4326))
+        for _, z in zp.iterrows()
+    }
+    n_media = 0
+    for row in docs.toPandas().itertuples(index=False):
+        spans = sorted(
+            ((s["offset"], s["kind"], s["text"], s["media_ref"]) for s in row.spans)
+        )
+        last_zone = None
+        for off, kind, text, media_ref in spans:
+            if kind == "geo" and text and text.startswith("POINT"):
+                m = re.match(r"POINT\(([-+0-9.eE]+) ([-+0-9.eE]+)\)", text)
+                px, py = float(m.group(1)), float(m.group(2))
+                zs = [
+                    zid
+                    for zid, ee in edges.items()
+                    if G.points_in_rings(np.array([px]), np.array([py]), ee)[0]
+                ]
+                last_zone = min(zs) if zs else last_zone
+            elif kind == "media":
+                n_media += 1
+                assert got[(row.doc_id, off)] == (media_ref, last_zone)
+    assert n_media > 0 and len(got) == n_media
