@@ -70,3 +70,43 @@ def test_crash_cleanup(spark, docs, tmp_path):
     out = run_stage(spark, store, "r", "st", docs, "doc_id", _transform, n_buckets=4)
     expected = {(r.doc_id, r.n_spans) for r in _transform(docs).collect()}
     assert {(r.doc_id, r.n_spans) for r in out.collect()} == expected
+
+
+def test_mid_join_resume(spark, docs, zones, tmp_path):
+    """The north-rule form: the checkpointed stage IS the flagship spatial
+    join (bucket-local per doc_id — the zone side broadcasts), so a run
+    killed mid-join resumes without recomputing completed buckets and
+    reproduces the stateless join exactly."""
+    from gdal_common_python_spark.operators import spatial_join as sj
+
+    base = str(tmp_path / "ckpt_join")
+    store = CheckpointStore(base)
+
+    def join_t(df):
+        return sj.spatial_join_points(spark, df, zones)
+
+    expected = {
+        (r.doc_id, r.offset, r.zone_id) for r in join_t(docs).collect()
+    }
+
+    part = run_stage(
+        spark, store, "runj", "pipjoin", docs, "doc_id", join_t,
+        n_buckets=8, max_buckets=3,
+    )
+    assert 0 < part.count() < len(expected)
+    lineage1 = store.committed("runj", "pipjoin")
+    assert len(lineage1) == 3
+
+    full = run_stage(
+        spark, store, "runj", "pipjoin", docs, "doc_id", join_t, n_buckets=8
+    )
+    got = {(r.doc_id, r.offset, r.zone_id) for r in full.collect()}
+    assert got == expected
+    lineage2 = store.committed("runj", "pipjoin")
+    assert len(lineage2) == 8
+    first = lineage1.set_index("partition_id")["written_at"]
+    second = lineage2.set_index("partition_id")["written_at"]
+    for b in first.index:
+        assert second[b] == first[b]  # completed buckets never recomputed
+    assert int(lineage2.input_rows.sum()) == docs.count()
+    assert int(lineage2.output_rows.sum()) == len(expected)
