@@ -505,6 +505,27 @@ def q_translate(spark, sf_dir):
     ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
 
 
+# resample target: coarser grid, offset from r0's origin, extending past
+# the source's east/south edges (exercises the out-of-bounds nodata path)
+_RS_TARGET = dict(
+    origin_x=-119.9, origin_y=44.9, px_x=0.4, px_y=-0.4, width=82, height=64
+)
+
+
+def q_resample(spark, sf_dir):
+    """R7 nearest-neighbour resample as an oracle gate (was pytest-only):
+    target pixel centers map into the source grid by the R1 trunc rule;
+    out-of-bounds targets get nodata. The mapping is mul/div/trunc of
+    driver literals — identical expression shape in DuckDB."""
+    from gdal_common_python_spark.operators import resample as rs_ops
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    t = rs_ops.resample_nearest(spark, tiles, "r0", 1, _RS_TARGET)
+    return t.select(
+        "tile_x", "tile_y", F.posexplode("pixels").alias("idx0", "value")
+    ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
+
+
 def q_retile(spark, sf_dir):
     """gdal_retile analog: pixel-preserving re-grid of r0 from 32- to
     48-pixel tiles (full extent; bounded source-to-output fan + first-non-
@@ -1482,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "translate": q_translate,
         "retile": q_retile,
+        "resample": q_resample,
         "overviews": q_overviews,
         "segmentize": q_segmentize,
         "raster_info": q_raster_info,
@@ -2863,6 +2885,50 @@ from gdal_common_python_spark.operators.translate import (
 _SQL_TRANSLATE = _tr_sql(_TILES, "r0", 1, _TR_SRCWIN, scale=_TR_SCALE)
 # retile gate: r0 is 128x128 (synth layout), re-gridded to 48-pixel tiles
 _SQL_RETILE = _tr_sql(_TILES, "r0", 1, (0, 0, 128, 128), out_tile_size=48)
+
+
+def _resample_sql() -> str:
+    """Nearest-resample oracle: target pixel centers -> R1 trunc source
+    index -> left join exploded source pixels; out-of-bounds -> nodata.
+    Expression shapes mirror operators/resample.py kernel() exactly."""
+    t = _RS_TARGET
+    s_ox, s_oy, s_px, s_py = -120.0, 45.0, 0.25, -0.25  # r0 grid (synth)
+    s_w = s_h = 128
+    nodata = -9999.0
+    ts = 32
+    tw, th = t["width"], t["height"]
+    return f"""
+WITH spx AS (
+  SELECT CAST(tile_x AS BIGINT) * {ts} + (idx - 1) % tile_w AS sx,
+         CAST(tile_y AS BIGINT) * {ts} + (idx - 1) // tile_w AS sy,
+         v
+  FROM (
+    SELECT tile_x, tile_y, tile_w,
+           generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+    FROM {_TILES} WHERE raster_id = 'r0' AND band = 1
+  )
+),
+grid AS (
+  SELECT CAST(g1.wx AS BIGINT) AS wx, CAST(g2.wy AS BIGINT) AS wy
+  FROM generate_series(0, {tw - 1}) g1(wx), generate_series(0, {th - 1}) g2(wy)
+),
+m AS (
+  SELECT wx, wy,
+         CAST(trunc((({t["origin_x"]!r} + (wx + 0.5) * {t["px_x"]!r}) - {s_ox!r}) / {s_px!r}) AS BIGINT) AS sx,
+         CAST(trunc((({t["origin_y"]!r} + (wy + 0.5) * {t["px_y"]!r}) - {s_oy!r}) / {s_py!r}) AS BIGINT) AS sy
+  FROM grid
+)
+SELECT CAST(wx // {ts} AS INT) AS tile_x,
+       CAST(wy // {ts} AS INT) AS tile_y,
+       CAST((wy % {ts}) * least({ts}, {tw} - (wx // {ts}) * {ts})
+            + (wx % {ts}) + 1 AS INT) AS idx,
+       CASE WHEN m.sx BETWEEN 0 AND {s_w - 1} AND m.sy BETWEEN 0 AND {s_h - 1}
+            THEN coalesce(v, {nodata!r}) ELSE {nodata!r} END AS value
+FROM m LEFT JOIN spx ON m.sx = spx.sx AND m.sy = spx.sy
+"""
+
+
+_SQL_RESAMPLE = _resample_sql()
 del _tr_sql
 
 from gdal_common_python_spark.operators.overviews import (
@@ -3455,6 +3521,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _SQL_MIXTURE_SAMPLE,
         "translate": _SQL_TRANSLATE,
         "retile": _SQL_RETILE,
+        "resample": _SQL_RESAMPLE,
         "overviews": _SQL_OVERVIEWS,
         "segmentize": _SQL_SEGMENTIZE,
         "raster_info": _SQL_RASTER_INFO,

@@ -165,6 +165,7 @@ def run_queries(spark, sdir):
         "mixture_sample",
         "translate",
         "retile",
+        "resample",
         "overviews",
         "segmentize",
         "raster_info",
