@@ -81,6 +81,34 @@ def q_spatial_join_pip(spark, sf_dir):
     )
 
 
+def q_envelope(spark, sf_dir):
+    """P11 per-feature envelope derived from rings — pure codegen (flatten
+    + transform + array_min/max, no Arrow round trip); min/max are
+    accumulation-order-free so the DuckDB list oracle hash-matches."""
+    from gdal_common_python_spark import api
+
+    z = _synth(spark, sf_dir, "zones").select(
+        "zone_id", F.col("rings4326").alias("rings")
+    )
+    out = api.get_extent(z.drop("bbox")) if "bbox" in z.columns else api.get_extent(z)
+    return out.select(
+        "zone_id",
+        F.col("bbox.xmin").alias("xmin"), F.col("bbox.ymin").alias("ymin"),
+        F.col("bbox.xmax").alias("xmax"), F.col("bbox.ymax").alias("ymax"),
+    )
+
+
+def q_layer_extent(spark, sf_dir):
+    """A7 layer extent: one map-side-combined min/max aggregate over the
+    native per-feature envelopes."""
+    from gdal_common_python_spark import api
+
+    z = _synth(spark, sf_dir, "zones").select(
+        "zone_id", F.col("rings4326").alias("rings")
+    )
+    return api.get_layer_extent(z)
+
+
 def q_media_geotag(spark, sf_dir):
     """Interleaved-payload composition: media spans inherit the zone of the
     nearest preceding geo span in the same document — PIP join for the geo
@@ -1411,6 +1439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_pip": q_spatial_join_pip,
         "media_geotag": q_media_geotag,
+        "envelope": q_envelope,
+        "layer_extent": q_layer_extent,
         "spatial_join_pip_salted": q_spatial_join_pip_salted,
         "spatial_join_pip_distributed": q_spatial_join_pip_distributed,
         "spatial_join_polygons": q_spatial_join_polygons,
@@ -1550,6 +1580,21 @@ WHERE (e.ey1 > p.py) != (e.ey2 > p.py)
   AND p.px < (e.ex2 - e.ex1) * (p.py - e.ey1) / (e.ey2 - e.ey1) + e.ex1
 GROUP BY 1, 2, 3
 HAVING count(*) % 2 = 1
+"""
+
+# native per-feature envelope (P11) + layer extent (A7)
+_SQL_ENVELOPE = f"""
+SELECT zone_id,
+  list_aggregate(list_transform(flatten(rings4326), p -> p[1]), 'min') AS xmin,
+  list_aggregate(list_transform(flatten(rings4326), p -> p[2]), 'min') AS ymin,
+  list_aggregate(list_transform(flatten(rings4326), p -> p[1]), 'max') AS xmax,
+  list_aggregate(list_transform(flatten(rings4326), p -> p[2]), 'max') AS ymax
+FROM {_ZONES}
+"""
+
+_SQL_LAYER_EXTENT = f"""
+SELECT min(xmin) AS xmin, min(ymin) AS ymin, max(xmax) AS xmax, max(ymax) AS ymax
+FROM ({_SQL_ENVELOPE})
 """
 
 # media geotag: ASOF LEFT JOIN over the grouped PIP subquery — each media
@@ -3436,6 +3481,8 @@ def oracle_sql() -> dict[str, str]:
         **ann,
         "spatial_join_pip": _SQL_SPATIAL_JOIN_PIP,
         "media_geotag": _SQL_MEDIA_GEOTAG,
+        "envelope": _SQL_ENVELOPE,
+        "layer_extent": _SQL_LAYER_EXTENT,
         "spatial_join_pip_salted": _SQL_SPATIAL_JOIN_PIP,
         "spatial_join_pip_distributed": _SQL_SPATIAL_JOIN_PIP,
         "tile_assignment": _SQL_TILE_ASSIGNMENT,

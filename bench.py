@@ -139,6 +139,8 @@ def run_queries(spark, sdir):
         "raster_histogram",
         "centroids",
         "convex_hull",
+        "envelope",
+        "layer_extent",
         "raster_calc",
         "polygonize",
         "geohash",

@@ -50,30 +50,44 @@ def copy_datasource_as_empty(spark: SparkSession, df: DataFrame) -> DataFrame:
     return spark.createDataFrame([], df.schema)
 
 
+def envelope_exprs(rings_col: str = "rings"):
+    """Native (pure-codegen) per-feature envelope over a flat ring list ->
+    (xmin, ymin, xmax, ymax) Column expressions. Exact: min/max have no
+    accumulation-order sensitivity, so a SQL oracle hash-matches."""
+    pts = F.flatten(F.col(rings_col))
+    xs = F.transform(pts, lambda p: F.element_at(p, 1))
+    ys = F.transform(pts, lambda p: F.element_at(p, 2))
+    return F.array_min(xs), F.array_min(ys), F.array_max(xs), F.array_max(ys)
+
+
 def get_extent(df: DataFrame) -> DataFrame:
     """P11 — features.get_extent (features.py:79-94): per-feature envelope
-    (the precomputed bbox column, or derived from rings)."""
+    (the precomputed bbox column, or derived from rings — natively, JVM-side
+    whole-stage codegen instead of the former Arrow round trip)."""
     if "bbox" in df.columns:
         return df.select("zone_id", "bbox")
-
-    @F.pandas_udf(
-        T.StructType(
-            [
-                T.StructField("xmin", T.DoubleType()),
-                T.StructField("ymin", T.DoubleType()),
-                T.StructField("xmax", T.DoubleType()),
-                T.StructField("ymax", T.DoubleType()),
-            ]
-        )
+    xmin, ymin, xmax, ymax = envelope_exprs("rings")
+    return df.withColumn(
+        "bbox",
+        F.struct(
+            xmin.alias("xmin"), ymin.alias("ymin"),
+            xmax.alias("xmax"), ymax.alias("ymax"),
+        ),
     )
-    def bb(rings: pd.Series) -> pd.DataFrame:
-        rows = []
-        for rr in rings:
-            xmin, ymin, xmax, ymax = _geom.rings_bbox(_geom.rings_from_cell(rr))
-            rows.append(dict(xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax))
-        return pd.DataFrame(rows)
 
-    return df.withColumn("bbox", bb("rings"))
+
+def get_layer_extent(df: DataFrame, rings_col: str = "rings") -> DataFrame:
+    """A7 — layer-level extent: one row (xmin, ymin, xmax, ymax) over every
+    feature's envelope; native min/max aggregate (one map-side-combined
+    pass, no driver loop)."""
+    xmin, ymin, xmax, ymax = envelope_exprs(rings_col)
+    per = df.select(
+        xmin.alias("xmin"), ymin.alias("ymin"), xmax.alias("xmax"), ymax.alias("ymax")
+    )
+    return per.agg(
+        F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
+        F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"),
+    )
 
 
 def make_valid(df: DataFrame, rings_col: str = "rings") -> DataFrame:
