@@ -677,6 +677,22 @@ def _zones_split(spark, sf_dir):
     return zones.filter(F.col("zone_id") % 2 == 0), zones.filter(F.col("zone_id") % 2 == 1)
 
 
+def q_union_layers(spark, sf_dir):
+    """G7 relational union (no intersection splits, lib/analysis.py:192):
+    unionByName over the shared columns — gated on per-feature structure
+    (ring count + total vertex count), which any geometry mutation would
+    break."""
+    from gdal_common_python_spark.operators import overlay
+
+    left, right = _zones_split(spark, sf_dir)
+    out = overlay.union_layers(left.drop("bbox"), right.drop("bbox"))
+    return out.select(
+        "zone_id",
+        F.size("rings").alias("n_rings"),
+        F.size(F.flatten("rings")).alias("n_vertices"),
+    )
+
+
 def q_overlay_clip(spark, sf_dir):
     """G2/G5 general clip gate: pieces of left∩right (holes, multiparts and
     concave handled by the kernel); gated on the intersecting pair set plus
@@ -1457,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_union": q_dissolve_union,
         "dissolve_union_scalable": q_dissolve_union_scalable,
         "overlay_clip": q_overlay_clip,
+        "union_layers": q_union_layers,
         "overlay_erase": q_overlay_erase,
         "overlay_identity": q_overlay_identity,
         "overlay_symdiff": q_overlay_symdiff,
@@ -1580,6 +1597,14 @@ WHERE (e.ey1 > p.py) != (e.ey2 > p.py)
   AND p.px < (e.ex2 - e.ex1) * (p.py - e.ey1) / (e.ey2 - e.ey1) + e.ex1
 GROUP BY 1, 2, 3
 HAVING count(*) % 2 = 1
+"""
+
+# G7 relational union: both id-parity halves back together, structure stats
+_SQL_UNION_LAYERS = f"""
+SELECT zone_id,
+       CAST(len(rings4326) AS INT) AS n_rings,
+       CAST(len(flatten(rings4326)) AS INT) AS n_vertices
+FROM {_ZONES}
 """
 
 # native per-feature envelope (P11) + layer extent (A7)
@@ -3494,6 +3519,7 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_union": _SQL_DISSOLVE_UNION,
         "dissolve_union_scalable": _SQL_DISSOLVE_UNION,
         "overlay_clip": _SQL_OVERLAY_CLIP,
+        "union_layers": _SQL_UNION_LAYERS,
         "overlay_erase": _SQL_OVERLAY_ERASE,
         "overlay_identity": _SQL_OVERLAY_IDENTITY,
         "overlay_symdiff": _SQL_OVERLAY_SYMDIFF,

@@ -98,6 +98,7 @@ def run_queries(spark, sdir):
         "mosaic",
         "mosaic_mixed_grid",
         "overlay_clip",
+        "union_layers",
         "overlay_erase",
         "overlay_identity",
         "overlay_symdiff",
