@@ -81,6 +81,15 @@ def q_spatial_join_pip(spark, sf_dir):
     )
 
 
+def q_zone_corpus_profile(spark, sf_dir):
+    """Per-zone corpus rollup ("training data by region"): distinct docs,
+    geo points, text chars and geotagged media spans per zone — all-integer
+    aggregates over the PIP join + media geotag, two shuffles total."""
+    return sj.zone_corpus_profile(
+        spark, _synth(spark, sf_dir, "documents_spans"), _synth(spark, sf_dir, "zones")
+    )
+
+
 def q_envelope(spark, sf_dir):
     """P11 per-feature envelope derived from rings — pure codegen (flatten
     + transform + array_min/max, no Arrow round trip); min/max are
@@ -1455,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_pip": q_spatial_join_pip,
         "media_geotag": q_media_geotag,
+        "zone_corpus_profile": q_zone_corpus_profile,
         "envelope": q_envelope,
         "layer_extent": q_layer_extent,
         "spatial_join_pip_salted": q_spatial_join_pip_salted,
@@ -1599,6 +1609,40 @@ GROUP BY 1, 2, 3
 HAVING count(*) % 2 = 1
 """
 
+# per-zone corpus rollup: PIP + media-geotag subqueries, integer aggregates
+_SQL_ZONE_CORPUS_PROFILE = f"""
+WITH pip AS ({_SQL_SPATIAL_JOIN_PIP}),
+dz AS (
+  SELECT zone_id, doc_id, count(*) AS n_points
+  FROM pip GROUP BY 1, 2
+),
+chars AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(CASE WHEN s.kind = 'text'
+                                THEN coalesce(length(s.text), 0) ELSE 0 END), 0)
+              AS BIGINT) AS n_chars
+  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
+  GROUP BY 1
+),
+media AS (
+  SELECT zone_id, CAST(count(*) AS BIGINT) AS n_media
+  FROM ({{MEDIA_GEOTAG}}) mg
+  WHERE zone_id IS NOT NULL
+  GROUP BY 1
+),
+per_zone AS (
+  SELECT dz.zone_id,
+         CAST(count(DISTINCT dz.doc_id) AS BIGINT) AS n_docs,
+         CAST(sum(dz.n_points) AS BIGINT) AS n_points,
+         CAST(sum(chars.n_chars) AS BIGINT) AS text_chars
+  FROM dz JOIN chars USING (doc_id)
+  GROUP BY 1
+)
+SELECT per_zone.zone_id, n_docs, n_points, text_chars,
+       coalesce(n_media, 0) AS n_media
+FROM per_zone LEFT JOIN media ON per_zone.zone_id = media.zone_id
+"""
+
 # G7 relational union: both id-parity halves back together, structure stats
 _SQL_UNION_LAYERS = f"""
 SELECT zone_id,
@@ -1639,6 +1683,12 @@ SELECT m.doc_id, m."offset", m.media_ref, g.zone_id
 FROM media m ASOF LEFT JOIN geo g
   ON m.doc_id = g.doc_id AND m."offset" >= g."offset"
 """
+
+# the corpus-profile oracle embeds the media-geotag subquery (defined above
+# as a placeholder because this statement precedes it in the file)
+_SQL_ZONE_CORPUS_PROFILE = _SQL_ZONE_CORPUS_PROFILE.replace(
+    "{MEDIA_GEOTAG}", _SQL_MEDIA_GEOTAG
+)
 
 # window snap (north-up grids only — all synth rasters have px_y < 0)
 _SQL_WINDOWS = f"""
@@ -3506,6 +3556,7 @@ def oracle_sql() -> dict[str, str]:
         **ann,
         "spatial_join_pip": _SQL_SPATIAL_JOIN_PIP,
         "media_geotag": _SQL_MEDIA_GEOTAG,
+        "zone_corpus_profile": _SQL_ZONE_CORPUS_PROFILE,
         "envelope": _SQL_ENVELOPE,
         "layer_extent": _SQL_LAYER_EXTENT,
         "spatial_join_pip_salted": _SQL_SPATIAL_JOIN_PIP,

@@ -87,6 +87,7 @@ def run_queries(spark, sdir):
     names = [
         "spatial_join_pip",
         "media_geotag",
+        "zone_corpus_profile",
         "spatial_join_pip_salted",
         "spatial_join_pip_distributed",
         "spatial_join_polygons",

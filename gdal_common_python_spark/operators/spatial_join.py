@@ -754,6 +754,7 @@ def media_geotag(
     spark: SparkSession,
     docs: DataFrame,
     zones: DataFrame,
+    points: DataFrame | None = None,
     **kwargs,
 ) -> DataFrame:
     """Geotag MEDIA spans from their surrounding text context: each media
@@ -772,11 +773,10 @@ def media_geotag(
 
     from .temporal import asof_join
 
-    geo = (
-        spatial_join_points(spark, docs, zones, **kwargs)
-        .groupBy("doc_id", "offset")
-        .agg(F.min("zone_id").alias("zone_id"))
+    pip = points if points is not None else spatial_join_points(
+        spark, docs, zones, **kwargs
     )
+    geo = pip.groupBy("doc_id", "offset").agg(F.min("zone_id").alias("zone_id"))
     media = (
         docs.select("doc_id", F.explode("spans").alias("s"))
         .where(F.col("s.kind") == "media")
@@ -788,3 +788,57 @@ def media_geotag(
     )
     out = asof_join(media, geo, on="offset", by=["doc_id"], direction="backward")
     return out.select("doc_id", "offset", "media_ref", "zone_id")
+
+
+def zone_corpus_profile(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Per-zone corpus rollup — the "training data by region" report:
+    (zone_id, n_docs, n_points, text_chars, n_media) where n_docs counts
+    distinct documents with >=1 geo point in the zone, n_points the geo
+    points themselves, text_chars the total text-span characters of those
+    documents, and n_media their media spans geotagged to this zone (via
+    :func:`media_geotag` semantics: nearest preceding geo span).
+
+    All-integer aggregates (no float accumulation), two shuffles total:
+    the PIP join's, then one groupBy zone_id with map-side combine — the
+    per-doc span folds are HOF expressions inside the scan."""
+    from pyspark.sql import functions as F
+
+    from .util import track_persisted
+
+    # one PIP join feeds BOTH the per-zone doc rollup and the media geotag
+    # (persist: pair-table-sized, spillable; without it the join runs twice)
+    pip = spatial_join_points(spark, docs, zones, **kwargs).persist()
+    doc_zone = pip.groupBy("zone_id", "doc_id").agg(F.count("*").alias("n_points"))
+    chars = docs.select(
+        "doc_id",
+        F.aggregate(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]).cast("long"), F.lit(0)),
+        ).alias("n_chars"),
+    )
+    media = (
+        media_geotag(spark, docs, zones, points=pip, **kwargs)
+        .where(F.col("zone_id").isNotNull())
+        .groupBy("zone_id")
+        .agg(F.count("*").alias("n_media"))
+    )
+    per_zone = (
+        doc_zone.join(chars, "doc_id")
+        .groupBy("zone_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_points").alias("n_points"),
+            F.sum("n_chars").alias("text_chars"),
+        )
+    )
+    out = per_zone.join(media, "zone_id", "left").select(
+        "zone_id", "n_docs", "n_points", "text_chars",
+        F.coalesce("n_media", F.lit(0).cast("long")).alias("n_media"),
+    )
+    return track_persisted(out, pip)

@@ -674,3 +674,32 @@ def test_media_geotag_inherits_preceding_geo_zone(spark, docs, zones):
                 n_media += 1
                 assert got[(row.doc_id, off)] == (media_ref, last_zone)
     assert n_media > 0 and len(got) == n_media
+
+
+def test_zone_corpus_profile_counts(spark, docs, zones):
+    """Zone rollup reconciles with its constituents computed independently."""
+    from gdal_common_python_spark.operators import spatial_join as sj
+
+    prof = {r.zone_id: r for r in sj.zone_corpus_profile(spark, docs, zones).collect()}
+    pip = sj.spatial_join_points(spark, docs, zones).collect()
+    mg = sj.media_geotag(spark, docs, zones).collect()
+    chars = {
+        r.doc_id: sum(len(s["text"]) for s in r.spans if s["kind"] == "text" and s["text"])
+        for r in docs.collect()
+    }
+    by_zone = {}
+    for r in pip:
+        z = by_zone.setdefault(r.zone_id, {"docs": set(), "pts": 0})
+        z["docs"].add(r.doc_id)
+        z["pts"] += 1
+    media_ct = {}
+    for r in mg:
+        if r.zone_id is not None:
+            media_ct[r.zone_id] = media_ct.get(r.zone_id, 0) + 1
+    assert set(prof) == set(by_zone)
+    for z, agg in by_zone.items():
+        row = prof[z]
+        assert row.n_docs == len(agg["docs"])
+        assert row.n_points == agg["pts"]
+        assert row.text_chars == sum(chars[d] for d in agg["docs"])
+        assert row.n_media == media_ct.get(z, 0)
