@@ -513,6 +513,14 @@ _TR_SRCWIN = (20, 12, 80, 60)
 _TR_SCALE = (0.0, 255.0, 0.0, 100.0)
 
 
+def q_tile_index(spark, sf_dir):
+    """gdaltindex analog: footprint extents per catalog entry — a pure
+    projection over the raster manifest (zero shuffle, zero UDF)."""
+    from gdal_common_python_spark.operators import rasterinfo as ri_ops
+
+    return ri_ops.tile_index(_synth(spark, sf_dir, "rasters"))
+
+
 def q_raster_info(spark, sf_dir):
     """gdalinfo -stats analog: per-band global stats; one aggregate HOF
     per tile before the shuffle (exchange carries one row per tile)."""
@@ -1574,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slippy_tiles": q_slippy_tiles,
         "viewshed": q_viewshed,
         "tile_stats": q_tile_stats,
+        "tile_index": q_tile_index,
     }
 
 
@@ -3086,11 +3095,13 @@ del _ec_sql, _rc_sql
 from gdal_common_python_spark.operators.rasterinfo import (
     raster_to_xyz_oracle_sql as _xyz_sql,
     slippy_tiles_oracle_sql as _st_sql,
+    tile_index_oracle_sql as _ti_sql,
 )
 
 _SQL_RASTER_XYZ = _xyz_sql(_TILES, "r3", 1)
 _SQL_SLIPPY_TILES = _st_sql(_RASTERS, 6)
-del _xyz_sql, _st_sql
+_SQL_TILE_INDEX = _ti_sql(_RASTERS)
+del _xyz_sql, _st_sql, _ti_sql
 
 from gdal_common_python_spark.operators.viewshed import (
     viewshed_oracle_sql as _vs_sql,
@@ -3659,6 +3670,7 @@ def oracle_sql() -> dict[str, str]:
         "slippy_tiles": _SQL_SLIPPY_TILES,
         "viewshed": _SQL_VIEWSHED,
         "tile_stats": _SQL_TILE_STATS,
+        "tile_index": _SQL_TILE_INDEX,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -201,6 +201,7 @@ def run_queries(spark, sdir):
         "span_invariant",
         "spatial_join_polygons_distributed",
         "zonal_counts",
+        "tile_index",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

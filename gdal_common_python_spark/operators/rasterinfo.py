@@ -568,3 +568,53 @@ FROM (
 )
 GROUP BY raster_id, band, tile_x, tile_y
 """
+
+
+def tile_index(rasters: DataFrame) -> DataFrame:
+    """gdaltindex analog: one footprint record per (raster_id, band) entry
+    of the raster catalog -> (raster_id, band, location, ul_x, ul_y, ur_x,
+    ur_y, lr_x, lr_y, ll_x, ll_y, min_x, min_y, max_x, max_y).
+
+    gdaltindex walks input files and writes a vector layer with each
+    raster's extent polygon plus a ``location`` attribute (the path). Here
+    the catalog IS the file list (the Iceberg-layout manifest), so the op
+    is a pure projection: corners derive from the affine geotransform
+    (origin + size x pixel size; north-up px_y < 0 handled by min/max over
+    the two y edges). ZERO shuffle, zero UDF, exact IEEE arithmetic — the
+    DuckDB oracle shares the identical expression tree. The ring is emitted
+    as flat corner columns (ul->ur->lr->ll, gdaltindex vertex order) —
+    axis-aligned footprints carry no more information than their corners.
+    """
+    x0 = F.col("origin_x")
+    x1 = F.col("origin_x") + F.col("width") * F.col("px_x")
+    y0 = F.col("origin_y")
+    y1 = F.col("origin_y") + F.col("height") * F.col("px_y")
+    return rasters.select(
+        "raster_id", "band",
+        F.concat(F.col("raster_id"), F.lit("_b"), F.col("band").cast("string"), F.lit(".tif")).alias("location"),
+        x0.alias("ul_x"), y0.alias("ul_y"),
+        x1.alias("ur_x"), y0.alias("ur_y"),
+        x1.alias("lr_x"), y1.alias("lr_y"),
+        x0.alias("ll_x"), y1.alias("ll_y"),
+        F.least(x0, x1).alias("min_x"), F.least(y0, y1).alias("min_y"),
+        F.greatest(x0, x1).alias("max_x"), F.greatest(y0, y1).alias("max_y"),
+    )
+
+
+def tile_index_oracle_sql(rasters_rel: str) -> str:
+    """DuckDB mirror of :func:`tile_index` — identical affine tree."""
+    return f"""
+WITH b AS (
+  SELECT raster_id, band,
+         origin_x AS x0, origin_x + width * px_x AS x1,
+         origin_y AS y0, origin_y + height * px_y AS y1
+  FROM {rasters_rel}
+)
+SELECT raster_id, band,
+       raster_id || '_b' || CAST(band AS VARCHAR) || '.tif' AS location,
+       x0 AS ul_x, y0 AS ul_y, x1 AS ur_x, y0 AS ur_y,
+       x1 AS lr_x, y1 AS lr_y, x0 AS ll_x, y1 AS ll_y,
+       least(x0, x1) AS min_x, least(y0, y1) AS min_y,
+       greatest(x0, x1) AS max_x, greatest(y0, y1) AS max_y
+FROM b
+"""

@@ -87,3 +87,34 @@ class TestRasterInfo:
             rasterinfo.color_relief(
                 _tiles(spark, np.zeros((2, 2))), [(10.0, 0, 0, 0), (0.0, 1, 1, 1)]
             )
+
+
+class TestTileIndex:
+    def test_footprints_from_geotransform(self, spark):
+        cat = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    dict(raster_id="a", band=1, origin_x=-120.0, origin_y=45.0,
+                         px_x=0.25, px_y=-0.25, width=128, height=128),
+                    dict(raster_id="b", band=2, origin_x=10.0, origin_y=-5.0,
+                         px_x=0.5, px_y=-0.5, width=4, height=8),
+                ]
+            )
+        )
+        rows = {(r.raster_id, r.band): r for r in rasterinfo.tile_index(cat).collect()}
+        a = rows[("a", 1)]
+        assert a.location == "a_b1.tif"
+        assert (a.ul_x, a.ul_y) == (-120.0, 45.0)
+        assert (a.lr_x, a.lr_y) == (-120.0 + 128 * 0.25, 45.0 - 128 * 0.25)
+        assert a.min_y == a.lr_y and a.max_y == a.ul_y  # north-up: py < 0
+        b = rows[("b", 2)]
+        assert (b.ur_x, b.ur_y) == (12.0, -5.0)
+        assert (b.min_x, b.min_y, b.max_x, b.max_y) == (10.0, -9.0, 12.0, -5.0)
+
+    def test_zero_shuffle_plan(self, spark):
+        cat = spark.createDataFrame(
+            pd.DataFrame([dict(raster_id="a", band=1, origin_x=0.0, origin_y=0.0,
+                               px_x=1.0, px_y=-1.0, width=2, height=2)])
+        )
+        plan = rasterinfo.tile_index(cat)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
