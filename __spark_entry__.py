@@ -584,6 +584,23 @@ def q_retile(spark, sf_dir):
     ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
 
 
+def q_pansharpen(spark, sf_dir):
+    """gdal_pansharpen analog: weighted-Brovey pansharpen of r1/1 (pan grid)
+    and r3/1 (shifted 0.2-deg grid, nearest-resampled via the R7 kernel)
+    against the r0/1 pan band. The combine is pure codegen (arrays_zip +
+    transform); nodata/out-of-raster/zero-pseudo-pan pixels go nodata in
+    every output band."""
+    from gdal_common_python_spark.operators import pansharpen as ps_ops
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    out = ps_ops.pansharpen(
+        spark, tiles, pan=("r0", 1), ms=[("r1", 1), ("r3", 1)], weights=[0.6, 0.4]
+    )
+    return out.select(
+        "out_band", "tile_x", "tile_y", F.posexplode("pixels").alias("idx0", "value")
+    ).select("out_band", "tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
+
+
 def q_fillnodata(spark, sf_dir):
     """gdal_fillnodata analog: nearest-valid fill with exact tie-averaging
     (order-free integer sums) over one halo-exchange pass."""
@@ -1569,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translate": q_translate,
         "retile": q_retile,
         "resample": q_resample,
+        "pansharpen": q_pansharpen,
         "overviews": q_overviews,
         "segmentize": q_segmentize,
         "raster_info": q_raster_info,
@@ -3060,6 +3078,73 @@ FROM m LEFT JOIN spx ON m.sx = spx.sx AND m.sy = spx.sy
 _SQL_RESAMPLE = _resample_sql()
 del _tr_sql
 
+
+def _pansharpen_sql() -> str:
+    """Weighted-Brovey pansharpen oracle: r1/1 shares the pan (r0) grid and
+    joins by global pixel coords; r3/1 samples via the SAME trunc((center -
+    origin)/px) nearest-mapping expression tree as the engine's R7 kernel
+    (out-of-raster -> nodata). pseudo_pan = 0.6*v0 + 0.4*v1 and the per-band
+    ratio vi * pv / pseudo are written with the engine's association order,
+    so IEEE doubles match repr-exactly."""
+    t_ox, t_oy, t_px, t_py = -120.0, 45.0, 0.25, -0.25  # pan (r0) grid
+    t_w, t_h = 128, 128
+    s_ox, s_oy, s_px, s_py = -119.87, 44.63, 0.2, -0.2  # r3 grid
+    s_w = s_h = 96
+    nd = -9999.0
+    ts = 32
+    w0, w1 = 0.6, 0.4
+    sx = f"CAST(trunc((({t_ox!r} + (p.gx + 0.5) * {t_px!r}) - ({s_ox!r})) / {s_px!r}) AS BIGINT)"
+    sy = f"CAST(trunc((({t_oy!r} + (p.gy + 0.5) * {t_py!r}) - ({s_oy!r})) / {s_py!r}) AS BIGINT)"
+    return f"""
+WITH px AS (
+  SELECT raster_id,
+         CAST(tile_x AS BIGINT) * {ts} + (idx - 1) % tile_w AS gx,
+         CAST(tile_y AS BIGINT) * {ts} + (idx - 1) // tile_w AS gy,
+         v
+  FROM (
+    SELECT raster_id, tile_x, tile_y, tile_w,
+           generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+    FROM {_TILES}
+    WHERE band = 1 AND raster_id IN ('r0', 'r1', 'r3')
+  )
+),
+j AS (
+  SELECT p.gx, p.gy, p.v AS pv, m0.v AS v0,
+         CASE WHEN {sx} BETWEEN 0 AND {s_w - 1} AND {sy} BETWEEN 0 AND {s_h - 1}
+              THEN coalesce(m1.v, {nd!r}) ELSE {nd!r} END AS v1
+  FROM (SELECT * FROM px WHERE raster_id = 'r0') p
+  JOIN (SELECT * FROM px WHERE raster_id = 'r1') m0
+    ON m0.gx = p.gx AND m0.gy = p.gy
+  LEFT JOIN (SELECT * FROM px WHERE raster_id = 'r3') m1
+    ON m1.gx = {sx} AND m1.gy = {sy}
+),
+jj AS (
+  SELECT gx, gy, pv, v0, v1, {w0!r} * v0 + {w1!r} * v1 AS pseudo,
+         (pv = {nd!r} OR v0 = {nd!r} OR v1 = {nd!r}
+          OR ({w0!r} * v0 + {w1!r} * v1) = 0.0) AS invalid
+  FROM j
+),
+bands AS (
+  SELECT 1 AS out_band, gx, gy,
+         CASE WHEN invalid THEN {nd!r} ELSE v0 * pv / pseudo END AS value
+  FROM jj
+  UNION ALL
+  SELECT 2 AS out_band, gx, gy,
+         CASE WHEN invalid THEN {nd!r} ELSE v1 * pv / pseudo END AS value
+  FROM jj
+)
+SELECT CAST(out_band AS INT) AS out_band,
+       CAST(gx // {ts} AS INT) AS tile_x,
+       CAST(gy // {ts} AS INT) AS tile_y,
+       CAST((gy % {ts}) * least({ts}, {t_w} - (gx // {ts}) * {ts})
+            + (gx % {ts}) + 1 AS INT) AS idx,
+       value
+FROM bands
+"""
+
+
+_SQL_PANSHARPEN = _pansharpen_sql()
+
 from gdal_common_python_spark.operators.overviews import (
     overview_oracle_sql as _ov_sql,
 )
@@ -3657,6 +3742,7 @@ def oracle_sql() -> dict[str, str]:
         "translate": _SQL_TRANSLATE,
         "retile": _SQL_RETILE,
         "resample": _SQL_RESAMPLE,
+        "pansharpen": _SQL_PANSHARPEN,
         "overviews": _SQL_OVERVIEWS,
         "segmentize": _SQL_SEGMENTIZE,
         "raster_info": _SQL_RASTER_INFO,

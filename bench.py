@@ -170,6 +170,7 @@ def run_queries(spark, sdir):
         "translate",
         "retile",
         "resample",
+        "pansharpen",
         "overviews",
         "segmentize",
         "raster_info",
