@@ -584,6 +584,17 @@ def q_retile(spark, sf_dir):
     ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
 
 
+def q_chunk_interleaved(spark, sf_dir):
+    """Multimodal context-window chunking DIRECTLY on the north-rule
+    interleaved spans shape: text/geo spans cost whitespace tokens, media
+    spans a fixed budget; prefix-sum chunk boundaries never split a span.
+    One narrow projection (nested HOFs) + posexplode — zero shuffle."""
+    from gdal_common_python_spark.operators.curation import chunk_interleaved
+
+    docs = _synth(spark, sf_dir, "documents_spans")
+    return chunk_interleaved(docs, max_tokens=64, media_budget=32)
+
+
 def q_pansharpen(spark, sf_dir):
     """gdal_pansharpen analog: weighted-Brovey pansharpen of r1/1 (pan grid)
     and r3/1 (shifted 0.2-deg grid, nearest-resampled via the R7 kernel)
@@ -1587,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retile": q_retile,
         "resample": q_resample,
         "pansharpen": q_pansharpen,
+        "chunk_interleaved": q_chunk_interleaved,
         "overviews": q_overviews,
         "segmentize": q_segmentize,
         "raster_info": q_raster_info,
@@ -3145,6 +3157,12 @@ FROM bands
 
 _SQL_PANSHARPEN = _pansharpen_sql()
 
+from gdal_common_python_spark.operators.curation import (
+    chunk_interleaved_oracle_sql as _ci_sql,
+)
+
+_SQL_CHUNK_INTERLEAVED = _ci_sql(_DOCS, max_tokens=64, media_budget=32)
+
 from gdal_common_python_spark.operators.overviews import (
     overview_oracle_sql as _ov_sql,
 )
@@ -3743,6 +3761,7 @@ def oracle_sql() -> dict[str, str]:
         "retile": _SQL_RETILE,
         "resample": _SQL_RESAMPLE,
         "pansharpen": _SQL_PANSHARPEN,
+        "chunk_interleaved": _SQL_CHUNK_INTERLEAVED,
         "overviews": _SQL_OVERVIEWS,
         "segmentize": _SQL_SEGMENTIZE,
         "raster_info": _SQL_RASTER_INFO,

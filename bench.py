@@ -171,6 +171,7 @@ def run_queries(spark, sdir):
         "retile",
         "resample",
         "pansharpen",
+        "chunk_interleaved",
         "overviews",
         "segmentize",
         "raster_info",

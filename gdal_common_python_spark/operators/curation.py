@@ -493,3 +493,136 @@ FROM t JOIN fr USING (grp)
 WHERE CAST('0x' || substr(md5('{salt}:' || t.grp || ':' || CAST(t.doc_id AS VARCHAR)), 1, 8)
            AS BIGINT) / 4294967296.0 < fr.keep_frac
 """
+
+
+def chunk_interleaved(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    media_budget: int = 32,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Multimodal context-window chunking over the INTERLEAVED spans shape
+    (doc_id, spans:array<struct<kind,text,media_ref,offset>>) — the
+    north-rule input: text/geo spans cost their whitespace token count
+    (operators.text.token_count), media spans a fixed ``media_budget``
+    (the patch-embedding convention), and spans are chopped into chunks at
+    prefix-cost boundaries WITHOUT ever splitting a span:
+
+        chunk_ix(span i) = floor(prefix_cost_before_i / max_tokens)
+
+    so a chunk can overflow by at most one span (the standard
+    boundary-by-prefix-sum layout; media spans are atomic). Span ORDER is
+    preserved end-to-end — ``kind_seq`` is the chunk's span-kind sequence
+    in array (= offset) order, pinning the span-sequence invariant.
+
+    Returns (doc_id, chunk_ix, n_spans, n_media_spans, chunk_cost,
+    kind_seq).
+
+    100 TB shape: the ENTIRE operator is one narrow projection — costs,
+    running sum, chunk ids, and per-chunk rollups all evaluate as nested
+    HOFs (transform/aggregate/zip_with/filter) inside the doc's own row,
+    then one posexplode emits chunk rows. Zero shuffle, zero UDF; output
+    partitioning follows the input (plan-pinned Exchange-free in pytest).
+    """
+    from .text import token_count
+
+    spans = F.col(spans_col)
+    cap = F.lit(int(max_tokens))
+    costs = F.transform(
+        spans,
+        lambda s: F.when(
+            s["kind"] == "media", F.lit(int(media_budget)).cast("long")
+        ).otherwise(token_count(s["text"]).cast("long")),
+    )
+    # inclusive running sum as one fold (array stays inside the row)
+    cum = F.aggregate(
+        costs,
+        F.expr("CAST(array() AS array<bigint>)"),
+        lambda acc, c: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, c).otherwise(
+                    F.element_at(acc, F.size(acc)) + c
+                )
+            ),
+        ),
+    )
+    excl = F.zip_with(cum, costs, lambda a, c: a - c)  # exclusive prefix
+    cix = F.transform(excl, lambda e: F.floor(e / cap))
+    z = F.zip_with(
+        spans, cix, lambda s, c: F.struct(s["kind"].alias("kind"), c.alias("cix"))
+    )
+    z = F.zip_with(
+        z, costs, lambda a, co: F.struct(a["kind"].alias("kind"), a["cix"].alias("cix"), co.alias("cost"))
+    )
+    chunks = F.array_distinct(cix)  # monotonic -> already in chunk order
+    per_chunk = F.transform(
+        chunks,
+        lambda c: F.struct(
+            c.alias("chunk_ix"),
+            F.size(F.filter(z, lambda s: s["cix"] == c)).cast("long").alias("n_spans"),
+            F.size(
+                F.filter(z, lambda s: (s["cix"] == c) & (s["kind"] == "media"))
+            ).cast("long").alias("n_media_spans"),
+            F.aggregate(
+                F.filter(z, lambda s: s["cix"] == c),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + s["cost"],
+            ).alias("chunk_cost"),
+            F.array_join(
+                F.transform(F.filter(z, lambda s: s["cix"] == c), lambda s: s["kind"]),
+                ",",
+            ).alias("kind_seq"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(per_chunk).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_ix").alias("chunk_ix"),
+        F.col("c.n_spans").alias("n_spans"),
+        F.col("c.n_media_spans").alias("n_media_spans"),
+        F.col("c.chunk_cost").alias("chunk_cost"),
+        F.col("c.kind_seq").alias("kind_seq"),
+    )
+
+
+def chunk_interleaved_oracle_sql(
+    rel: str,
+    max_tokens: int = 64,
+    media_budget: int = 32,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> str:
+    """DuckDB mirror of :func:`chunk_interleaved` — identical token_count,
+    identical prefix-sum boundary rule, kind_seq ordered by span position."""
+    return f"""
+WITH s AS (
+  SELECT {id_col} AS doc_id,
+         generate_subscripts({spans_col}, 1) AS pos,
+         unnest({spans_col}) AS sp
+  FROM {rel}
+),
+c AS (
+  SELECT doc_id, pos, sp.kind AS kind,
+         CAST(CASE WHEN sp.kind = 'media' THEN {int(media_budget)}
+                   WHEN len(trim(sp.text)) = 0 THEN 0
+                   ELSE len(str_split_regex(trim(lower(sp.text)), '\\s+'))
+              END AS BIGINT) AS cost
+  FROM s
+),
+x AS (
+  SELECT *, CAST(floor((sum(cost) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS UNBOUNDED PRECEDING) - cost)
+                 / {float(int(max_tokens))!r}) AS BIGINT) AS chunk_ix
+  FROM c
+)
+SELECT doc_id, chunk_ix,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media_spans,
+       CAST(sum(cost) AS BIGINT) AS chunk_cost,
+       string_agg(kind, ',' ORDER BY pos) AS kind_seq
+FROM x
+GROUP BY doc_id, chunk_ix
+"""
