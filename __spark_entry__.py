@@ -1258,6 +1258,20 @@ def q_raster_histogram(spark, sf_dir):
     return rasterinfo.raster_histogram(tiles, lo=0.0, hi=256.0, n_buckets=16, tile_size=32)
 
 
+def q_rgb2pct(spark, sf_dir):
+    """rgb2pct analog (GDAL ComputeMedianCutPCT): level-synchronous balanced
+    median cut over the distinct-(r,g,b) histogram — every per-level step is
+    histogram-sized (bounded by 2^24 colors regardless of raster size), the
+    only full-data pass is the initial map-side-combined groupBy. Returns
+    the 2^4-entry palette with integer round-half-up channel means."""
+    from gdal_common_python_spark.operators import palette
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return palette.median_cut_palette(
+        palette.rgb_pixels(tiles, ("r0", 1), ("r1", 1), ("r1", 2)), levels=4
+    )
+
+
 def q_centroids(spark, sf_dir):
     """OGR Centroid() analog under the integer-quantization discipline:
     per-edge shoelace terms floor-quantized to int64 before summing
@@ -1568,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sieve": q_sieve,
         "color_relief": q_color_relief,
         "raster_histogram": q_raster_histogram,
+        "rgb2pct": q_rgb2pct,
         "centroids": q_centroids,
         "convex_hull": q_convex_hull,
         "raster_calc": q_raster_calc,
@@ -3283,6 +3298,13 @@ from gdal_common_python_spark.operators.rasterinfo import (
 )
 
 _SQL_COLOR_RELIEF = _cr_sql(_TILES, _RELIEF_RAMP)
+
+from gdal_common_python_spark.operators.palette import (
+    rgb_to_pct_oracle_sql as _pct_sql,
+)
+
+_SQL_RGB2PCT = _pct_sql(_TILES, ("r0", 1), ("r1", 1), ("r1", 2), levels=4)
+del _pct_sql
 _SQL_RASTER_HISTOGRAM = _hist_sql(_TILES, 0.0, 256.0, 16)
 _SQL_RASTER_CALC = _calc_sql(_TILES, ("r0", 1), ("r1", 1), "sub")
 del _cr_sql, _hist_sql, _calc_sql
@@ -3731,6 +3753,7 @@ def oracle_sql() -> dict[str, str]:
         "sieve": _SQL_SIEVE,
         "color_relief": _SQL_COLOR_RELIEF,
         "raster_histogram": _SQL_RASTER_HISTOGRAM,
+        "rgb2pct": _SQL_RGB2PCT,
         "centroids": _SQL_CENTROIDS,
         "convex_hull": _SQL_CONVEX_HULL,
         "raster_calc": _SQL_RASTER_CALC,

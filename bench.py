@@ -139,6 +139,7 @@ def run_queries(spark, sdir):
         "contour",
         "color_relief",
         "raster_histogram",
+        "rgb2pct",
         "centroids",
         "convex_hull",
         "envelope",
