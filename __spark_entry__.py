@@ -1272,6 +1272,19 @@ def q_rgb2pct(spark, sf_dir):
     )
 
 
+def q_pct2rgb(spark, sf_dir):
+    """pct2rgb analog round-trip: quantize (rgb2pct), expand the palette
+    indexes back to RGB via a broadcast of the <=2^L-row palette, roll up
+    per (tile, box). The expansion itself is shuffle-free — the only
+    exchange is the final compact rollup."""
+    from gdal_common_python_spark.operators import palette
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return palette.pct_tile_histogram(
+        tiles, ("r0", 1), ("r1", 1), ("r1", 2), levels=4
+    )
+
+
 def q_centroids(spark, sf_dir):
     """OGR Centroid() analog under the integer-quantization discipline:
     per-edge shoelace terms floor-quantized to int64 before summing
@@ -1583,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "color_relief": q_color_relief,
         "raster_histogram": q_raster_histogram,
         "rgb2pct": q_rgb2pct,
+        "pct2rgb": q_pct2rgb,
         "centroids": q_centroids,
         "convex_hull": q_convex_hull,
         "raster_calc": q_raster_calc,
@@ -3300,11 +3314,13 @@ from gdal_common_python_spark.operators.rasterinfo import (
 _SQL_COLOR_RELIEF = _cr_sql(_TILES, _RELIEF_RAMP)
 
 from gdal_common_python_spark.operators.palette import (
+    pct_tile_histogram_oracle_sql as _p2r_sql,
     rgb_to_pct_oracle_sql as _pct_sql,
 )
 
 _SQL_RGB2PCT = _pct_sql(_TILES, ("r0", 1), ("r1", 1), ("r1", 2), levels=4)
-del _pct_sql
+_SQL_PCT2RGB = _p2r_sql(_TILES, ("r0", 1), ("r1", 1), ("r1", 2), levels=4)
+del _pct_sql, _p2r_sql
 _SQL_RASTER_HISTOGRAM = _hist_sql(_TILES, 0.0, 256.0, 16)
 _SQL_RASTER_CALC = _calc_sql(_TILES, ("r0", 1), ("r1", 1), "sub")
 del _cr_sql, _hist_sql, _calc_sql
@@ -3754,6 +3770,7 @@ def oracle_sql() -> dict[str, str]:
         "color_relief": _SQL_COLOR_RELIEF,
         "raster_histogram": _SQL_RASTER_HISTOGRAM,
         "rgb2pct": _SQL_RGB2PCT,
+        "pct2rgb": _SQL_PCT2RGB,
         "centroids": _SQL_CENTROIDS,
         "convex_hull": _SQL_CONVEX_HULL,
         "raster_calc": _SQL_RASTER_CALC,

@@ -140,6 +140,7 @@ def run_queries(spark, sdir):
         "color_relief",
         "raster_histogram",
         "rgb2pct",
+        "pct2rgb",
         "centroids",
         "convex_hull",
         "envelope",

@@ -179,6 +179,29 @@ def rgb_to_pct(
     return palette, assigned
 
 
+def pct_to_rgb(assigned: DataFrame, palette: DataFrame) -> DataFrame:
+    """pct2pct's inverse utility (pct2rgb.py): expand palette indexes back to
+    RGB channels — a broadcast join of the (<=2^L)-row palette onto the
+    per-pixel assignment. Returns (tile_x, tile_y, idx, box, pr, pg, pb)."""
+    return assigned.join(
+        F.broadcast(palette.select("box", "pr", "pg", "pb")), "box"
+    ).select("tile_x", "tile_y", "idx", "box", "pr", "pg", "pb")
+
+
+def pct_tile_histogram(
+    tiles: DataFrame, r, g, b, levels: int = 4
+) -> DataFrame:
+    """Round-trip gate shape: quantize (rgb2pct), expand (pct2rgb), then a
+    compact per-(tile, box) rollup — (tile_x, tile_y, box, pr, pg, pb, n).
+    Exercises the full palette→assignment→expansion chain while keeping the
+    output tiles x boxes sized."""
+    pal, assigned = rgb_to_pct(tiles, r, g, b, levels)
+    rgb = pct_to_rgb(assigned, pal)
+    return rgb.groupBy("tile_x", "tile_y", "box", "pr", "pg", "pb").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def _mc_level_sql(k: int) -> str:
     """One unrolled median-cut level for the DuckDB oracle: h{k} -> h{k+1}
     with the identical integer rules (widest channel r>g>b ties, RANGE-frame
@@ -214,6 +237,60 @@ h{k + 1} AS (
          w.box * 2 + CASE WHEN w.cv > m.med THEN 1 ELSE 0 END AS box
   FROM w{k} w JOIN m{k} m USING (box)
 )"""
+
+
+def pct_tile_histogram_oracle_sql(
+    tiles_rel: str,
+    r,
+    g,
+    b,
+    levels: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`pct_tile_histogram`: the same unrolled
+    median-cut chain, then palette means per box and the per-(tile, box)
+    rollup through the color->box map."""
+
+    def chan(sel, name):
+        rid, band = sel
+        return f"""
+{name}px AS (
+  SELECT tile_x, tile_y, idx,
+         CAST(v AS BIGINT) AS {name}
+  FROM (
+    SELECT tile_x, tile_y, nodata,
+           generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+    FROM {tiles_rel} WHERE raster_id = '{rid}' AND band = {int(band)}
+  ) WHERE v != nodata
+)"""
+
+    lvls = ",".join(_mc_level_sql(k) for k in range(int(levels)))
+    L = int(levels)
+    return f"""
+WITH {chan(r, "r")}, {chan(g, "g")}, {chan(b, "b")},
+px AS (
+  SELECT r.tile_x, r.tile_y, r.idx, r.r, g.g, b.b
+  FROM rpx r
+  JOIN gpx g ON g.tile_x = r.tile_x AND g.tile_y = r.tile_y AND g.idx = r.idx
+  JOIN bpx b ON b.tile_x = r.tile_x AND b.tile_y = r.tile_y AND b.idx = r.idx
+),
+h0 AS (
+  SELECT r, g, b, CAST(count(*) AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS box
+  FROM px GROUP BY r, g, b
+),{lvls},
+pal AS (
+  SELECT box,
+         CAST((2*sum(r*cnt) + sum(cnt)) // (2*sum(cnt)) AS BIGINT) AS pr,
+         CAST((2*sum(g*cnt) + sum(cnt)) // (2*sum(cnt)) AS BIGINT) AS pg,
+         CAST((2*sum(b*cnt) + sum(cnt)) // (2*sum(cnt)) AS BIGINT) AS pb
+  FROM h{L} GROUP BY box
+)
+SELECT px.tile_x, px.tile_y, m.box, pal.pr, pal.pg, pal.pb,
+       CAST(count(*) AS BIGINT) AS n
+FROM px
+JOIN h{L} m ON m.r = px.r AND m.g = px.g AND m.b = px.b
+JOIN pal ON pal.box = m.box
+GROUP BY px.tile_x, px.tile_y, m.box, pal.pr, pal.pg, pal.pb
+"""
 
 
 def rgb_to_pct_oracle_sql(

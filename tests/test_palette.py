@@ -89,6 +89,30 @@ def test_rgb_pixels_nodata_any_drop_and_assignment(spark):
     assert len(set(arow.values())) == 3
 
 
+def test_pct_to_rgb_round_trip(spark):
+    # every expanded pixel carries exactly its box's palette channels
+    def tile(rid, band, pixels):
+        return (rid, band, 255.0, 0, 0, 2, 2, [float(p) for p in pixels])
+
+    tiles = spark.createDataFrame(
+        [
+            tile("rr", 1, [0, 10, 0, 5]),
+            tile("gg", 1, [0, 0, 20, 5]),
+            tile("bb", 1, [0, 0, 0, 200]),
+        ],
+        "raster_id string, band int, nodata double, tile_x int, tile_y int,"
+        " tile_w int, tile_h int, pixels array<double>",
+    )
+    pal, assigned = palette.rgb_to_pct(tiles, ("rr", 1), ("gg", 1), ("bb", 1), levels=2)
+    rgb = palette.pct_to_rgb(assigned, pal).collect()
+    pal_by_box = {r["box"]: (r["pr"], r["pg"], r["pb"]) for r in pal.collect()}
+    assert len(rgb) == 4
+    for row in rgb:
+        assert (row["pr"], row["pg"], row["pb"]) == pal_by_box[row["box"]]
+    hist = palette.pct_tile_histogram(tiles, ("rr", 1), ("gg", 1), ("bb", 1), levels=2)
+    assert sum(r["n"] for r in hist.collect()) == 4
+
+
 def test_median_cut_empty_input(spark):
     px = _pixels(spark, [])
     assert palette.median_cut_palette(px, levels=2).count() == 0
