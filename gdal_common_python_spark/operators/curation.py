@@ -519,73 +519,102 @@ def chunk_interleaved(
     Returns (doc_id, chunk_ix, n_spans, n_media_spans, chunk_cost,
     kind_seq).
 
-    100 TB shape: the ENTIRE operator is one narrow projection — costs,
-    running sum, chunk ids, and per-chunk rollups all evaluate as nested
-    HOFs (transform/aggregate/zip_with/filter) inside the doc's own row,
-    then one posexplode emits chunk rows. Zero shuffle, zero UDF; output
-    partitioning follows the input (plan-pinned Exchange-free in pytest).
+    100 TB shape: still ZERO SHUFFLE — a span-table explode+window plan
+    would shuffle 10^13 span rows at the 10^12-doc scale, so chunking stays
+    inside each doc's own row. Span costs evaluate natively JVM-side
+    (transform + token_count — the text never leaves the JVM); only the
+    narrow (doc_id, costs:array<long>, kinds:array<string>) projection
+    crosses Arrow into a mapInPandas kernel that runs ONE segmented cumsum
+    over the whole batch (np.cumsum + run-boundary detection — linear and
+    vectorized, replacing an earlier O(s^2) interpreted concat-fold per
+    doc). Output partitioning follows the input (plan-pinned Exchange-free
+    in pytest).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     from .text import token_count
 
     spans = F.col(spans_col)
-    cap = F.lit(int(max_tokens))
+    cap = int(max_tokens)
     costs = F.transform(
         spans,
         lambda s: F.when(
             s["kind"] == "media", F.lit(int(media_budget)).cast("long")
         ).otherwise(token_count(s["text"]).cast("long")),
     )
-    # inclusive running sum as one fold (array stays inside the row)
-    cum = F.aggregate(
-        costs,
-        F.expr("CAST(array() AS array<bigint>)"),
-        lambda acc, c: F.concat(
-            acc,
-            F.array(
-                F.when(F.size(acc) == 0, c).otherwise(
-                    F.element_at(acc, F.size(acc)) + c
-                )
-            ),
-        ),
+    kinds = F.transform(spans, lambda s: s["kind"])
+    id_type = docs.schema[id_col].dataType
+    narrow = docs.select(
+        F.col(id_col).alias("doc_id"), costs.alias("__costs"), kinds.alias("__kinds")
     )
-    excl = F.zip_with(cum, costs, lambda a, c: a - c)  # exclusive prefix
-    cix = F.transform(excl, lambda e: F.floor(e / cap))
-    z = F.zip_with(
-        spans, cix, lambda s, c: F.struct(s["kind"].alias("kind"), c.alias("cix"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("chunk_ix", T.LongType()),
+            T.StructField("n_spans", T.LongType()),
+            T.StructField("n_media_spans", T.LongType()),
+            T.StructField("chunk_cost", T.LongType()),
+            T.StructField("kind_seq", T.StringType()),
+        ]
     )
-    z = F.zip_with(
-        z, costs, lambda a, co: F.struct(a["kind"].alias("kind"), a["cix"].alias("cix"), co.alias("cost"))
-    )
-    chunks = F.array_distinct(cix)  # monotonic -> already in chunk order
-    per_chunk = F.transform(
-        chunks,
-        lambda c: F.struct(
-            c.alias("chunk_ix"),
-            F.size(F.filter(z, lambda s: s["cix"] == c)).cast("long").alias("n_spans"),
-            F.size(
-                F.filter(z, lambda s: (s["cix"] == c) & (s["kind"] == "media"))
-            ).cast("long").alias("n_media_spans"),
-            F.aggregate(
-                F.filter(z, lambda s: s["cix"] == c),
-                F.lit(0).cast("long"),
-                lambda acc, s: acc + s["cost"],
-            ).alias("chunk_cost"),
-            F.array_join(
-                F.transform(F.filter(z, lambda s: s["cix"] == c), lambda s: s["kind"]),
-                ",",
-            ).alias("kind_seq"),
-        ),
-    )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(per_chunk).alias("c")
-    ).select(
-        "doc_id",
-        F.col("c.chunk_ix").alias("chunk_ix"),
-        F.col("c.n_spans").alias("n_spans"),
-        F.col("c.n_media_spans").alias("n_media_spans"),
-        F.col("c.chunk_cost").alias("chunk_cost"),
-        F.col("c.kind_seq").alias("kind_seq"),
-    )
+
+    def kernel(batches):
+        for pdf in batches:
+            nd = len(pdf)
+            if nd == 0:
+                continue
+            cost_lists = pdf["__costs"].tolist()
+            kind_lists = pdf["__kinds"].tolist()
+            lens = np.fromiter(map(len, cost_lists), dtype=np.int64, count=nd)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat_c = np.concatenate(
+                [np.asarray(c, dtype=np.int64) for c in cost_lists if len(c)]
+            )
+            flat_k = np.concatenate(
+                [np.asarray(kl, dtype=object) for kl in kind_lists if len(kl)]
+            )
+            doc_ix = np.repeat(np.arange(nd), lens)
+            # segmented exclusive prefix: global cumsum minus each doc's base
+            gcum = np.cumsum(flat_c)
+            doc_end = np.cumsum(lens)
+            start_off = doc_end - lens
+            base = np.where(start_off > 0, gcum[np.maximum(start_off, 1) - 1], 0)
+            excl = (gcum - flat_c) - base[doc_ix]
+            cix = excl // cap
+            # contiguous (doc, chunk) runs — cix is monotone within a doc
+            new_run = np.r_[
+                True, (np.diff(doc_ix) != 0) | (np.diff(cix) != 0)
+            ]
+            starts = np.flatnonzero(new_run)
+            ends = np.r_[starts[1:], total]
+            n_spans = ends - starts
+            run_cost = (gcum[ends - 1] - base[doc_ix[ends - 1]]) - excl[starts]
+            is_media = (flat_k == "media").astype(np.int64)
+            mcum = np.cumsum(is_media)
+            n_media = mcum[ends - 1] - (mcum[starts] - is_media[starts])
+            run_id = np.cumsum(new_run) - 1
+            seqs = (
+                pd.Series(flat_k)
+                .groupby(run_id, sort=True)
+                .agg(",".join)
+                .to_numpy()
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[doc_ix[starts]],
+                    "chunk_ix": cix[starts],
+                    "n_spans": n_spans,
+                    "n_media_spans": n_media,
+                    "chunk_cost": run_cost,
+                    "kind_seq": seqs,
+                }
+            )
+
+    return narrow.mapInPandas(kernel, schema=schema)
 
 
 def chunk_interleaved_oracle_sql(

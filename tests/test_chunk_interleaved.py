@@ -60,4 +60,10 @@ def test_plan_is_exchange_free(spark, docs):
         out._jdf.queryExecution(), "formatted"
     )
     assert not re.search(r"Exchange", plan), plan[:2000]
-    assert "Generate" in plan  # the single posexplode
+    # one Arrow kernel over the narrow (costs, kinds) projection; span text
+    # is consumed JVM-side (token_count inside the transform) and must not
+    # appear in the kernel's input schema
+    assert "MapInPandas" in plan
+    m = re.search(r"\(\d+\) MapInPandas\n(?:.+\n)+?", plan)
+    detail = plan[m.start() : m.start() + 600]
+    assert "__costs" in detail and "text#" not in detail, detail
