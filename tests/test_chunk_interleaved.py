@@ -67,3 +67,29 @@ def test_plan_is_exchange_free(spark, docs):
     m = re.search(r"\(\d+\) MapInPandas\n(?:.+\n)+?", plan)
     detail = plan[m.start() : m.start() + 600]
     assert "__costs" in detail and "text#" not in detail, detail
+
+
+def test_empty_and_degenerate_docs(spark):
+    """Docs with an empty spans array emit no chunks (the oracle's unnest
+    of an empty list), and an all-empty batch doesn't crash the kernel."""
+    rows = [
+        ("d0", []),
+        ("d1", [("text", "three tokens here", None, 0), ("media", None, "m1", 1)]),
+        ("d2", []),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = chunk_interleaved(docs, max_tokens=64, media_budget=32).collect()
+    assert {r.doc_id for r in out} == {"d1"}
+    (r,) = out
+    assert (r.chunk_ix, r.n_spans, r.n_media_spans, r.chunk_cost, r.kind_seq) == (
+        0, 2, 1, 35, "text,media",
+    )
+    # all-empty input
+    empty = spark.createDataFrame(
+        [("e0", []), ("e1", [])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    assert chunk_interleaved(empty, max_tokens=8).count() == 0

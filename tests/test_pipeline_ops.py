@@ -628,3 +628,55 @@ class TestSimhashNearDup:
                 if i < j and bin(si ^ sj).count("1") <= 3:
                     brute[(i, j)] = bin(si ^ sj).count("1")
         assert got == brute and len(brute) > 0
+
+
+class TestCosineTopkBlocked:
+    """The blocked-GEMM exact top-k: the multi-block merge path is not
+    reachable at the gate scales (sf0.01 fits one block), so pin it here —
+    tiny blocks must reproduce the single-block result and a local numpy
+    reference exactly."""
+
+    def _emb(self, spark, n=90, d=12, seed=5):
+        rng = np.random.default_rng(seed)
+        rows = [(i, rng.normal(size=d).astype(np.float32).tolist()) for i in range(n)]
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    def _ref(self, emb, k):
+        pdf = emb.toPandas().sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cos = Xn @ Xn.T
+        out = set()
+        for i in range(len(ids)):
+            order = sorted(
+                (j for j in range(len(ids)) if j != i),
+                key=lambda j: (-cos[i, j], ids[j]),
+            )[:k]
+            for r, j in enumerate(order, 1):
+                out.add((int(ids[i]), r, int(ids[j])))
+        return out
+
+    def test_multi_block_matches_single_block_and_reference(self, spark):
+        emb = self._emb(spark)
+        single = {
+            (r.vec_id, r.rank, r.neighbor_id)
+            for r in similarity.cosine_topk(emb, k=4).collect()
+        }
+        multi = {
+            (r.vec_id, r.rank, r.neighbor_id)
+            for r in similarity.cosine_topk(
+                emb, k=4, query_block=16, corpus_block=24
+            ).collect()
+        }
+        assert multi == single == self._ref(emb, 4)
+
+    def test_k_exceeds_corpus(self, spark):
+        emb = self._emb(spark, n=6)
+        got = {
+            (r.vec_id, r.rank, r.neighbor_id)
+            for r in similarity.cosine_topk(emb, k=10, corpus_block=4).collect()
+        }
+        # every point gets exactly n-1 neighbours, ranks 1..5
+        assert got == self._ref(emb, 10)
+        assert len(got) == 6 * 5
