@@ -82,17 +82,25 @@ def geo_spans(docs: DataFrame, points_only: bool = False) -> DataFrame:
 def geo_points(docs: DataFrame) -> DataFrame:
     """(doc_id, offset, x, y) for POINT geo spans — fully JVM-side parse.
 
-    The parse is wrapped in an explode(array(struct(...))) barrier: without
-    it, Catalyst's constraint propagation re-derives isnotnull() filters on
-    x/y (from the downstream join/filter conditions) and re-evaluates the
-    regexp per constraint — measured 2-4 regexp passes per span instead of
-    one. Filters cannot push below a Generate, so the regexp runs exactly
-    once and the (tiny) one-element explode is free in codegen."""
+    The parse is plain string scans — substring_index to the text between
+    the parens, one split on the coordinate separator — instead of regexp
+    (two java.util.regex passes per span cost ~25% of the whole flagship
+    execution wall at the bench scale; the string-scan parse is free
+    against the scan+explode floor). Malformed spans cast to null x/y
+    exactly like a failed regexp match did. The parse stays wrapped in an
+    explode(array(struct(...))) barrier: without it, Catalyst's constraint
+    propagation re-derives isnotnull() filters on x/y (from the downstream
+    join/filter conditions) and re-evaluates the parse per constraint —
+    measured 2-4 passes per span instead of one. Filters cannot push below
+    a Generate, so the parse runs exactly once and the (tiny) one-element
+    explode is free in codegen."""
+    inner = F.substring_index(F.substring_index("wkt", "(", -1), ")", 1)
+    parts = F.split(inner, " ")
     parsed = F.explode(
         F.array(
             F.struct(
-                F.regexp_extract("wkt", POINT_RX, 1).cast("double").alias("x"),
-                F.regexp_extract("wkt", POINT_RX, 2).cast("double").alias("y"),
+                F.element_at(parts, 1).cast("double").alias("x"),
+                F.element_at(parts, 2).cast("double").alias("y"),
             )
         )
     )

@@ -44,13 +44,15 @@ class TestFlagshipPlan:
         # (a) the WKT regexp parse must be evaluated exactly once per
         # coordinate: Catalyst constraint propagation loves to clone it into
         # derived isnotnull filters (measured 45% flagship slowdown) — the
-        # explode barrier in geo_points pins it to 2 occurrences (x, y);
+        # explode barrier in geo_points pins it to 2 occurrences (x, y)
+        # — the parse is now substring_index+split (one string-scan pass
+        # per coordinate), so count split( occurrences;
         # (b) the exact zone bbox must appear as the broadcast join's
         # residual condition so out-of-bbox candidates die JVM-side and
         # never reach the Arrow exchange
         out = sj.spatial_join_points(spark, docs, zones, res=9, strategy="broadcast")
         p = plan(out)
-        assert p.count("regexp_extract") == 2, p.count("regexp_extract")
+        assert p.count("split(") == 2, p.count("split(")
         cond = [ln for ln in p.splitlines() if "Join condition:" in ln]
         assert cond and "xmin" in cond[0] and "ymax" in cond[0], cond
 
@@ -294,7 +296,7 @@ class TestNewOperatorPlans:
         p = plan(out)
         assert "Exchange" not in p, p[:1500]
         assert "Python" not in p and "ArrowEval" not in p, p[:1500]
-        assert p.count("regexp_extract") == 2  # the parse barrier held
+        assert p.count("split(") == 2  # the parse barrier held
 
     def test_cell_rollup_scans_raw_once(self, spark, docs):
         """The pyramid must be ONE linear plan: a single scan of the raw
