@@ -1,9 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
 - ``cosine_topk``: exact brute-force top-k neighbours — the correctness
-  baseline. Dot products run as native HOFs (zip_with + aggregate, left
-  fold in index order — deterministic, and reproducible by the DuckDB
-  oracle's list functions).
+  baseline, executed as a block-nested-loop GEMM (dense hash-uniform
+  blocks, einsum in index order — deterministic, and bit-reproducible by
+  the DuckDB oracle's list functions, which sum in the same order).
 - ``lsh_topk``: the scale path — random-hyperplane LSH buckets (hyperplanes
   derived deterministically from md5, no RNG) shrink the candidate set to
   same-bucket pairs before the exact re-rank; falls back to brute force for
@@ -21,14 +21,6 @@ from functools import reduce
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-
-
-def _norm(a):
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
 
 
 @F.pandas_udf(T.DoubleType())
