@@ -120,6 +120,10 @@ def cosine_topk(
                 cos = np.einsum("ik,jk->ij", A, B, optimize=False) / (
                     na[:, None] * nb[None, :]
                 )
+                # zero-norm vectors yield NaN cosine; Spark and DuckDB both
+                # order NaN as the LARGEST double, numpy sorts it last —
+                # map to +inf so the partial top-k agrees with the engines
+                cos[np.isnan(cos)] = np.inf
                 self_m = qids[:, None] == cids[None, :]
                 cos[self_m] = -np.inf
                 kr = min(kk, cos.shape[1])

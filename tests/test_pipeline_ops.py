@@ -680,3 +680,20 @@ class TestCosineTopkBlocked:
         # every point gets exactly n-1 neighbours, ranks 1..5
         assert got == self._ref(emb, 10)
         assert len(got) == 6 * 5
+
+    def test_zero_norm_vector_nan_ordering(self, spark):
+        """A zero-norm embedding yields NaN cosine against everything; Spark
+        and DuckDB ORDER BY treat NaN as the largest double, so the zero
+        vector must appear at rank 1 of every other point's list (tie-broken
+        by id), not be dropped the way numpy's default NaN sort would."""
+        rng = np.random.default_rng(9)
+        rows = [(i, rng.normal(size=8).astype(np.float32).tolist()) for i in range(20)]
+        rows.append((99, [0.0] * 8))
+        emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+        got = {
+            (r.vec_id, r.rank, r.neighbor_id)
+            for r in similarity.cosine_topk(emb, k=3, corpus_block=8).collect()
+        }
+        # every real point ranks the zero vector first (NaN == largest)
+        for i in range(20):
+            assert (i, 1, 99) in got, sorted(t for t in got if t[0] == i)
