@@ -501,6 +501,7 @@ def chunk_interleaved(
     media_budget: int = 32,
     id_col: str = "doc_id",
     spans_col: str = "spans",
+    impl: str = "native",
 ) -> DataFrame:
     """Multimodal context-window chunking over the INTERLEAVED spans shape
     (doc_id, spans:array<struct<kind,text,media_ref,offset>>) — the
@@ -521,20 +522,26 @@ def chunk_interleaved(
 
     100 TB shape: still ZERO SHUFFLE — a span-table explode+window plan
     would shuffle 10^13 span rows at the 10^12-doc scale, so chunking stays
-    inside each doc's own row. Span costs evaluate natively JVM-side
-    (transform + token_count — the text never leaves the JVM); only the
-    narrow (doc_id, costs:array<long>, kinds:array<string>) projection
-    crosses Arrow into a mapInPandas kernel that runs ONE segmented cumsum
-    over the whole batch (np.cumsum + run-boundary detection — linear and
-    vectorized, replacing an earlier O(s^2) interpreted concat-fold per
-    doc). Output partitioning follows the input (plan-pinned Exchange-free
-    in pytest).
+    inside each doc's own row, and with the default ``impl="native"``
+    entirely inside the JVM: span costs, the exclusive prefix sum, chunk
+    boundaries, and the per-chunk rollups are all higher-order array
+    expressions (transform / slice / aggregate / filter / array_join), so
+    no bytes ever cross into Python (plan-pinned Exchange-free AND
+    Python-free in pytest). The prefix sum uses slice+aggregate, which is
+    O(s^2) in the spans-per-doc count s — the right trade for the
+    interleaved shape where s is small and bounded (synth: 1-12); for
+    pathological documents with thousands of spans pass ``impl="arrow"``
+    to use the linear segmented-cumsum mapInPandas kernel instead (one
+    Arrow crossing of the narrow (doc_id, costs, kinds) projection).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     from .text import token_count
+
+    if impl not in ("native", "arrow"):
+        raise ValueError(f"impl must be 'native' or 'arrow', got {impl!r}")
 
     spans = F.col(spans_col)
     cap = int(max_tokens)
@@ -549,6 +556,71 @@ def chunk_interleaved(
     narrow = docs.select(
         F.col(id_col).alias("doc_id"), costs.alias("__costs"), kinds.alias("__kinds")
     )
+
+    if impl == "native":
+        zero = F.lit(0).cast("long")
+        c, k = F.col("__costs"), F.col("__kinds")
+        n = F.size(c)
+        add = lambda a, x: a + x  # noqa: E731
+
+        # exclusive prefix cost before span i (1-based): sum(costs[1..i-1])
+        excl = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.aggregate(F.slice(c, F.lit(1), i - 1), zero, add),
+        )
+        step = narrow.withColumn(
+            "__cix",
+            F.when(
+                n > 0,
+                F.transform(excl, lambda e: F.floor(e / F.lit(cap)).cast("long")),
+            ).otherwise(F.expr("cast(array() as array<long>)")),
+        )
+        cix = F.col("__cix")
+        # chunk starts: position 1, plus every position where cix changes
+        # (If is lazily evaluated, so element_at(cix, i-1) never sees i=1;
+        # the n==0 guard keeps F.sequence from descending to [1, 0])
+        starts = F.when(
+            F.size(cix) > 0,
+            F.filter(
+                F.sequence(F.lit(1), F.size(cix)),
+                lambda i: F.when(i == 1, F.lit(True)).otherwise(
+                    F.element_at(cix, i) != F.element_at(cix, i - 1)
+                ),
+            ),
+        ).otherwise(F.expr("cast(array() as array<int>)"))
+        step = step.withColumn("__starts", starts)
+        s_arr = F.col("__starts")
+        m = F.size(s_arr)
+        ends = F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.when(j < m, F.element_at(s_arr, j + 1) - 1).otherwise(
+                F.size(cix)
+            ),
+        )
+
+        def chunk_struct(s, e):
+            seg_k = F.slice(k, s, e - s + 1)
+            seg_c = F.slice(c, s, e - s + 1)
+            return F.struct(
+                F.element_at(cix, s).alias("chunk_ix"),
+                (e - s + 1).cast("long").alias("n_spans"),
+                F.size(F.filter(seg_k, lambda x: x == "media"))
+                .cast("long")
+                .alias("n_media_spans"),
+                F.aggregate(seg_c, zero, add).alias("chunk_cost"),
+                F.array_join(seg_k, ",").alias("kind_seq"),
+            )
+
+        chunks = F.when(m > 0, F.zip_with(s_arr, ends, chunk_struct)).otherwise(
+            F.expr(
+                "cast(array() as array<struct<chunk_ix:bigint,n_spans:bigint,"
+                "n_media_spans:bigint,chunk_cost:bigint,kind_seq:string>>)"
+            )
+        )
+        return step.select("doc_id", F.explode(chunks).alias("__ch")).select(
+            "doc_id", "__ch.*"
+        )
+
     schema = T.StructType(
         [
             T.StructField("doc_id", id_type),

@@ -24,12 +24,16 @@ def _ref_chunks(spans, max_tokens, media_budget):
     return chunks
 
 
-def test_matches_python_reference(spark, docs):
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["native", "arrow"])
+def test_matches_python_reference(spark, docs, impl):
     sample = docs.limit(200).collect()
     got = {
         (r.doc_id, r.chunk_ix): r
         for r in chunk_interleaved(
-            docs.limit(200), max_tokens=64, media_budget=32
+            docs.limit(200), max_tokens=64, media_budget=32, impl=impl
         ).collect()
     }
     n_checked = 0
@@ -55,18 +59,32 @@ def test_span_never_splits_and_order_preserved(spark, docs):
 
 
 def test_plan_is_exchange_free(spark, docs):
+    # default (native) impl: the whole operator is JVM-side higher-order
+    # array expressions — no shuffle, no Python/Arrow crossing at all
     out = chunk_interleaved(docs, max_tokens=64, media_budget=32)
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
     )
     assert not re.search(r"Exchange", plan), plan[:2000]
-    # one Arrow kernel over the narrow (costs, kinds) projection; span text
-    # is consumed JVM-side (token_count inside the transform) and must not
-    # appear in the kernel's input schema
+    assert "MapInPandas" not in plan and "Python" not in plan, plan[:2000]
+
+    # arrow fallback: one Arrow kernel over the narrow (costs, kinds)
+    # projection; span text is consumed JVM-side (token_count inside the
+    # transform) and must not appear in the kernel's input schema
+    out = chunk_interleaved(docs, max_tokens=64, media_budget=32, impl="arrow")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert not re.search(r"Exchange", plan), plan[:2000]
     assert "MapInPandas" in plan
     m = re.search(r"\(\d+\) MapInPandas\n(?:.+\n)+?", plan)
     detail = plan[m.start() : m.start() + 600]
     assert "__costs" in detail and "text#" not in detail, detail
+
+
+def test_impl_validation(spark, docs):
+    with pytest.raises(ValueError, match="impl must be"):
+        chunk_interleaved(docs, impl="bogus")
 
 
 def test_empty_and_degenerate_docs(spark):
