@@ -1190,6 +1190,16 @@ _PROX_VALUES = [250.0, 251.0, 252.0, 253.0, 254.0, 255.0]
 _PROX_MAXDIST = 6.0
 
 
+def q_nearblack(spark, sf_dir):
+    """nearblack analog: edge-collar pixels via per-tile run summaries +
+    one scanline-summary window merge; pixel rows are never shuffled
+    (posexplode + two broadcast limit joins)."""
+    from gdal_common_python_spark.operators import nearblack as nb_ops
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return nb_ops.nearblack_pixels(tiles, black=0.0, near=80.0, tile_size=32)
+
+
 def q_proximity(spark, sf_dir):
     """gdal_proximity analog with -maxdist semantics: one halo exchange at
     radius ceil(D) makes the capped exact Euclidean distance transform a
@@ -1590,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slope": q_slope,
         "raster_sample": q_raster_sample,
         "proximity": q_proximity,
+        "nearblack": q_nearblack,
         "contour": q_contour,
         "contour_lines": q_contour_lines,
         "sieve": q_sieve,
@@ -2994,6 +3005,11 @@ from gdal_common_python_spark.operators.proximity import proximity_oracle_sql as
 _SQL_PROXIMITY = _prox_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
 del _prox_sql
 
+from gdal_common_python_spark.operators.nearblack import nearblack_oracle_sql as _nb_sql
+
+_SQL_NEARBLACK = _nb_sql(_TILES, black=0.0, near=80.0, tile_size=32)
+del _nb_sql
+
 from gdal_common_python_spark.functions.measures import centroid_oracle_sql as _cent_sql
 
 _SQL_CENTROIDS = _cent_sql(_ZONES)
@@ -3764,6 +3780,7 @@ def oracle_sql() -> dict[str, str]:
         "ruggedness": _SQL_RUGGEDNESS,
         "raster_sample": _SQL_RASTER_SAMPLE,
         "proximity": _SQL_PROXIMITY,
+        "nearblack": _SQL_NEARBLACK,
         "contour": _SQL_CONTOUR,
         "contour_lines": _SQL_CONTOUR_LINES,
         "sieve": _SQL_SIEVE,

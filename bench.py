@@ -206,6 +206,7 @@ def run_queries(spark, sdir):
         "spatial_join_polygons_distributed",
         "zonal_counts",
         "tile_index",
+        "nearblack",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)
