@@ -118,6 +118,15 @@ def q_layer_extent(spark, sf_dir):
     return api.get_layer_extent(z)
 
 
+def q_media_dedup(spark, sf_dir):
+    """Cross-document media dedup over the interleaved spans shape: one
+    map-side-combined groupBy(media_ref).min(struct) canonical table +
+    an AQE-skew-safe equi-join back; text spans never move."""
+    from gdal_common_python_spark.operators.multimodal import media_dedup
+
+    return media_dedup(_synth(spark, sf_dir, "documents_spans"))
+
+
 def q_media_geotag(spark, sf_dir):
     """Interleaved-payload composition: media spans inherit the zone of the
     nearest preceding geo span in the same document — PIP join for the geo
@@ -1537,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_pip": q_spatial_join_pip,
         "media_geotag": q_media_geotag,
+        "media_dedup": q_media_dedup,
         "zone_corpus_profile": q_zone_corpus_profile,
         "envelope": q_envelope,
         "layer_extent": q_layer_extent,
@@ -3208,6 +3218,13 @@ from gdal_common_python_spark.operators.curation import (
 
 _SQL_CHUNK_INTERLEAVED = _ci_sql(_DOCS, max_tokens=64, media_budget=32)
 
+from gdal_common_python_spark.operators.multimodal import (
+    media_dedup_oracle_sql as _md_sql,
+)
+
+_SQL_MEDIA_DEDUP = _md_sql(_DOCS)
+del _md_sql
+
 from gdal_common_python_spark.operators.overviews import (
     overview_oracle_sql as _ov_sql,
 )
@@ -3819,6 +3836,7 @@ def oracle_sql() -> dict[str, str]:
         "resample": _SQL_RESAMPLE,
         "pansharpen": _SQL_PANSHARPEN,
         "chunk_interleaved": _SQL_CHUNK_INTERLEAVED,
+        "media_dedup": _SQL_MEDIA_DEDUP,
         "overviews": _SQL_OVERVIEWS,
         "segmentize": _SQL_SEGMENTIZE,
         "raster_info": _SQL_RASTER_INFO,

@@ -207,6 +207,7 @@ def run_queries(spark, sdir):
         "zonal_counts",
         "tile_index",
         "nearblack",
+        "media_dedup",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

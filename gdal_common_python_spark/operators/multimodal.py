@@ -193,3 +193,62 @@ def frame_sample(docs: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
 
     return spans.mapInPandas(kernel, _FRAME_SCHEMA)
+
+
+def media_dedup(docs: DataFrame) -> DataFrame:
+    """Cross-document media deduplication over the interleaved spans shape:
+    every media span whose ``media_ref`` already appears earlier in the
+    corpus is a duplicate -> (media_ref, doc_id, offset, canonical_doc_id,
+    canonical_offset), one row per NON-canonical occurrence. The canonical
+    occurrence of a ref is the (doc_id, offset)-minimum (lexicographic) —
+    deterministic and engine-independent, so runs are resume-stable.
+
+    100 TB shape: media spans explode natively (text spans are filtered
+    before anything moves), the canonical table is ONE map-side-combined
+    groupBy(media_ref).min(struct) — a hot ref (the same image embedded in
+    millions of documents) partially aggregates on every input partition,
+    so the shuffle carries one row per (partition, ref), not per
+    occurrence. The join back is a plain equi-join on media_ref where AQE
+    skew-split handles any residual hot key. No windows, no global sorts.
+    """
+    ms = media_spans(docs)
+    canon = ms.groupBy("media_ref").agg(
+        F.min(F.struct("doc_id", "offset")).alias("c")
+    ).select(
+        "media_ref",
+        F.col("c.doc_id").alias("canonical_doc_id"),
+        F.col("c.offset").alias("canonical_offset"),
+    )
+    return (
+        ms.join(canon, "media_ref")
+        .where(
+            (F.col("doc_id") != F.col("canonical_doc_id"))
+            | (F.col("offset") != F.col("canonical_offset"))
+        )
+        .select(
+            "media_ref", "doc_id", "offset",
+            "canonical_doc_id", "canonical_offset",
+        )
+    )
+
+
+def media_dedup_oracle_sql(rel: str) -> str:
+    """DuckDB mirror of :func:`media_dedup` — row_number over (doc_id,
+    offset) picks the same lexicographic-minimum canonical occurrence."""
+    return f"""
+WITH ms AS (
+  SELECT doc_id, sp."offset" AS "offset", sp.media_ref AS media_ref
+  FROM (SELECT doc_id, unnest(spans) AS sp FROM {rel})
+  WHERE sp.kind = 'media'
+),
+c AS (
+  SELECT media_ref, doc_id AS canonical_doc_id, "offset" AS canonical_offset,
+         row_number() OVER (PARTITION BY media_ref ORDER BY doc_id, "offset") AS rn
+  FROM ms
+)
+SELECT m.media_ref, m.doc_id, m."offset",
+       c.canonical_doc_id, c.canonical_offset
+FROM ms m
+JOIN (SELECT * FROM c WHERE rn = 1) c USING (media_ref)
+WHERE NOT (m.doc_id = c.canonical_doc_id AND m."offset" = c.canonical_offset)
+"""
