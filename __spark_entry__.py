@@ -118,6 +118,17 @@ def q_layer_extent(spark, sf_dir):
     return api.get_layer_extent(z)
 
 
+def q_pack_interleaved(spark, sf_dir):
+    """Multimodal concat-then-chop packing on the interleaved spans shape:
+    span costs + kind sequence evaluate natively inside each doc's row;
+    the only shuffle carries (doc_id, shard, cost) triples."""
+    from gdal_common_python_spark.operators.curation import pack_interleaved
+
+    return pack_interleaved(
+        _synth(spark, sf_dir, "documents_spans"), capacity=256, media_budget=32
+    )
+
+
 def q_media_dedup(spark, sf_dir):
     """Cross-document media dedup over the interleaved spans shape: one
     map-side-combined groupBy(media_ref).min(struct) canonical table +
@@ -1547,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_pip": q_spatial_join_pip,
         "media_geotag": q_media_geotag,
         "media_dedup": q_media_dedup,
+        "pack_interleaved": q_pack_interleaved,
         "zone_corpus_profile": q_zone_corpus_profile,
         "envelope": q_envelope,
         "layer_extent": q_layer_extent,
@@ -3225,6 +3237,13 @@ from gdal_common_python_spark.operators.multimodal import (
 _SQL_MEDIA_DEDUP = _md_sql(_DOCS)
 del _md_sql
 
+from gdal_common_python_spark.operators.curation import (
+    pack_interleaved_oracle_sql as _pi_sql,
+)
+
+_SQL_PACK_INTERLEAVED = _pi_sql(_DOCS, capacity=256, media_budget=32)
+del _pi_sql
+
 from gdal_common_python_spark.operators.overviews import (
     overview_oracle_sql as _ov_sql,
 )
@@ -3837,6 +3856,7 @@ def oracle_sql() -> dict[str, str]:
         "pansharpen": _SQL_PANSHARPEN,
         "chunk_interleaved": _SQL_CHUNK_INTERLEAVED,
         "media_dedup": _SQL_MEDIA_DEDUP,
+        "pack_interleaved": _SQL_PACK_INTERLEAVED,
         "overviews": _SQL_OVERVIEWS,
         "segmentize": _SQL_SEGMENTIZE,
         "raster_info": _SQL_RASTER_INFO,

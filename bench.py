@@ -208,6 +208,7 @@ def run_queries(spark, sdir):
         "tile_index",
         "nearblack",
         "media_dedup",
+        "pack_interleaved",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

@@ -727,3 +727,114 @@ SELECT doc_id, chunk_ix,
 FROM x
 GROUP BY doc_id, chunk_ix
 """
+
+
+def pack_interleaved(
+    docs: DataFrame,
+    capacity: int,
+    media_budget: int = 32,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Multimodal concat-then-chop packing over the INTERLEAVED spans
+    shape: whole documents are laid end-to-end (deterministic md5-shard +
+    doc_id order, the :func:`pack_sequences` layout) and chopped into
+    fixed-``capacity`` context windows, where a document's cost is the sum
+    of its span costs — whitespace tokens for text/geo spans, a fixed
+    ``media_budget`` for media spans (the chunk_interleaved cost model).
+    Documents may straddle window boundaries; spans are never reordered —
+    ``kind_seq`` carries the doc's span-kind sequence in array (= offset)
+    order, pinning the span-sequence invariant through the packing.
+
+    Per doc: (doc_id, shard, n_cost, n_spans, n_media_spans, kind_seq,
+    start_seq, start_off, end_seq) — shard-local window ids; ``end_seq >
+    start_seq`` means the doc straddles; zero-cost docs occupy no space
+    (end_seq = the window before the cursor, degenerate but
+    deterministic, matching pack_sequences).
+
+    100 TB shape: span costs and the kind sequence evaluate natively
+    JVM-side inside the doc's own row (zero Python, text never leaves the
+    JVM); the only shuffle carries (doc_id, shard, cost) triples — never
+    span text or media bytes. Shards pack independently via the md5 draw
+    (pure row function — stable under partitioning, retries, resume), so
+    parallelism = n_shards regardless of corpus size.
+    """
+    from .text import token_count
+
+    spans = F.col(spans_col)
+    costs = F.transform(
+        spans,
+        lambda s: F.when(
+            s["kind"] == "media", F.lit(int(media_budget)).cast("long")
+        ).otherwise(token_count(s["text"]).cast("long")),
+    )
+    kinds = F.transform(spans, lambda s: s["kind"])
+    zero = F.lit(0).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _shard(id_col, n_shards).alias("shard"),
+        F.aggregate(costs, zero, lambda a, x: a + x).alias("n_cost"),
+        F.size(spans).cast("long").alias("n_spans"),
+        F.size(F.filter(kinds, lambda x: x == "media"))
+        .cast("long")
+        .alias("n_media_spans"),
+        F.array_join(kinds, ",").alias("kind_seq"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("__cum", F.sum("n_cost").over(w))
+    start = F.col("__cum") - F.col("n_cost")
+    cap = F.lit(int(capacity))
+    return cum.select(
+        "doc_id", "shard", "n_cost", "n_spans", "n_media_spans", "kind_seq",
+        F.floor(start / cap).cast("long").alias("start_seq"),
+        F.pmod(start, cap).cast("long").alias("start_off"),
+        F.floor((F.col("__cum") - 1) / cap).cast("long").alias("end_seq"),
+    )
+
+
+def pack_interleaved_oracle_sql(
+    rel: str,
+    capacity: int,
+    media_budget: int = 32,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> str:
+    """DuckDB mirror of :func:`pack_interleaved` — identical md5 shard
+    draw, identical span cost model, identical running-sum window."""
+    cap = int(capacity)
+    cost_lambda = (
+        f"sp -> CASE WHEN sp.kind = 'media' THEN {int(media_budget)} "
+        "WHEN len(trim(sp.text)) = 0 THEN 0 "
+        "ELSE len(str_split_regex(trim(lower(sp.text)), '\\s+')) END"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         CAST(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8) AS BIGINT)
+              % {int(n_shards)} AS INT) AS shard,
+         CAST(list_aggregate(list_transform({spans_col}, {cost_lambda}), 'sum')
+              AS BIGINT) AS n_cost,
+         CAST(len({spans_col}) AS BIGINT) AS n_spans,
+         CAST(len(list_filter({spans_col}, sp -> sp.kind = 'media'))
+              AS BIGINT) AS n_media_spans,
+         array_to_string(list_transform({spans_col}, sp -> sp.kind), ',')
+           AS kind_seq
+  FROM {rel}
+),
+cum AS (
+  SELECT *, sum(n_cost) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS c
+  FROM base
+)
+SELECT doc_id, shard, n_cost, n_spans, n_media_spans, kind_seq,
+       CAST(floor((c - n_cost) / {float(cap)!r}) AS BIGINT) AS start_seq,
+       CAST((c - n_cost) % {cap} AS BIGINT) AS start_off,
+       CAST(floor((c - 1) / {float(cap)!r}) AS BIGINT) AS end_seq
+FROM cum
+"""
