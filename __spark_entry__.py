@@ -517,6 +517,18 @@ def q_grid_idw(spark, sf_dir):
     return grid_ops.grid_idw(pts, _GRID_TARGET, radius=0.6)
 
 
+def q_grid_nearest(spark, sf_dir):
+    """gdal_grid nearest analog: per-pixel arg-min over the same codegen
+    fan-out; (d2, x, y, value)-lexicographic tie break is deterministic
+    under any partitioning."""
+    from gdal_common_python_spark.operators import grid as grid_ops
+
+    pts = _synth(spark, sf_dir, "near_points").withColumn(
+        "v", F.pmod(F.col("point_id"), F.lit(97)).cast("double")
+    )
+    return grid_ops.grid_nearest(pts, _GRID_TARGET, radius=0.6)
+
+
 def q_rasterize(spark, sf_dir):
     """gdal_rasterize analog: burn zones into r0's grid (pixel-center
     even-odd, R1-quantized vertices — the zonal kernel as a burn op);
@@ -1665,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmentize": q_segmentize,
         "raster_info": q_raster_info,
         "grid_idw": q_grid_idw,
+        "grid_nearest": q_grid_nearest,
         "zonal_majority": q_zonal_majority,
         "spans_text_profile": q_spans_text_profile,
         "dup_passages": q_dup_passages,
@@ -3343,6 +3356,7 @@ FROM vc2 GROUP BY zone_id
 from gdal_common_python_spark.operators.grid import (
     grid_average_oracle_sql as _grid_sql,
     grid_idw_oracle_sql as _gidw_sql,
+    grid_nearest_oracle_sql as _gnear_sql,
 )
 
 _SQL_GRID_POINTS = _grid_sql(
@@ -3355,7 +3369,12 @@ _SQL_GRID_IDW = _gidw_sql(
     _GRID_TARGET,
     0.6,
 )
-del _grid_sql, _gidw_sql
+_SQL_GRID_NEAREST = _gnear_sql(
+    f"(SELECT *, CAST(point_id % 97 AS DOUBLE) AS v FROM {_POINTS})",
+    _GRID_TARGET,
+    0.6,
+)
+del _grid_sql, _gidw_sql, _gnear_sql
 
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
@@ -3861,6 +3880,7 @@ def oracle_sql() -> dict[str, str]:
         "segmentize": _SQL_SEGMENTIZE,
         "raster_info": _SQL_RASTER_INFO,
         "grid_idw": _SQL_GRID_IDW,
+        "grid_nearest": _SQL_GRID_NEAREST,
         "zonal_majority": _SQL_ZONAL_MAJORITY,
         "spans_text_profile": _SQL_SPANS_TEXT_PROFILE,
         "dup_passages": _SQL_DUP_PASSAGES,

@@ -209,6 +209,7 @@ def run_queries(spark, sdir):
         "nearblack",
         "media_dedup",
         "pack_interleaved",
+        "grid_nearest",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

@@ -247,3 +247,109 @@ FROM hits
 WHERE qw > 0
 GROUP BY gc, gr
 """
+
+
+def grid_nearest(
+    points: DataFrame,
+    target: dict,
+    radius: float,
+    value_col: str = "v",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """gdal_grid ``nearest:radius`` analog: every output pixel whose CENTER
+    is within ``radius`` of >= 1 point takes the value of the NEAREST
+    point -> (gc, gr, n_points, d2, value); ``d2`` is the winning squared
+    distance (exact — no sqrt ever runs), ``n_points`` the in-radius count.
+
+    Ties are deterministic in both engines: the winner is the
+    (d2, x, y, value)-lexicographic minimum, so coincident points and
+    equidistant pairs resolve identically under any partitioning.
+
+    Same 100 TB shape as :func:`grid_average` — each point natively
+    explodes to its bounded candidate-pixel window, then ONE map-side-
+    combined groupBy(pixel) arg-min; no point-vs-point comparison, no
+    KD-tree, shuffle ∝ points × window pixels, never the raster.
+    """
+    ox, oy = float(target["origin_x"]), float(target["origin_y"])
+    px, py = float(target["px_x"]), float(target["px_y"])
+    w, h = int(target["width"]), int(target["height"])
+    if px <= 0 or py >= 0:
+        raise ValueError("grid_nearest expects a north-up grid (px_x > 0, px_y < 0)")
+    r = float(radius)
+    if r <= 0:
+        raise ValueError(f"radius must be > 0, got {radius}")
+    x, y = F.col(x_col), F.col(y_col)
+    c0 = F.greatest(F.floor((x - r - F.lit(ox)) / F.lit(px)) - 1, F.lit(0)).cast("long")
+    c1 = F.least(F.floor((x + r - F.lit(ox)) / F.lit(px)) + 1, F.lit(w - 1)).cast("long")
+    r0 = F.greatest(F.floor((y + r - F.lit(oy)) / F.lit(py)) - 1, F.lit(0)).cast("long")
+    r1 = F.least(F.floor((y - r - F.lit(oy)) / F.lit(py)) + 1, F.lit(h - 1)).cast("long")
+    base = points.select(
+        x.alias("__x"), y.alias("__y"), F.col(value_col).cast("double").alias("__v"),
+        c0.alias("__c0"), c1.alias("__c1"), r0.alias("__r0"), r1.alias("__r1"),
+    ).where((F.col("__c0") <= F.col("__c1")) & (F.col("__r0") <= F.col("__r1")))
+    fan = base.withColumn("gc", F.explode(F.sequence("__c0", "__c1"))).withColumn(
+        "gr", F.explode(F.sequence("__r0", "__r1"))
+    )
+    cx = F.lit(ox) + (F.col("gc") + F.lit(0.5)) * F.lit(px)
+    cy = F.lit(oy) + (F.col("gr") + F.lit(0.5)) * F.lit(py)
+    d2 = (cx - F.col("__x")) * (cx - F.col("__x")) + (cy - F.col("__y")) * (cy - F.col("__y"))
+    hits = fan.withColumn("__d2", d2).where(F.col("__d2") <= F.lit(r * r))
+    return hits.groupBy("gc", "gr").agg(
+        F.count("*").alias("n_points"),
+        F.min(
+            F.struct(
+                F.col("__d2").alias("d2"), F.col("__x").alias("x"),
+                F.col("__y").alias("y"), F.col("__v").alias("v"),
+            )
+        ).alias("__b"),
+    ).select(
+        "gc", "gr", "n_points",
+        F.col("__b.d2").alias("d2"), F.col("__b.v").alias("value"),
+    )
+
+
+def grid_nearest_oracle_sql(
+    points_rel: str,
+    target: dict,
+    radius: float,
+    value_expr: str = "v",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> str:
+    """DuckDB mirror: identical superset ranges, identical d2 expression,
+    identical (d2, x, y, value)-lexicographic arg-min."""
+    ox, oy = float(target["origin_x"]), float(target["origin_y"])
+    px, py = float(target["px_x"]), float(target["px_y"])
+    w, h = int(target["width"]), int(target["height"])
+    r = float(radius)
+    return f"""
+WITH pts AS (
+  SELECT {x_col} AS x, {y_col} AS y, CAST({value_expr} AS DOUBLE) AS v,
+         greatest(floor((({x_col}) - {r!r} - {ox!r}) / {px!r}) - 1, 0) AS c0,
+         least(floor((({x_col}) + {r!r} - {ox!r}) / {px!r}) + 1, {w - 1}) AS c1,
+         greatest(floor((({y_col}) + {r!r} - {oy!r}) / {py!r}) - 1, 0) AS r0,
+         least(floor((({y_col}) - {r!r} - {oy!r}) / {py!r}) + 1, {h - 1}) AS r1
+  FROM {points_rel}
+),
+fan AS (
+  SELECT p.x, p.y, p.v, CAST(gc AS BIGINT) AS gc, CAST(gr AS BIGINT) AS gr
+  FROM pts p,
+       LATERAL unnest(range(CAST(p.c0 AS BIGINT), CAST(p.c1 AS BIGINT) + 1)) AS uc(gc),
+       LATERAL unnest(range(CAST(p.r0 AS BIGINT), CAST(p.r1 AS BIGINT) + 1)) AS ur(gr)
+  WHERE p.c0 <= p.c1 AND p.r0 <= p.r1
+),
+hits AS (
+  SELECT *,
+         (({ox!r} + (gc + 0.5) * {px!r}) - x) * (({ox!r} + (gc + 0.5) * {px!r}) - x)
+       + (({oy!r} + (gr + 0.5) * {py!r}) - y) * (({oy!r} + (gr + 0.5) * {py!r}) - y) AS d2
+  FROM fan
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY gc, gr ORDER BY d2, x, y, v) AS rn,
+         count(*) OVER (PARTITION BY gc, gr) AS n_points
+  FROM hits WHERE d2 <= {r * r!r}
+)
+SELECT gc, gr, n_points, d2, v AS value
+FROM rk WHERE rn = 1
+"""
