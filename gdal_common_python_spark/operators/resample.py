@@ -48,14 +48,17 @@ def source_tile_window(
     s_w,
     s_h,
     tile_size: int,
+    pad: int = 1,
 ) -> DataFrame:
     """Shared columnar source-window arithmetic (single source of truth for
     resample AND mosaic's join-folded merge): given target tile coords
     (t_tx, t_ty) on `df` and a target grid (driver floats) plus a SOURCE
     grid (Columns or literals), add the clamped overlapped source-tile
     range columns stx0/stx1/sty0/sty1. World extent of each target tile ->
-    source pixel index range (pad 1) -> source tile range; north-up grids:
-    larger y -> smaller row index."""
+    source pixel index range (pad ``pad`` pixels — 1 covers nearest /
+    bilinear / average; cubic's 4x4 stencil reaches one pixel further and
+    needs 2) -> source tile range; north-up grids: larger y -> smaller
+    row index."""
     s_ox, s_oy, s_px, s_py, s_w, s_h = (
         c if isinstance(c, Column) else F.lit(c) for c in (s_ox, s_oy, s_px, s_py, s_w, s_h)
     )
@@ -63,10 +66,10 @@ def source_tile_window(
     x1 = F.lit(t_ox) + F.least((F.col("t_tx") + 1) * tile_size, F.lit(t_w)) * t_px
     y0 = F.lit(t_oy) + F.col("t_ty") * tile_size * t_py
     y1 = F.lit(t_oy) + F.least((F.col("t_ty") + 1) * tile_size, F.lit(t_h)) * t_py
-    sx0 = F.floor((F.least(x0, x1) - s_ox) / s_px) - 1
-    sx1 = F.floor((F.greatest(x0, x1) - s_ox) / s_px) + 1
-    sy0 = F.floor((F.greatest(y0, y1) - s_oy) / s_py) - 1
-    sy1 = F.floor((F.least(y0, y1) - s_oy) / s_py) + 1
+    sx0 = F.floor((F.least(x0, x1) - s_ox) / s_px) - pad
+    sx1 = F.floor((F.greatest(x0, x1) - s_ox) / s_px) + pad
+    sy0 = F.floor((F.greatest(y0, y1) - s_oy) / s_py) - pad
+    sy1 = F.floor((F.least(y0, y1) - s_oy) / s_py) + pad
     ts = F.lit(tile_size)
     return (
         df.withColumn("stx0", F.greatest(sx0 / ts, F.lit(0)).cast("int"))
@@ -117,8 +120,13 @@ def resample(
     - 'average': mean of source pixel CENTERS falling inside the target
       pixel's world rectangle, nodata excluded (the downsampling kernel);
       empty -> nodata.
+    - 'cubic': 4x4 cubic-convolution (Keys kernel, a = -0.5 — GDAL's
+      GRA_Cubic coefficients) at target pixel centers; invalid taps
+      (nodata / out-of-bounds) drop out with weight renormalization;
+      a non-positive surviving weight sum (possible when only negative
+      lobes remain) -> nodata.
     """
-    if method not in ("nearest", "bilinear", "average"):
+    if method not in ("nearest", "bilinear", "average", "cubic"):
         raise ValueError(f"unknown resample method {method!r}")
     src = tiles.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
     meta = src.select("origin_x", "origin_y", "px_x", "px_y", "width", "height", "nodata").first()
@@ -140,6 +148,7 @@ def resample(
     tgrid = source_tile_window(
         tgrid, t_ox, t_oy, t_px, t_py, t_w, t_h,
         s_ox, s_oy, s_px, s_py, s_w, s_h, tile_size,
+        pad=2 if method == "cubic" else 1,
     )
     if clip_to_source:
         # drop target tiles with no source overlap (their clamped ranges
@@ -303,5 +312,61 @@ def resample(
             [dict(tile_x=t_tx, tile_y=t_ty, tile_w=tw, tile_h=th, pixels=out.ravel().tolist())]
         )
 
-    kfn = {"nearest": kernel, "bilinear": kernel_bilinear, "average": kernel_average}[method]
+    def kernel_cubic(key, pdf):
+        t_tx, t_ty = int(key[0]), int(key[1])
+        tw = min(tile_size, t_w - t_tx * tile_size)
+        th = min(tile_size, t_h - t_ty * tile_size)
+        cx = t_ox + (t_tx * tile_size + np.arange(tw) + 0.5) * t_px
+        cy = t_oy + (t_ty * tile_size + np.arange(th) + 0.5) * t_py
+        gx = (cx - s_ox) / s_px - 0.5
+        gy = (cy - s_oy) / s_py - 0.5
+        x0 = np.floor(gx).astype(np.int64)
+        y0 = np.floor(gy).astype(np.int64)
+        tx = gx - x0
+        ty = gy - y0
+
+        def cweight(t, k):
+            # Keys cubic convolution, a = -0.5; tap offset k in {-1,0,1,2}
+            a = -0.5
+            d = np.abs(k - t)
+            near = ((a + 2.0) * d - (a + 3.0)) * d * d + 1.0
+            far = a * (((d - 5.0) * d + 8.0) * d - 4.0)
+            return np.where(d <= 1.0, near, np.where(d < 2.0, far, 0.0))
+
+        lox = max(int(x0.min()) - 1, 0)
+        hix = min(int(x0.max()) + 2, s_w - 1)
+        loy = max(int(y0.min()) - 1, 0)
+        hiy = min(int(y0.max()) + 2, s_h - 1)
+        if hix < lox or hiy < loy:
+            out = np.full((th, tw), nodata)
+        else:
+            patch = _assemble(pdf, lox, hix, loy, hiy)
+            num = np.zeros((th, tw))
+            den = np.zeros((th, tw))
+            for dy in (-1, 0, 1, 2):
+                jy = y0 + dy
+                wyv = cweight(ty, dy)[:, None]
+                iny = (jy >= 0) & (jy < s_h)
+                jyc = np.clip(jy - loy, 0, patch.shape[0] - 1)
+                for dx in (-1, 0, 1, 2):
+                    jx = x0 + dx
+                    wxv = cweight(tx, dx)[None, :]
+                    inx = (jx >= 0) & (jx < s_w)
+                    jxc = np.clip(jx - lox, 0, patch.shape[1] - 1)
+                    v = patch[np.ix_(jyc, jxc)]
+                    valid = iny[:, None] & inx[None, :] & (v != nodata)
+                    w = wyv * wxv * valid
+                    num += np.where(valid, v, 0.0) * w
+                    den += w
+            out = np.where(den > 1e-9, num / np.where(den > 1e-9, den, 1.0), nodata)
+        return pd.DataFrame(
+            [dict(tile_x=t_tx, tile_y=t_ty, tile_w=tw, tile_h=th, pixels=out.ravel().tolist())]
+        )
+
+    kfn = {
+        "nearest": kernel,
+        "bilinear": kernel_bilinear,
+        "average": kernel_average,
+        "cubic": kernel_cubic,
+    }[method]
     return cand.groupBy("t_tx", "t_ty").applyInPandas(kfn, _SCHEMA)

@@ -136,3 +136,99 @@ def test_resample_average_downsample(spark, tiles, rasters):
             if len(vals):
                 exp[r, c] = vals.mean()
     np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_resample_cubic_matches_oracle(spark, tiles, rasters):
+    from gdal_common_python_spark.operators.resample import resample
+
+    rp = rasters.toPandas()
+    tgt = rp[rp.raster_id == "r3"].iloc[0]
+    target = dict(
+        origin_x=tgt.origin_x, origin_y=tgt.origin_y, px_x=tgt.px_x, px_y=tgt.px_y,
+        width=int(tgt.width), height=int(tgt.height),
+    )
+    out = resample(spark, tiles, "r0", 1, target, method="cubic").toPandas()
+    got = _assemble_out(out, int(tgt.width), int(tgt.height))
+    full, src = _full_raster(tiles, "r0")
+    ND = -9999.0
+    a = -0.5
+
+    def cw(t, k):
+        d = abs(k - t)
+        if d <= 1.0:
+            return ((a + 2.0) * d - (a + 3.0)) * d * d + 1.0
+        if d < 2.0:
+            return a * (((d - 5.0) * d + 8.0) * d - 4.0)
+        return 0.0
+
+    H, W = int(tgt.height), int(tgt.width)
+    exp = np.full((H, W), ND)
+    for r in range(H):
+        for c in range(W):
+            cx = tgt.origin_x + (c + 0.5) * tgt.px_x
+            cy = tgt.origin_y + (r + 0.5) * tgt.px_y
+            gx = (cx - src.origin_x) / src.px_x - 0.5
+            gy = (cy - src.origin_y) / src.px_y - 0.5
+            x0, y0 = int(np.floor(gx)), int(np.floor(gy))
+            tx, ty = gx - x0, gy - y0
+            num = den = 0.0
+            for dy in (-1, 0, 1, 2):
+                for dx in (-1, 0, 1, 2):
+                    jx, jy = x0 + dx, y0 + dy
+                    if 0 <= jx < int(src.width) and 0 <= jy < int(src.height):
+                        v = full[jy, jx]
+                        if v != ND:
+                            w = cw(tx, dx) * cw(ty, dy)
+                            num += v * w
+                            den += w
+            if den > 1e-9:
+                exp[r, c] = num / den
+    np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-9)
+
+
+def test_resample_cubic_upsample_tile_edges(spark, tiles, rasters):
+    """4x upsample: the cubic stencil's +2 tap crosses candidate-tile
+    boundaries — the pad=2 window must supply every in-raster tap, so the
+    result equals the full-raster oracle at every tile-edge pixel."""
+    from gdal_common_python_spark.operators.resample import resample
+
+    full, src = _full_raster(tiles, "r0")
+    ND = -9999.0
+    target = dict(
+        origin_x=float(src.origin_x), origin_y=float(src.origin_y),
+        px_x=float(src.px_x) / 4.0, px_y=float(src.px_y) / 4.0,
+        width=int(src.width) * 4, height=int(src.height) * 4,
+    )
+    out = resample(spark, tiles, "r0", 1, target, method="cubic").toPandas()
+    got = _assemble_out(out, target["width"], target["height"])
+    a = -0.5
+
+    def cw(t, k):
+        d = abs(k - t)
+        if d <= 1.0:
+            return ((a + 2.0) * d - (a + 3.0)) * d * d + 1.0
+        if d < 2.0:
+            return a * (((d - 5.0) * d + 8.0) * d - 4.0)
+        return 0.0
+
+    # spot-check a band of rows crossing the first tile boundary (gx ~ 32)
+    for r in range(126, 132):
+        for c in range(120, 136):
+            cx = target["origin_x"] + (c + 0.5) * target["px_x"]
+            cy = target["origin_y"] + (r + 0.5) * target["px_y"]
+            gx = (cx - src.origin_x) / src.px_x - 0.5
+            gy = (cy - src.origin_y) / src.px_y - 0.5
+            x0, y0 = int(np.floor(gx)), int(np.floor(gy))
+            tx, ty = gx - x0, gy - y0
+            num = den = 0.0
+            for dy in (-1, 0, 1, 2):
+                for dx in (-1, 0, 1, 2):
+                    jx, jy = x0 + dx, y0 + dy
+                    if 0 <= jx < int(src.width) and 0 <= jy < int(src.height):
+                        v = full[jy, jx]
+                        if v != ND:
+                            w = cw(tx, dx) * cw(ty, dy)
+                            num += v * w
+                            den += w
+            want = num / den if den > 1e-9 else ND
+            assert abs(got[r, c] - want) <= 1e-9 + 1e-9 * abs(want), (r, c)
