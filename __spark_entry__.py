@@ -494,6 +494,20 @@ def q_raster_compare(spark, sf_dir):
     return ri_ops.compare_rasters(tiles, ("r0", 1), ("r2", 1))
 
 
+def q_zonal_percentiles(spark, sf_dir):
+    """Exact zonal percentiles (nearest-rank, the lib/zonal.py:237 rule
+    generalized) from the per-(zone, tile) value-count histogram — count
+    arithmetic + value selection only, hash-exact by construction."""
+    from gdal_common_python_spark.operators import rasterize as rast_ops
+
+    zones = _synth(spark, sf_dir, "zones")
+    rasters = _synth(spark, sf_dir, "rasters")
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return rast_ops.zonal_percentiles(
+        spark, zones, rasters, tiles, "r0", 1, ps=(0.25, 0.5, 0.75)
+    )
+
+
 def q_zonal_majority(spark, sf_dir):
     """MODE-family zonal statistics (majority/minority/variety — the
     gdal/QGIS zonal set beyond the reference's moment stats); ties break
@@ -1679,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_idw": q_grid_idw,
         "grid_nearest": q_grid_nearest,
         "zonal_majority": q_zonal_majority,
+        "zonal_percentiles": q_zonal_percentiles,
         "spans_text_profile": q_spans_text_profile,
         "dup_passages": q_dup_passages,
         "explode_collections": q_explode_collections,
@@ -3353,6 +3368,26 @@ SELECT zone_id,
 FROM vc2 GROUP BY zone_id
 """
 
+_SQL_ZONAL_PERCENTILES = f"""
+WITH {_SQL_ZONAL_INSIDE},
+vc AS (
+  SELECT zone_id, v AS value, count(*) AS cnt
+  FROM vals WHERE raster_id = 'r0' AND band = 1
+  GROUP BY zone_id, v
+),
+zh AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY zone_id) AS n,
+            sum(cnt) OVER (PARTITION BY zone_id ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
+)
+SELECT zone_id, CAST(max(n) AS BIGINT) AS n_valid,
+       min(CASE WHEN cum >= ceil(n * 0.25) THEN value END) AS p25,
+       min(CASE WHEN cum >= ceil(n * 0.5) THEN value END) AS p50,
+       min(CASE WHEN cum >= ceil(n * 0.75) THEN value END) AS p75
+FROM zh GROUP BY zone_id
+"""
+
 from gdal_common_python_spark.operators.grid import (
     grid_average_oracle_sql as _grid_sql,
     grid_idw_oracle_sql as _gidw_sql,
@@ -3882,6 +3917,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_idw": _SQL_GRID_IDW,
         "grid_nearest": _SQL_GRID_NEAREST,
         "zonal_majority": _SQL_ZONAL_MAJORITY,
+        "zonal_percentiles": _SQL_ZONAL_PERCENTILES,
         "spans_text_profile": _SQL_SPANS_TEXT_PROFILE,
         "dup_passages": _SQL_DUP_PASSAGES,
         "explode_collections": _SQL_EXPLODE_COLLECTIONS,

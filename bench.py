@@ -210,6 +210,7 @@ def run_queries(spark, sdir):
         "media_dedup",
         "pack_interleaved",
         "grid_nearest",
+        "zonal_percentiles",
     ]
     qs = entrymod.queries()
     # absorb one-time session costs (JVM codegen, python UDF worker pool)

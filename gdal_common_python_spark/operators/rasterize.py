@@ -30,6 +30,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window
 
 from .zonal import join_zone_rings, joined_rings_of, row_tile_mask, window_tiles
 
@@ -182,3 +183,56 @@ def zonal_majority(
         F.count("*").alias("variety"),
         F.sum("cnt").alias("n_valid"),
     )
+
+
+def zonal_percentiles(
+    spark: SparkSession,
+    zones: DataFrame,
+    rasters: DataFrame,
+    tiles: DataFrame,
+    raster_id: str,
+    band: int,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75),
+    tile_size: int = 32,
+) -> DataFrame:
+    """Exact zonal percentiles from the per-(zone, tile) value-count
+    histogram -> (zone_id, n_valid, p25, p50, ...) with one column per
+    requested fraction, named p<round(100p)>.
+
+    Nearest-rank convention: percentile p = the value at 1-based rank
+    ceil(p * n) of the zone's sorted valid pixels — the lib/zonal.py:237
+    perc90 rule generalized, so every output is an actual pixel value
+    (count arithmetic + value selection only; no float interpolation,
+    hash-exact by construction).
+
+    Scale shape inherits :func:`zonal_value_counts`: per-(zone, tile)
+    kernel (no per-zone Python task), map-side-combined histogram merge,
+    then ONE window pass over (zone, distinct value) rows — shuffle ∝
+    zones x distinct values, never pixels.
+    """
+    ps = tuple(float(p) for p in ps)
+    if not ps or any(not 0.0 < p <= 1.0 for p in ps):
+        raise ValueError(f"percentile fractions must be in (0, 1], got {ps}")
+    vc = zonal_value_counts(spark, zones, rasters, tiles, raster_id, band, tile_size)
+    wz = (
+        Window.partitionBy("zone_id")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = (
+        Window.partitionBy("zone_id")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zh = vc.withColumn("n", F.sum("cnt").over(wz)).withColumn(
+        "cum", F.sum("cnt").over(wo)
+    )
+    aggs = [F.max("n").alias("n_valid")]
+    for p in ps:
+        rank = F.ceil(F.col("n") * F.lit(p))
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("value"))).alias(
+                f"p{round(p * 100)}"
+            )
+        )
+    return zh.groupBy("zone_id").agg(*aggs)
