@@ -13,8 +13,7 @@ from pyspark.sql import functions as F
 from gdal_common_python_spark.operators.util import release
 
 
-def n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+from conftest import assert_no_new_persistent, persistent_ids
 
 
 def _mk_zones(spark, rows, id_offset=0):
@@ -38,41 +37,41 @@ class TestCacheHygiene:
 
         left = _mk_zones(spark, [(0.0, 0.0, 4.0, 4.0), (10.0, 10.0, 12.0, 12.0)])
         right = _mk_zones(spark, [(1.0, 1.0, 3.0, 3.0)], id_offset=100)
-        before = n_persistent(spark)
+        before = persistent_ids(spark)
         erase(spark, left, right).collect()
         identity(spark, left, right).collect()
-        assert n_persistent(spark) == before
+        assert_no_new_persistent(spark, before)
 
     def test_knn_releases(self, spark, near_points):
         from gdal_common_python_spark.operators.knn import knn
 
-        before = n_persistent(spark)
+        before = persistent_ids(spark)
         out = knn(spark, near_points, k=3)
         out.count()
         release(out)
-        assert n_persistent(spark) == before
+        assert_no_new_persistent(spark, before)
 
     def test_lsh_pairs_release(self, spark, sf_dir):
         from gdal_common_python_spark.operators import dedup
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        before = n_persistent(spark)
+        before = persistent_ids(spark)
         signed = dedup.minhash_docs(docs, k=16, n=3)
         out = dedup.lsh_candidate_pairs(signed, bands=4, rows=4)
         out.count()
         release(out)
-        assert n_persistent(spark) == before
+        assert_no_new_persistent(spark, before)
 
     def test_simhash_pairs_release(self, spark, sf_dir):
         from gdal_common_python_spark.operators import dedup
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        before = n_persistent(spark)
+        before = persistent_ids(spark)
         signed = dedup.simhash_docs(docs, bits=32)
         out = dedup.simhash_candidate_pairs(signed, bits=32, bands=4, max_hamming=3)
         out.count()
         release(out)
-        assert n_persistent(spark) == before
+        assert_no_new_persistent(spark, before)
 
     def test_connected_components_bounded_and_releases(self, spark):
         from gdal_common_python_spark.operators.dissolve import connected_components
@@ -80,13 +79,13 @@ class TestCacheHygiene:
         # chain of overlapping squares -> needs several label iterations;
         # per-iteration label tables are reliable-checkpointed, not cached
         zones = _mk_zones(spark, [(float(i), 0.0, float(i) + 1.5, 1.0) for i in range(8)])
-        before = n_persistent(spark)
+        before = persistent_ids(spark)
         out = connected_components(spark, zones)
         got = out.collect()
         # one component across the chain
         assert len({r.component for r in got}) == 1
         # while live: only the symmetric pair table stays cached
-        assert n_persistent(spark) <= before + 1
+        assert len(persistent_ids(spark) - before) <= 1
         # path halving converges in O(log diameter), not O(diameter):
         # a diameter-7 chain must finish well under 7 propagation rounds
         assert out._gcp_cc_rounds <= 5
@@ -97,7 +96,7 @@ class TestCacheHygiene:
         assert "ExistingRDD" in plan or "LogicalRDD" in plan
         assert len(plan) < 4000
         release(out)
-        assert n_persistent(spark) == before
+        assert_no_new_persistent(spark, before)
 
     def test_connected_components_string_ids(self, spark):
         # non-numeric zone ids have no sum image preserving the min order —

@@ -12,6 +12,10 @@ from gdal_common_python_spark.sources.catalog import IcebergLayoutTable, guess_f
 from gdal_common_python_spark.sources.geojson import to_feature_collection
 
 
+from conftest import assert_no_new_persistent as _assert_no_new_persistent
+from conftest import persistent_ids as _persistent_ids
+
+
 @pytest.fixture(scope="module")
 def texts(spark):
     rows = [
@@ -62,11 +66,11 @@ class TestDedup:
         ]
         left = spark.createDataFrame(pd.DataFrame(rows_l, columns=["doc_id", "text"]))
         right = spark.createDataFrame(pd.DataFrame(rows_r, columns=["doc_id", "text"]))
-        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        before = _persistent_ids(spark)
         out = dedup.minhash_similarity_join(left, right, threshold=0.5, bands=8, rows=2)
         got = sorted((r.a_id, r.b_id, r.est_jaccard) for r in out.collect())
         assert got == [(1, 2, 1.0), (1, 4, 1.0)]
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+        _assert_no_new_persistent(spark, before)
 
     def test_near_dup_clusters_transitive_and_released(self, spark):
         """A~B and B~C must land in ONE cluster (transitive closure), the
@@ -83,7 +87,7 @@ class TestDedup:
         docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
         # earlier tests may hold their own (unreleased) caches — measure
         # relative to the pre-op level, not absolute zero
-        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        before = _persistent_ids(spark)
         out = dedup.near_dup_clusters(docs, threshold=0.5, bands=8, rows=2)
         got = {r.doc_id: (r.cluster_id, r.is_canonical) for r in out.collect()}
         assert got == {
@@ -94,7 +98,7 @@ class TestDedup:
         }
         assert out._gcp_cc_rounds >= 1
         release(out)
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+        _assert_no_new_persistent(spark, before)
 
     def test_ngram_structs_match_lambda_form(self, spark):
         """The zip/struct n-gram builder must reproduce the interpreted
