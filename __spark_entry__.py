@@ -543,6 +543,18 @@ def q_grid_nearest(spark, sf_dir):
     return grid_ops.grid_nearest(pts, _GRID_TARGET, radius=0.6)
 
 
+def q_grid_metrics(spark, sf_dir):
+    """gdal_grid data-metrics analog (count/min/max/range + avg distance):
+    same codegen fan-out, ONE map-side-combined pixel groupBy; min/max are
+    order-free, avg_dist uses the quantize-sum-divide discipline."""
+    from gdal_common_python_spark.operators import grid as grid_ops
+
+    pts = _synth(spark, sf_dir, "near_points").withColumn(
+        "v", F.pmod(F.col("point_id"), F.lit(97)).cast("double")
+    )
+    return grid_ops.grid_metrics(pts, _GRID_TARGET, radius=0.6)
+
+
 def q_rasterize(spark, sf_dir):
     """gdal_rasterize analog: burn zones into r0's grid (pixel-center
     even-odd, R1-quantized vertices — the zonal kernel as a burn op);
@@ -1692,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_info": q_raster_info,
         "grid_idw": q_grid_idw,
         "grid_nearest": q_grid_nearest,
+        "grid_metrics": q_grid_metrics,
         "zonal_majority": q_zonal_majority,
         "zonal_percentiles": q_zonal_percentiles,
         "spans_text_profile": q_spans_text_profile,
@@ -3392,9 +3405,15 @@ from gdal_common_python_spark.operators.grid import (
     grid_average_oracle_sql as _grid_sql,
     grid_idw_oracle_sql as _gidw_sql,
     grid_nearest_oracle_sql as _gnear_sql,
+    grid_metrics_oracle_sql as _gmet_sql,
 )
 
 _SQL_GRID_POINTS = _grid_sql(
+    f"(SELECT *, CAST(point_id % 97 AS DOUBLE) AS v FROM {_POINTS})",
+    _GRID_TARGET,
+    0.6,
+)
+_SQL_GRID_METRICS = _gmet_sql(
     f"(SELECT *, CAST(point_id % 97 AS DOUBLE) AS v FROM {_POINTS})",
     _GRID_TARGET,
     0.6,
@@ -3409,7 +3428,7 @@ _SQL_GRID_NEAREST = _gnear_sql(
     _GRID_TARGET,
     0.6,
 )
-del _grid_sql, _gidw_sql, _gnear_sql
+del _grid_sql, _gidw_sql, _gnear_sql, _gmet_sql
 
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
@@ -3916,6 +3935,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_info": _SQL_RASTER_INFO,
         "grid_idw": _SQL_GRID_IDW,
         "grid_nearest": _SQL_GRID_NEAREST,
+        "grid_metrics": _SQL_GRID_METRICS,
         "zonal_majority": _SQL_ZONAL_MAJORITY,
         "zonal_percentiles": _SQL_ZONAL_PERCENTILES,
         "spans_text_profile": _SQL_SPANS_TEXT_PROFILE,

@@ -353,3 +353,110 @@ rk AS (
 SELECT gc, gr, n_points, d2, v AS value
 FROM rk WHERE rn = 1
 """
+
+
+def grid_metrics(
+    points: DataFrame,
+    target: dict,
+    radius: float,
+    value_col: str = "v",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """gdal_grid "Data metrics" analog (count / minimum / maximum / range
+    + average_distance): every output pixel whose CENTER is within
+    ``radius`` of >= 1 point emits -> (gc, gr, n_points, vmin, vmax,
+    vrange, avg_dist).
+
+    Order-free exact by construction: count is integral; min/max of
+    doubles are accumulation-order-free; ``avg_dist`` quantizes each
+    point's distance sqrt(d2) (ONE correctly-rounded sqrt of the exact d2
+    expression, identical in both engines) to int64 at 2^20 before the
+    integer sum, then divides once — the same quantize-sum-divide
+    discipline as :func:`grid_average`, so the DuckDB oracle hash-matches
+    under any partitioning. ``vrange`` subtracts two exactly-agreed
+    doubles.
+
+    Same 100 TB shape as :func:`grid_average` — pure whole-stage codegen:
+    each point natively explodes to its bounded candidate-pixel window,
+    then ONE map-side-combined groupBy(pixel); shuffle ∝ points × window
+    pixels, never the raster, and no point-vs-point comparison.
+    """
+    ox, oy = float(target["origin_x"]), float(target["origin_y"])
+    px, py = float(target["px_x"]), float(target["px_y"])
+    w, h = int(target["width"]), int(target["height"])
+    if px <= 0 or py >= 0:
+        raise ValueError("grid_metrics expects a north-up grid (px_x > 0, px_y < 0)")
+    r = float(radius)
+    if r <= 0:
+        raise ValueError(f"radius must be > 0, got {radius}")
+    x, y = F.col(x_col), F.col(y_col)
+    c0 = F.greatest(F.floor((x - r - F.lit(ox)) / F.lit(px)) - 1, F.lit(0)).cast("long")
+    c1 = F.least(F.floor((x + r - F.lit(ox)) / F.lit(px)) + 1, F.lit(w - 1)).cast("long")
+    r0 = F.greatest(F.floor((y + r - F.lit(oy)) / F.lit(py)) - 1, F.lit(0)).cast("long")
+    r1 = F.least(F.floor((y - r - F.lit(oy)) / F.lit(py)) + 1, F.lit(h - 1)).cast("long")
+    base = points.select(
+        x.alias("__x"), y.alias("__y"), F.col(value_col).cast("double").alias("__v"),
+        c0.alias("__c0"), c1.alias("__c1"), r0.alias("__r0"), r1.alias("__r1"),
+    ).where((F.col("__c0") <= F.col("__c1")) & (F.col("__r0") <= F.col("__r1")))
+    fan = base.withColumn("gc", F.explode(F.sequence("__c0", "__c1"))).withColumn(
+        "gr", F.explode(F.sequence("__r0", "__r1"))
+    )
+    cx = F.lit(ox) + (F.col("gc") + F.lit(0.5)) * F.lit(px)
+    cy = F.lit(oy) + (F.col("gr") + F.lit(0.5)) * F.lit(py)
+    d2 = (cx - F.col("__x")) * (cx - F.col("__x")) + (cy - F.col("__y")) * (cy - F.col("__y"))
+    hits = fan.withColumn("__d2", d2).where(F.col("__d2") <= F.lit(r * r))
+    qd = F.floor(F.sqrt(F.col("__d2")) * F.lit(_QF) + F.lit(0.5)).cast("long")
+    return hits.groupBy("gc", "gr").agg(
+        F.count("*").alias("n_points"),
+        F.min("__v").alias("vmin"),
+        F.max("__v").alias("vmax"),
+        (F.max("__v") - F.min("__v")).alias("vrange"),
+        (F.sum(qd).cast("double") / (F.count("*").cast("double") * F.lit(_QF))).alias("avg_dist"),
+    )
+
+
+def grid_metrics_oracle_sql(
+    points_rel: str,
+    target: dict,
+    radius: float,
+    value_expr: str = "v",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> str:
+    """DuckDB mirror of :func:`grid_metrics`: identical superset ranges,
+    identical d2 predicate, identical quantized-distance average."""
+    ox, oy = float(target["origin_x"]), float(target["origin_y"])
+    px, py = float(target["px_x"]), float(target["px_y"])
+    w, h = int(target["width"]), int(target["height"])
+    r = float(radius)
+    return f"""
+WITH pts AS (
+  SELECT {x_col} AS x, {y_col} AS y, CAST({value_expr} AS DOUBLE) AS v,
+         greatest(floor((({x_col}) - {r!r} - {ox!r}) / {px!r}) - 1, 0) AS c0,
+         least(floor((({x_col}) + {r!r} - {ox!r}) / {px!r}) + 1, {w - 1}) AS c1,
+         greatest(floor((({y_col}) + {r!r} - {oy!r}) / {py!r}) - 1, 0) AS r0,
+         least(floor((({y_col}) - {r!r} - {oy!r}) / {py!r}) + 1, {h - 1}) AS r1
+  FROM {points_rel}
+),
+fan AS (
+  SELECT p.x, p.y, p.v, CAST(gc AS BIGINT) AS gc, CAST(gr AS BIGINT) AS gr
+  FROM pts p,
+       LATERAL unnest(range(CAST(p.c0 AS BIGINT), CAST(p.c1 AS BIGINT) + 1)) AS uc(gc),
+       LATERAL unnest(range(CAST(p.r0 AS BIGINT), CAST(p.r1 AS BIGINT) + 1)) AS ur(gr)
+  WHERE p.c0 <= p.c1 AND p.r0 <= p.r1
+),
+hits AS (
+  SELECT *,
+         (({ox!r} + (gc + 0.5) * {px!r}) - x) * (({ox!r} + (gc + 0.5) * {px!r}) - x)
+       + (({oy!r} + (gr + 0.5) * {py!r}) - y) * (({oy!r} + (gr + 0.5) * {py!r}) - y) AS d2
+  FROM fan
+)
+SELECT gc, gr, count(*) AS n_points,
+       min(v) AS vmin, max(v) AS vmax, max(v) - min(v) AS vrange,
+       CAST(sum(CAST(floor(sqrt(d2) * {_QF!r} + 0.5) AS BIGINT)) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * {_QF!r}) AS avg_dist
+FROM hits
+WHERE d2 <= {r * r!r}
+GROUP BY gc, gr
+"""

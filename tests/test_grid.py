@@ -85,3 +85,33 @@ class TestIdw:
 
         plan = grid.grid_idw(pts, T, radius=1.0)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+class TestMetrics:
+    def test_metrics_values(self, spark, pts):
+        from gdal_common_python_spark.operators import grid
+
+        out = {(r.gc, r.gr): r for r in grid.grid_metrics(pts, T, radius=0.4).collect()}
+        assert set(out) == {(2, 3), (8, 8)}
+        m = out[(2, 3)]
+        assert m.n_points == 2
+        assert (m.vmin, m.vmax, m.vrange) == (10.0, 20.0, 10.0)
+        assert m.avg_dist == 0.0  # both points sit ON the pixel center
+        s = out[(8, 8)]
+        assert s.n_points == 1 and s.vrange == 0.0 and s.avg_dist == 0.0
+
+    def test_avg_dist_quantized(self, spark):
+        from gdal_common_python_spark.operators import grid
+
+        # one point exactly 1.0 from the 4-neighbor pixel centers
+        pts1 = spark.createDataFrame([(1, 2.5, 6.5, 5.0)], ["point_id", "x", "y", "v"])
+        out = {(r.gc, r.gr): r.avg_dist for r in grid.grid_metrics(pts1, T, radius=1.0).collect()}
+        assert out[(1, 3)] == 1.0 and out[(2, 2)] == 1.0
+        assert out[(2, 3)] == 0.0
+
+    def test_metrics_pure_codegen(self, spark, pts):
+        from gdal_common_python_spark.operators import grid
+
+        plan = grid.grid_metrics(pts, T, radius=1.0)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        assert plan.count("Exchange") == 1  # ONE pixel-groupBy shuffle
