@@ -138,6 +138,15 @@ def q_media_dedup(spark, sf_dir):
     return media_dedup(_synth(spark, sf_dir, "documents_spans"))
 
 
+def q_caption_pairs(spark, sf_dir):
+    """Captioning-pair extraction on the interleaved spans shape: each
+    media span pairs with its nearest text span (ties to the preceding
+    one) via a per-document HOF fold — ZERO shuffle, pure codegen."""
+    from gdal_common_python_spark.operators.multimodal import caption_pairs
+
+    return caption_pairs(_synth(spark, sf_dir, "documents_spans"))
+
+
 def q_media_geotag(spark, sf_dir):
     """Interleaved-payload composition: media spans inherit the zone of the
     nearest preceding geo span in the same document — PIP join for the geo
@@ -1596,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_pip": q_spatial_join_pip,
         "media_geotag": q_media_geotag,
         "media_dedup": q_media_dedup,
+        "caption_pairs": q_caption_pairs,
         "pack_interleaved": q_pack_interleaved,
         "zone_corpus_profile": q_zone_corpus_profile,
         "envelope": q_envelope,
@@ -3273,10 +3283,12 @@ _SQL_CHUNK_INTERLEAVED = _ci_sql(_DOCS, max_tokens=64, media_budget=32)
 
 from gdal_common_python_spark.operators.multimodal import (
     media_dedup_oracle_sql as _md_sql,
+    caption_pairs_oracle_sql as _cp_sql,
 )
 
 _SQL_MEDIA_DEDUP = _md_sql(_DOCS)
-del _md_sql
+_SQL_CAPTION_PAIRS = _cp_sql(_DOCS)
+del _md_sql, _cp_sql
 
 from gdal_common_python_spark.operators.curation import (
     pack_interleaved_oracle_sql as _pi_sql,
@@ -3929,6 +3941,7 @@ def oracle_sql() -> dict[str, str]:
         "pansharpen": _SQL_PANSHARPEN,
         "chunk_interleaved": _SQL_CHUNK_INTERLEAVED,
         "media_dedup": _SQL_MEDIA_DEDUP,
+        "caption_pairs": _SQL_CAPTION_PAIRS,
         "pack_interleaved": _SQL_PACK_INTERLEAVED,
         "overviews": _SQL_OVERVIEWS,
         "segmentize": _SQL_SEGMENTIZE,

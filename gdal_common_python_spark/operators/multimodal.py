@@ -252,3 +252,96 @@ FROM ms m
 JOIN (SELECT * FROM c WHERE rn = 1) c USING (media_ref)
 WHERE NOT (m.doc_id = c.canonical_doc_id AND m."offset" = c.canonical_offset)
 """
+
+
+def caption_pairs(docs: DataFrame) -> DataFrame:
+    """Image-text alignment pairs from the interleaved spans shape: each
+    media span is paired with its NEAREST text span by |offset| distance
+    (ties go to the PRECEDING span, i.e. the smaller offset) ->
+    (doc_id, media_ref, media_off, caption_off, caption). Media spans in a
+    document with zero text spans emit no row. This is the standard
+    captioning-pair extraction for multimodal training corpora: the
+    adjacent prose is the weak caption label for the embedded image.
+
+    100 TB shape — ZERO shuffle, pure whole-stage codegen: the nearest-
+    text scan is a per-document fold (F.aggregate) over the spans array
+    nested inside a transform over the media spans; nothing leaves its
+    input partition and no span text is ever exploded. The fold keeps the
+    running (diff, toff, caption) minimum, visiting candidates in array
+    order, which IS offset order (the north-rule invariant), so the
+    result equals the (|Δoffset|, offset)-lexicographic minimum the
+    DuckDB window oracle computes.
+    """
+    txts = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text"))
+    meds = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
+
+    def best(m):
+        init = F.struct(
+            F.lit(1 << 62).cast("long").alias("diff"),
+            F.lit(-1).cast("long").alias("toff"),
+            F.lit(None).cast("string").alias("caption"),
+        )
+
+        def merge(acc, s):
+            toff = s["offset"].cast("long")
+            d = F.abs(toff - m["offset"].cast("long"))
+            better = (d < acc["diff"]) | (
+                (d == acc["diff"]) & (toff < acc["toff"])
+            )
+            return F.when(
+                better,
+                F.struct(
+                    d.alias("diff"),
+                    toff.alias("toff"),
+                    s["text"].alias("caption"),
+                ),
+            ).otherwise(acc)
+
+        return F.aggregate(txts, init, merge)
+
+    pairs = F.transform(
+        meds,
+        lambda m: F.struct(
+            m["media_ref"].alias("media_ref"),
+            m["offset"].alias("media_off"),
+            best(m).alias("b"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .where(F.col("p.b.caption").isNotNull())
+        .select(
+            "doc_id",
+            F.col("p.media_ref").alias("media_ref"),
+            F.col("p.media_off").alias("media_off"),
+            F.col("p.b.toff").alias("caption_off"),
+            F.col("p.b.caption").alias("caption"),
+        )
+    )
+
+
+def caption_pairs_oracle_sql(rel: str) -> str:
+    """DuckDB mirror of :func:`caption_pairs`: unnest both kinds, window
+    arg-min over (|Δoffset|, text offset) per media span."""
+    return f"""
+WITH med AS (
+  SELECT doc_id, sp.media_ref AS media_ref, sp."offset" AS media_off
+  FROM (SELECT doc_id, unnest(spans) AS sp FROM {rel})
+  WHERE sp.kind = 'media'
+),
+txt AS (
+  SELECT doc_id, sp."text" AS caption, sp."offset" AS toff
+  FROM (SELECT doc_id, unnest(spans) AS sp FROM {rel})
+  WHERE sp.kind = 'text'
+),
+j AS (
+  SELECT m.doc_id, m.media_ref, m.media_off, t.toff, t.caption,
+         row_number() OVER (
+           PARTITION BY m.doc_id, m.media_off
+           ORDER BY abs(t.toff - m.media_off), t.toff
+         ) AS rn
+  FROM med m JOIN txt t USING (doc_id)
+)
+SELECT doc_id, media_ref, media_off, CAST(toff AS BIGINT) AS caption_off, caption
+FROM j WHERE rn = 1
+"""
