@@ -147,6 +147,15 @@ def q_caption_pairs(spark, sf_dir):
     return caption_pairs(_synth(spark, sf_dir, "documents_spans"))
 
 
+def q_rewrite_dedup_media(spark, sf_dir):
+    """Order-preserving doc rewrite after media dedup: non-canonical media
+    spans struck, survivors re-bound to dense offsets; strike table is
+    media-only (text never moves) and broadcast when small."""
+    from gdal_common_python_spark.operators.multimodal import rewrite_dedup_media
+
+    return rewrite_dedup_media(_synth(spark, sf_dir, "documents_spans"))
+
+
 def q_media_geotag(spark, sf_dir):
     """Interleaved-payload composition: media spans inherit the zone of the
     nearest preceding geo span in the same document — PIP join for the geo
@@ -1606,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_geotag": q_media_geotag,
         "media_dedup": q_media_dedup,
         "caption_pairs": q_caption_pairs,
+        "rewrite_dedup_media": q_rewrite_dedup_media,
         "pack_interleaved": q_pack_interleaved,
         "zone_corpus_profile": q_zone_corpus_profile,
         "envelope": q_envelope,
@@ -3284,11 +3294,13 @@ _SQL_CHUNK_INTERLEAVED = _ci_sql(_DOCS, max_tokens=64, media_budget=32)
 from gdal_common_python_spark.operators.multimodal import (
     media_dedup_oracle_sql as _md_sql,
     caption_pairs_oracle_sql as _cp_sql,
+    rewrite_dedup_media_oracle_sql as _rdm_sql,
 )
 
 _SQL_MEDIA_DEDUP = _md_sql(_DOCS)
 _SQL_CAPTION_PAIRS = _cp_sql(_DOCS)
-del _md_sql, _cp_sql
+_SQL_REWRITE_DEDUP_MEDIA = _rdm_sql(_DOCS)
+del _md_sql, _cp_sql, _rdm_sql
 
 from gdal_common_python_spark.operators.curation import (
     pack_interleaved_oracle_sql as _pi_sql,
@@ -3942,6 +3954,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_interleaved": _SQL_CHUNK_INTERLEAVED,
         "media_dedup": _SQL_MEDIA_DEDUP,
         "caption_pairs": _SQL_CAPTION_PAIRS,
+        "rewrite_dedup_media": _SQL_REWRITE_DEDUP_MEDIA,
         "pack_interleaved": _SQL_PACK_INTERLEAVED,
         "overviews": _SQL_OVERVIEWS,
         "segmentize": _SQL_SEGMENTIZE,

@@ -345,3 +345,92 @@ j AS (
 SELECT doc_id, media_ref, media_off, CAST(toff AS BIGINT) AS caption_off, caption
 FROM j WHERE rn = 1
 """
+
+
+def rewrite_dedup_media(docs: DataFrame) -> DataFrame:
+    """Order-preserving document rewrite after cross-corpus media dedup:
+    every NON-canonical media span (per :func:`media_dedup`) is struck
+    from its document, surviving spans keep their relative order and are
+    re-bound to dense offsets 0..n-1 -> one flat row per surviving span
+    (doc_id, offset, kind, text, media_ref). This is the curation step
+    the dedup feeds: the corpus after rewrite carries each media asset
+    once, and every document still satisfies the span-sequence invariant
+    (kind, text, media_ref, order).
+
+    100 TB shape: the strike table is media-spans-only (text never moves)
+    and aggregates to ONE array per affected document (map-side combined,
+    shuffle ∝ duplicate media spans). The join back to docs is on the
+    table's primary key doc_id — broadcast when the strike set is small
+    (size-gated probe), else a plain equi-join that bucketing on doc_id
+    co-locates; AQE splits any residual skew. The rewrite itself is a
+    zero-shuffle filter + indexed transform, then a native posexplode.
+    """
+    from .util import broadcastable
+
+    rm = (
+        media_dedup(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_list("offset").alias("rm_offs"))
+    )
+    if broadcastable(rm, row_limit=2_000_000):
+        rm = F.broadcast(rm)
+    keep = F.filter(
+        F.col("spans"),
+        lambda s: ~F.coalesce(
+            F.array_contains(F.col("rm_offs"), s["offset"]), F.lit(False)
+        ),
+    )
+    rebound = F.transform(
+        keep,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.alias("offset"),
+        ),
+    )
+    return (
+        docs.join(rm, "doc_id", "left")
+        .select("doc_id", F.explode(rebound).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
+def rewrite_dedup_media_oracle_sql(rel: str) -> str:
+    """DuckDB mirror of :func:`rewrite_dedup_media`: the media_dedup
+    canonical window, an anti-join strike, and a per-document
+    row_number re-offset ordered by the original span order."""
+    return f"""
+WITH ms AS (
+  SELECT doc_id, sp."offset" AS "offset", sp.media_ref AS media_ref
+  FROM (SELECT doc_id, unnest(spans) AS sp FROM {rel})
+  WHERE sp.kind = 'media'
+),
+c AS (
+  SELECT doc_id, "offset",
+         row_number() OVER (PARTITION BY media_ref ORDER BY doc_id, "offset") AS rn
+  FROM ms
+),
+rm AS (SELECT doc_id, "offset" FROM c WHERE rn > 1),
+flat AS (
+  SELECT doc_id, sp.kind AS kind, sp."text" AS "text",
+         sp.media_ref AS media_ref, sp."offset" AS old_off
+  FROM (SELECT doc_id, unnest(spans) AS sp FROM {rel})
+),
+keep AS (
+  SELECT f.* FROM flat f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rm WHERE rm.doc_id = f.doc_id AND rm."offset" = f.old_off
+  )
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY old_off) - 1 AS INT) AS "offset",
+       kind, "text", media_ref
+FROM keep
+"""

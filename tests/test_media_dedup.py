@@ -43,3 +43,52 @@ def test_plan_has_no_window_and_partial_agg(spark):
     # and no Window anywhere
     assert "Window" not in plan
     assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2, plan[:1500]
+
+
+class TestRewriteDedupMedia:
+    @staticmethod
+    def _docs(spark):
+        import pandas as pd
+
+        def doc(doc_id, spans):
+            return dict(
+                doc_id=doc_id,
+                spans=[
+                    dict(kind=k, text=t, media_ref=m, offset=i)
+                    for i, (k, t, m) in enumerate(spans)
+                ],
+            )
+
+        rows = [
+            doc("a", [("text", "t0", None), ("media", None, "img://x"),
+                      ("text", "t2", None)]),
+            # img://x duplicates a's (canonical is ("a",1)); img://y unique
+            doc("b", [("media", None, "img://x"), ("text", "u1", None),
+                      ("media", None, "img://y")]),
+        ]
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    def test_strike_and_reoffset(self, spark):
+        from gdal_common_python_spark.operators.multimodal import rewrite_dedup_media
+
+        out = rewrite_dedup_media(self._docs(spark)).collect()
+        a = sorted([(r.offset, r.kind, r.text, r.media_ref) for r in out if r.doc_id == "a"])
+        b = sorted([(r.offset, r.kind, r.text, r.media_ref) for r in out if r.doc_id == "b"])
+        # canonical doc untouched
+        assert a == [(0, "text", "t0", None), (1, "media", None, "img://x"),
+                     (2, "text", "t2", None)]
+        # b loses its img://x copy; survivors re-bind to dense 0..1 in order
+        assert b == [(0, "text", "u1", None), (1, "media", None, "img://y")]
+
+    def test_order_invariant_preserved(self, spark):
+        from gdal_common_python_spark.operators.multimodal import rewrite_dedup_media
+
+        from pyspark.sql import functions as F
+
+        out = rewrite_dedup_media(self._docs(spark))
+        per_doc = out.groupBy("doc_id").agg(
+            F.count("*").alias("n"), F.max("offset").alias("mx"),
+            F.min("offset").alias("mn"),
+        ).collect()
+        for r in per_doc:  # offsets dense 0..n-1 per doc
+            assert r.mn == 0 and r.mx == r.n - 1
