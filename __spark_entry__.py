@@ -597,6 +597,15 @@ def q_tile_index(spark, sf_dir):
     return ri_ops.tile_index(_synth(spark, sf_dir, "rasters"))
 
 
+def q_footprint(spark, sf_dir):
+    """gdal_footprint analog: exact valid-data footprint summary (count,
+    bbox, boundary pixels, exact perimeter = 4n - 2*pairs) — one
+    halo-exchange pass, all-integer partials, immune to giant regions."""
+    from gdal_common_python_spark.operators import rasterinfo as ri_ops
+
+    return ri_ops.footprint(_synth(spark, sf_dir, "raster_tiles"))
+
+
 def q_raster_info(spark, sf_dir):
     """gdalinfo -stats analog: per-band global stats; one aggregate HOF
     per tile before the shuffle (exchange carries one row per tile)."""
@@ -1736,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed": q_viewshed,
         "tile_stats": q_tile_stats,
         "tile_index": q_tile_index,
+        "footprint": q_footprint,
     }
 
 
@@ -3345,12 +3355,14 @@ from gdal_common_python_spark.operators.rasterinfo import (
     raster_to_xyz_oracle_sql as _xyz_sql,
     slippy_tiles_oracle_sql as _st_sql,
     tile_index_oracle_sql as _ti_sql,
+    footprint_oracle_sql as _fp_sql,
 )
 
 _SQL_RASTER_XYZ = _xyz_sql(_TILES, "r3", 1)
 _SQL_SLIPPY_TILES = _st_sql(_RASTERS, 6)
 _SQL_TILE_INDEX = _ti_sql(_RASTERS)
-del _xyz_sql, _st_sql, _ti_sql
+_SQL_FOOTPRINT = _fp_sql(_TILES)
+del _xyz_sql, _st_sql, _ti_sql, _fp_sql
 
 from gdal_common_python_spark.operators.viewshed import (
     viewshed_oracle_sql as _vs_sql,
@@ -3973,6 +3985,7 @@ def oracle_sql() -> dict[str, str]:
         "viewshed": _SQL_VIEWSHED,
         "tile_stats": _SQL_TILE_STATS,
         "tile_index": _SQL_TILE_INDEX,
+        "footprint": _SQL_FOOTPRINT,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

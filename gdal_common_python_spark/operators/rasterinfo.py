@@ -13,7 +13,8 @@ never an engine round() whose half-even/half-up convention could differ.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
 
 
 def explode_pixels(tiles: DataFrame, tile_size: int = 32) -> DataFrame:
@@ -617,4 +618,155 @@ SELECT raster_id, band,
        least(x0, x1) AS min_x, least(y0, y1) AS min_y,
        greatest(x0, x1) AS max_x, greatest(y0, y1) AS max_y
 FROM b
+"""
+
+
+_FP_T = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("n_valid", T.LongType()),
+        T.StructField("min_gx", T.LongType()),
+        T.StructField("min_gy", T.LongType()),
+        T.StructField("max_gx", T.LongType()),
+        T.StructField("max_gy", T.LongType()),
+        T.StructField("n_boundary", T.LongType()),
+        T.StructField("n_pairs", T.LongType()),
+    ]
+)
+
+
+def footprint(tiles: DataFrame, tile_size: int = 32) -> DataFrame:
+    """gdal_footprint analog — exact valid-data footprint summary per
+    (raster_id, band): pixel count, bounding box, boundary-pixel count
+    (valid pixels with any invalid/out-of-raster 4-neighbor, i.e. the
+    pixels the footprint polygon's edge runs through), and the EXACT
+    footprint perimeter in pixel edges, including interior holes:
+
+        perimeter = 4 * n_valid - 2 * n_adjacent_pairs
+
+    — every quantity is an integer sum/min/max, so the result is
+    accumulation-order-free and the DuckDB neighbor-join oracle
+    hash-matches bit-for-bit.
+
+    100 TB shape: ONE halo_exchange(radius=1) pass (shuffle ∝ tile
+    perimeter) -> per-tile numpy partials (each pixel owns its RIGHT and
+    DOWN pair, so cross-tile pairs count exactly once via the halo) ->
+    one tiny map-side-combined groupBy(raster, band). The full pixel set
+    never shuffles and nothing ever materializes per-region, so a raster
+    that is one giant connected blob costs the same as a shattered one
+    (the recursive-closure trap a polygonize-based footprint would hit).
+    """
+    from .focal import halo_exchange, assemble_padded
+
+    halos = halo_exchange(tiles, radius=1)
+
+    def stats(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        got = assemble_padded(pdf, 1)
+        if got is None:
+            return pd.DataFrame(columns=[f.name for f in _FP_T.fields])
+        c, pad = got
+        w, h = int(c.bw), int(c.bh)
+        nodata = float(c.nodata)
+        valid = (~np.isnan(pad)) & (pad != nodata)
+        core = valid[1 : 1 + h, 1 : 1 + w]
+        n_valid = int(core.sum())
+        if n_valid == 0:
+            return pd.DataFrame(columns=[f.name for f in _FP_T.fields])
+        gx0 = int(c.tile_x) * tile_size
+        gy0 = int(c.tile_y) * tile_size
+        ys, xs = np.nonzero(core)
+        right = valid[1 : 1 + h, 2 : 2 + w]
+        down = valid[2 : 2 + h, 1 : 1 + w]
+        left = valid[1 : 1 + h, 0:w]
+        up = valid[0:h, 1 : 1 + w]
+        n_pairs = int((core & right).sum() + (core & down).sum())
+        n_boundary = int((core & ~(right & down & left & up)).sum())
+        return pd.DataFrame(
+            [
+                (
+                    c.raster_id, int(c.band), n_valid,
+                    gx0 + int(xs.min()), gy0 + int(ys.min()),
+                    gx0 + int(xs.max()), gy0 + int(ys.max()),
+                    n_boundary, n_pairs,
+                )
+            ],
+            columns=[f.name for f in _FP_T.fields],
+        )
+
+    t = halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
+        stats, schema=_FP_T
+    )
+    return t.groupBy("raster_id", "band").agg(
+        F.sum("n_valid").alias("n_valid"),
+        F.min("min_gx").alias("min_gx"),
+        F.min("min_gy").alias("min_gy"),
+        F.max("max_gx").alias("max_gx"),
+        F.max("max_gy").alias("max_gy"),
+        F.sum("n_boundary").alias("n_boundary"),
+        (F.lit(4) * F.sum("n_valid") - F.lit(2) * F.sum("n_pairs")).alias("perimeter"),
+    )
+
+
+def footprint_oracle_sql(tiles_rel: str, tile_size: int = 32) -> str:
+    """DuckDB mirror of :func:`footprint`: valid-pixel CTE, two directed
+    EQUALITY self-joins (right / down — hash-joinable, unlike a single
+    OR/abs 4-neighbor predicate, which planned as a per-band quadratic
+    filter join) for adjacent pairs; per-pixel degree = endpoint count
+    over both pair lists, boundary = pixels with degree < 4."""
+    return f"""
+WITH px AS (
+  SELECT raster_id, band,
+         CAST(tile_x AS BIGINT) * {tile_size} + (idx - 1) % tile_w AS gx,
+         CAST(tile_y AS BIGINT) * {tile_size} + (idx - 1) // tile_w AS gy
+  FROM (
+    SELECT raster_id, band, nodata, tile_x, tile_y, tile_w,
+           generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+    FROM {tiles_rel}
+  )
+  WHERE v != nodata
+),
+pr AS (
+  SELECT a.raster_id, a.band, a.gx AS agx, a.gy AS agy, b.gx AS bgx, b.gy AS bgy
+  FROM px a JOIN px b
+    ON a.raster_id = b.raster_id AND a.band = b.band
+   AND b.gy = a.gy AND b.gx = a.gx + 1
+),
+pd AS (
+  SELECT a.raster_id, a.band, a.gx AS agx, a.gy AS agy, b.gx AS bgx, b.gy AS bgy
+  FROM px a JOIN px b
+    ON a.raster_id = b.raster_id AND a.band = b.band
+   AND b.gx = a.gx AND b.gy = a.gy + 1
+),
+pairs AS (
+  SELECT raster_id, band, count(*) AS n_pairs
+  FROM (SELECT * FROM pr UNION ALL SELECT * FROM pd)
+  GROUP BY 1, 2
+),
+ends AS (
+  SELECT raster_id, band, agx AS gx, agy AS gy FROM pr
+  UNION ALL SELECT raster_id, band, bgx, bgy FROM pr
+  UNION ALL SELECT raster_id, band, agx, agy FROM pd
+  UNION ALL SELECT raster_id, band, bgx, bgy FROM pd
+),
+deg AS (
+  SELECT raster_id, band, gx, gy, count(*) AS nnb
+  FROM ends GROUP BY 1, 2, 3, 4
+),
+interior AS (
+  SELECT raster_id, band, count(*) AS n_int
+  FROM deg WHERE nnb = 4 GROUP BY 1, 2
+),
+agg AS (
+  SELECT raster_id, band, CAST(count(*) AS BIGINT) AS n_valid,
+         min(gx) AS min_gx, min(gy) AS min_gy,
+         max(gx) AS max_gx, max(gy) AS max_gy
+  FROM px GROUP BY 1, 2
+)
+SELECT a.raster_id, a.band, a.n_valid, a.min_gx, a.min_gy, a.max_gx, a.max_gy,
+       CAST(a.n_valid - COALESCE(i.n_int, 0) AS BIGINT) AS n_boundary,
+       4 * a.n_valid - 2 * COALESCE(p.n_pairs, 0) AS perimeter
+FROM agg a
+LEFT JOIN pairs p ON p.raster_id = a.raster_id AND p.band = a.band
+LEFT JOIN interior i ON i.raster_id = a.raster_id AND i.band = a.band
 """
