@@ -213,6 +213,11 @@ def run_queries(spark, sdir):
         "zonal_percentiles",
     ]
     qs = entrymod.queries()
+    # structural no-silent-caps: any gate not named above still gets
+    # measured — a new queries() entry can never silently skip the bench
+    missing = sorted(set(qs) - set(names))
+    if missing:
+        names = names + missing
     # absorb one-time session costs (JVM codegen, python UDF worker pool)
     # so per-query numbers reflect steady operation, not the first-query tax
     _session_warmup(spark)
