@@ -585,6 +585,18 @@ def q_rasterize(spark, sf_dir):
     return rast_ops.rasterize_burn(spark, zones, rasters, tiles, "r0", 1)
 
 
+def q_cutline(spark, sf_dir):
+    """gdalwarp -cutline analog: r0/1 cropped to the zone-polygon union —
+    the zonal membership kernel emitting sparse (gc, gr, value) pixels,
+    deduped across overlapping zones by one map-side-combined groupBy."""
+    from gdal_common_python_spark.operators import rasterize as rast_ops
+
+    zones = _synth(spark, sf_dir, "zones")
+    rasters = _synth(spark, sf_dir, "rasters")
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return rast_ops.cutline_extract(spark, zones, rasters, tiles, "r0", 1)
+
+
 _TR_SRCWIN = (20, 12, 80, 60)
 _TR_SCALE = (0.0, 255.0, 0.0, 100.0)
 
@@ -1720,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_warp": q_raster_warp,
         "fillnodata": q_fillnodata,
         "rasterize": q_rasterize,
+        "cutline": q_cutline,
         "grid_points": q_grid_points,
         "source_cap": q_source_cap,
         "mixture_sample": q_mixture_sample,
@@ -3380,6 +3393,14 @@ del _ts_sql
 
 # gdal_rasterize burn: the zonal pixel-center even-odd membership (same
 # machinery/CTEs), reported per PIXEL with max(zone_id) as the burn value
+_SQL_CUTLINE = f"""
+WITH {_SQL_ZONAL_INSIDE}
+SELECT gc, gr, min(v) AS value
+FROM inside
+WHERE raster_id = 'r0' AND band = 1 AND v != nodata
+GROUP BY gc, gr
+"""
+
 _SQL_RASTERIZE = f"""
 WITH {_SQL_ZONAL_INSIDE}
 SELECT gc, gr, CAST(max(zone_id) AS BIGINT) AS burn_value
@@ -3956,6 +3977,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_warp": _SQL_RASTER_WARP,
         "fillnodata": _SQL_FILLNODATA,
         "rasterize": _SQL_RASTERIZE,
+        "cutline": _SQL_CUTLINE,
         "grid_points": _SQL_GRID_POINTS,
         "source_cap": _SQL_SOURCE_CAP,
         "mixture_sample": _SQL_MIXTURE_SAMPLE,

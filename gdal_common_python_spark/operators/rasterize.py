@@ -236,3 +236,80 @@ def zonal_percentiles(
             )
         )
     return zh.groupBy("zone_id").agg(*aggs)
+
+
+_CUT_T = T.StructType(
+    [
+        T.StructField("gc", T.LongType()),
+        T.StructField("gr", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def cutline_extract(
+    spark: SparkSession,
+    zones: DataFrame,
+    rasters: DataFrame,
+    tiles: DataFrame,
+    raster_id: str,
+    band: int,
+    tile_size: int = 32,
+) -> DataFrame:
+    """gdalwarp ``-cutline`` analog: crop the (raster_id, band) grid to the
+    union of the zone polygons -> sparse (gc, gr, value) rows for every
+    VALID pixel whose center falls inside >= 1 zone (R3 pixel-center
+    even-odd membership, identical to the zonal gates); everything outside
+    the cutline or nodata emits no row.
+
+    100 TB shape: the same window-join + per-(zone, tile) mapInPandas mask
+    kernel as the zonal family (no per-zone Python task, shuffle of the
+    window join ∝ candidate tiles), then ONE map-side-combined
+    groupBy(pixel) that dedupes pixels covered by overlapping zones
+    (min(v) — the value is the same pixel's, so any combiner works). A
+    disjoint cutline makes that final shuffle pure dedupe overhead;
+    callers who KNOW zones are disjoint can dissolve first, but
+    correctness never depends on it.
+    """
+    r1 = rasters.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
+    t1 = tiles.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
+    cand = join_zone_rings(window_tiles(zones, r1, t1, tile_size), zones)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qcache: dict[tuple, np.ndarray] = {}
+        for pdf in batches:
+            rings_of = joined_rings_of(pdf)
+            out_c, out_r, out_v = [], [], []
+            cols = [c for c in pdf.columns if not c.startswith("__")]
+            for i, row in enumerate(pdf[cols].itertuples(index=False)):
+                zid = int(row.zone_id)
+                hit = row_tile_mask(row, rings_of(i, zid), tile_size, qcache)
+                if hit is None:
+                    continue
+                m, c0, r0, lc0, lr0 = hit
+                px = np.asarray(row.pixels, dtype=np.float64).reshape(
+                    row.tile_h, row.tile_w
+                )
+                sub = px[lr0 : lr0 + m.shape[0], lc0 : lc0 + m.shape[1]]
+                my, mx = np.nonzero(m & (sub != row.nodata))
+                if len(mx) == 0:
+                    continue
+                out_c.append(mx.astype(np.int64) + (c0 + int(row.off_x)))
+                out_r.append(my.astype(np.int64) + (r0 + int(row.off_y)))
+                out_v.append(sub[(my, mx)])
+            yield pd.DataFrame(
+                {
+                    "gc": pd.Series(
+                        np.concatenate(out_c) if out_c else [], dtype="int64"
+                    ),
+                    "gr": pd.Series(
+                        np.concatenate(out_r) if out_r else [], dtype="int64"
+                    ),
+                    "value": pd.Series(
+                        np.concatenate(out_v) if out_v else [], dtype="float64"
+                    ),
+                }
+            )
+
+    covered = cand.mapInPandas(kernel, schema=_CUT_T)
+    return covered.groupBy("gc", "gr").agg(F.min("value").alias("value"))

@@ -45,3 +45,25 @@ def test_stable_under_repartitioning(spark, sf_dir, burned):
     again = rasterize.rasterize_burn(spark, zones, rasters, tiles, "r0", 1).collect()
     _, _, rows = burned
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+class TestCutline:
+    def test_cutline_matches_zonal_membership(self, spark, zones, rasters, tiles):
+        """Cutline pixels = union over zones of valid in-zone pixels, and
+        each pixel appears exactly once even under overlapping zones."""
+        from gdal_common_python_spark.operators import rasterize as rast_ops
+
+        out = rast_ops.cutline_extract(spark, zones, rasters, tiles, "r0", 1)
+        rows = out.collect()
+        keys = [(r.gc, r.gr) for r in rows]
+        assert len(keys) == len(set(keys))  # deduped
+        assert len(rows) > 0
+        # cross-check against the burn op: cutline covers a subset of the
+        # burned coverage (burn keeps nodata pixels, cutline drops them)
+        burned = {
+            (r.gc, r.gr)
+            for r in rast_ops.rasterize_burn(
+                spark, zones, rasters, tiles, "r0", 1
+            ).collect()
+        }
+        assert set(keys) <= burned
