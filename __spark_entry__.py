@@ -129,6 +129,16 @@ def q_pack_interleaved(spark, sf_dir):
     )
 
 
+def q_curated_packs(spark, sf_dir):
+    """END-TO-END interleaved curation: content-identity dedup (text +
+    kind seq + media refs) -> quality gate on concatenated text spans ->
+    pack_interleaved. One lazy plan, two shuffles (dedup window + pack
+    cost triples); span text never shuffles."""
+    from gdal_common_python_spark.pipelines import curate_interleaved
+
+    return curate_interleaved(_synth(spark, sf_dir, "documents_spans"))
+
+
 def q_media_dedup(spark, sf_dir):
     """Cross-document media dedup over the interleaved spans shape: one
     map-side-combined groupBy(media_ref).min(struct) canonical table +
@@ -1638,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": q_caption_pairs,
         "rewrite_dedup_media": q_rewrite_dedup_media,
         "pack_interleaved": q_pack_interleaved,
+        "curated_packs": q_curated_packs,
         "zone_corpus_profile": q_zone_corpus_profile,
         "envelope": q_envelope,
         "layer_extent": q_layer_extent,
@@ -3330,6 +3341,35 @@ from gdal_common_python_spark.operators.curation import (
 )
 
 _SQL_PACK_INTERLEAVED = _pi_sql(_DOCS, capacity=256, media_budget=32)
+
+# END-TO-END interleaved curation oracle: the pack_interleaved oracle run
+# over the dedup+quality-gated doc subquery (same md5 identity + quality
+# formulas as the engine, composed verbatim from the curated_chunks SQL)
+_CI_GATED = f"""(
+  SELECT doc_id, spans FROM (
+    SELECT doc_id, spans, txt,
+           min(doc_id) OVER (PARTITION BY key) AS __m,
+           CAST(length(txt) AS DOUBLE) AS n,
+           CAST(length(regexp_replace(txt, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(length(regexp_replace(txt, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+           CASE WHEN len(trim(txt)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(lower(txt)), '\\s+')) END AS ntok
+    FROM (
+      SELECT doc_id, spans,
+             coalesce(array_to_string(list_transform(list_filter(spans, s -> s.kind = 'text'), s -> s.text), ' '), '') AS txt,
+             md5(concat_ws(chr(31),
+                 coalesce(array_to_string(list_transform(list_filter(spans, s -> s.kind = 'text'), s -> s.text), ' '), ''),
+                 array_to_string(list_transform(spans, s -> s.kind), ','),
+                 coalesce(array_to_string(list_transform(list_filter(spans, s -> s.kind = 'media'), s -> s.media_ref), ','), ''))) AS key
+      FROM {_DOCS})
+  ) WHERE doc_id = __m
+      AND 0.4 * (CASE WHEN n > 0 THEN alpha / n ELSE 0 END)
+        + 0.3 * least(1.0, CAST(ntok AS DOUBLE) / 100.0)
+        + 0.3 * (1.0 - (CASE WHEN n > 0 THEN punct / n ELSE 0 END)) >= 0.45
+      AND ntok >= 5
+)"""
+_SQL_CURATED_PACKS = _pi_sql(_CI_GATED, capacity=256, media_budget=32)
+
 del _pi_sql
 
 from gdal_common_python_spark.operators.overviews import (
@@ -3990,6 +4030,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_pairs": _SQL_CAPTION_PAIRS,
         "rewrite_dedup_media": _SQL_REWRITE_DEDUP_MEDIA,
         "pack_interleaved": _SQL_PACK_INTERLEAVED,
+        "curated_packs": _SQL_CURATED_PACKS,
         "overviews": _SQL_OVERVIEWS,
         "segmentize": _SQL_SEGMENTIZE,
         "raster_info": _SQL_RASTER_INFO,

@@ -60,3 +60,65 @@ def curate_corpus(
         kept, max_tokens=chunk_tokens, overlap=chunk_overlap,
         text_col=text_col, id_col=id_col,
     )
+
+
+def curate_interleaved(
+    docs: DataFrame,
+    quality_min: float = 0.45,
+    min_tokens: int = 5,
+    capacity: int = 256,
+    media_budget: int = 32,
+) -> DataFrame:
+    """The end-to-end INTERLEAVED curation recipe: spans-shape documents ->
+    packed multimodal context windows.
+
+        content-identity dedup (keep min doc_id per md5 of
+            text-spans + kind sequence + media refs)
+        -> quality gate on the concatenated text spans
+        -> pack_interleaved (concat-then-chop windows)
+
+    The identity key hashes all three components joined by the unit
+    separator (chr 31 — cannot appear in the synth vocabulary), so two
+    documents that share prose but differ in media or span order are NOT
+    merged — the span-sequence invariant (kind, text, media_ref, order)
+    IS the document identity. Every stage is a pure function of row
+    content (resume/retry stable); the whole chain is ONE lazy plan with
+    two shuffles: the dedup window and pack's (doc_id, shard, cost)
+    triples. Span text and media refs never shuffle."""
+    txt = F.coalesce(
+        F.array_join(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            " ",
+        ),
+        F.lit(""),
+    )
+    kindseq = F.array_join(F.transform(F.col("spans"), lambda s: s["kind"]), ",")
+    refs = F.coalesce(
+        F.array_join(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media")),
+                lambda s: s["media_ref"],
+            ),
+            ",",
+        ),
+        F.lit(""),
+    )
+    key = F.md5(F.concat_ws("\u001f", txt, kindseq, refs))
+    w = Window.partitionBy(key)
+    staged = docs.withColumn("__txt", txt).withColumn(
+        "__keep", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+    gated = (
+        staged.filter(F.col("__keep"))
+        .filter(
+            (quality_score(F.col("__txt")) >= quality_min)
+            & (token_count(F.col("__txt")) >= min_tokens)
+        )
+        .drop("__txt", "__keep")
+    )
+    return curation.pack_interleaved(
+        gated, capacity=capacity, media_budget=media_budget
+    )
