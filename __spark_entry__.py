@@ -166,6 +166,16 @@ def q_rewrite_dedup_media(spark, sf_dir):
     return rewrite_dedup_media(_synth(spark, sf_dir, "documents_spans"))
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Corpus-frequency boilerplate strip on the interleaved spans shape:
+    text spans repeated in >= 3 distinct docs struck everywhere, survivors
+    re-bound to dense offsets; doc-frequency shuffles md5(text) only and
+    the boilerplate set joins back broadcast."""
+    from gdal_common_python_spark.operators.curation import strip_boilerplate
+
+    return strip_boilerplate(_synth(spark, sf_dir, "documents_spans"), min_doc_freq=3)
+
+
 def q_media_geotag(spark, sf_dir):
     """Interleaved-payload composition: media spans inherit the zone of the
     nearest preceding geo span in the same document — PIP join for the geo
@@ -1647,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "caption_pairs": q_caption_pairs,
         "rewrite_dedup_media": q_rewrite_dedup_media,
+        "strip_boilerplate": q_strip_boilerplate,
         "pack_interleaved": q_pack_interleaved,
         "curated_packs": q_curated_packs,
         "zone_corpus_profile": q_zone_corpus_profile,
@@ -3330,11 +3341,15 @@ from gdal_common_python_spark.operators.multimodal import (
     caption_pairs_oracle_sql as _cp_sql,
     rewrite_dedup_media_oracle_sql as _rdm_sql,
 )
+from gdal_common_python_spark.operators.curation import (
+    strip_boilerplate_oracle_sql as _sb_sql,
+)
 
 _SQL_MEDIA_DEDUP = _md_sql(_DOCS)
 _SQL_CAPTION_PAIRS = _cp_sql(_DOCS)
 _SQL_REWRITE_DEDUP_MEDIA = _rdm_sql(_DOCS)
-del _md_sql, _cp_sql, _rdm_sql
+_SQL_STRIP_BOILERPLATE = _sb_sql(_DOCS, min_doc_freq=3)
+del _md_sql, _cp_sql, _rdm_sql, _sb_sql
 
 from gdal_common_python_spark.operators.curation import (
     pack_interleaved_oracle_sql as _pi_sql,
@@ -4029,6 +4044,7 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup": _SQL_MEDIA_DEDUP,
         "caption_pairs": _SQL_CAPTION_PAIRS,
         "rewrite_dedup_media": _SQL_REWRITE_DEDUP_MEDIA,
+        "strip_boilerplate": _SQL_STRIP_BOILERPLATE,
         "pack_interleaved": _SQL_PACK_INTERLEAVED,
         "curated_packs": _SQL_CURATED_PACKS,
         "overviews": _SQL_OVERVIEWS,

@@ -838,3 +838,87 @@ SELECT doc_id, shard, n_cost, n_spans, n_media_spans, kind_seq,
        CAST(floor((c - 1) / {float(cap)!r}) AS BIGINT) AS end_seq
 FROM cum
 """
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    min_doc_freq: int = 3,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal on the interleaved spans shape:
+    a text span whose exact text appears in >= ``min_doc_freq`` DISTINCT
+    documents (headers, footers, nav chrome, license blurbs) is struck
+    from every document; surviving spans keep their relative order and are
+    re-bound to dense offsets -> one flat row per surviving span (doc_id,
+    offset, kind, text, media_ref), the same rewrite contract as
+    ``multimodal.rewrite_dedup_media``. Geo and media spans never qualify.
+    Documents whose every span is boilerplate disappear from the output.
+
+    100 TB shape: the doc-frequency aggregation shuffles md5(text) (16
+    bytes), never the text itself — distinct (hash, doc) pairs partially
+    aggregate map-side, then one groupBy(hash) count. The boilerplate set
+    after the >= min_doc_freq filter is tiny by construction next to the
+    corpus and joins back broadcast (size-gated; past the gate a plain
+    equi-join with AQE skew split — a hot boilerplate hash IS a skew key).
+    The rewrite is the shared zero-window strike path
+    (``rewrite_without``): shuffle ∝ struck spans, text spans of clean
+    documents never move.
+    """
+    from .multimodal import rewrite_without
+
+    ts = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(spans_col).alias("s"))
+        .filter(F.col("s.kind") == "text")
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.md5(F.col("s.text")).alias("h"),
+        )
+    )
+    boiler = (
+        ts.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .count()
+        .filter(F.col("count") >= int(min_doc_freq))
+        .select("h")
+    )
+    if broadcastable(boiler, row_limit=5_000_000):
+        boiler = F.broadcast(boiler)
+    strikes = ts.join(boiler, "h").select("doc_id", "offset")
+    return rewrite_without(docs, strikes)
+
+
+def strip_boilerplate_oracle_sql(rel: str, min_doc_freq: int = 3) -> str:
+    """DuckDB mirror of :func:`strip_boilerplate` — doc-frequency over the
+    exact text (md5 grouping in the engine is a pure re-keying of the same
+    equality classes), anti-join strike, row_number re-offset."""
+    return f"""
+WITH ts AS (
+  SELECT doc_id, sp."offset" AS "offset", sp."text" AS txt
+  FROM (SELECT doc_id, unnest(spans) AS sp FROM {rel})
+  WHERE sp.kind = 'text'
+),
+boiler AS (
+  SELECT txt FROM (
+    SELECT txt, COUNT(DISTINCT doc_id) AS df FROM ts GROUP BY txt
+  ) WHERE df >= {int(min_doc_freq)}
+),
+rm AS (SELECT doc_id, "offset" FROM ts JOIN boiler USING (txt)),
+flat AS (
+  SELECT doc_id, sp.kind AS kind, sp."text" AS "text",
+         sp.media_ref AS media_ref, sp."offset" AS old_off
+  FROM (SELECT doc_id, unnest(spans) AS sp FROM {rel})
+),
+keep AS (
+  SELECT f.* FROM flat f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rm WHERE rm.doc_id = f.doc_id AND rm."offset" = f.old_off
+  )
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY old_off) - 1 AS INT) AS "offset",
+       kind, "text", media_ref
+FROM keep
+"""

@@ -347,31 +347,25 @@ FROM j WHERE rn = 1
 """
 
 
-def rewrite_dedup_media(docs: DataFrame) -> DataFrame:
-    """Order-preserving document rewrite after cross-corpus media dedup:
-    every NON-canonical media span (per :func:`media_dedup`) is struck
-    from its document, surviving spans keep their relative order and are
-    re-bound to dense offsets 0..n-1 -> one flat row per surviving span
-    (doc_id, offset, kind, text, media_ref). This is the curation step
-    the dedup feeds: the corpus after rewrite carries each media asset
-    once, and every document still satisfies the span-sequence invariant
-    (kind, text, media_ref, order).
+def rewrite_without(docs: DataFrame, strikes: DataFrame) -> DataFrame:
+    """Order-preserving document rewrite: strike the (doc_id, offset) rows
+    of ``strikes`` from each document's span array, keep surviving spans in
+    their original relative order re-bound to dense offsets 0..n-1 -> one
+    flat row per surviving span (doc_id, offset, kind, text, media_ref).
+    Documents whose every span is struck disappear from the output. The
+    shared rewrite core of :func:`rewrite_dedup_media` and
+    ``curation.strip_boilerplate``.
 
-    100 TB shape: the strike table is media-spans-only (text never moves)
-    and aggregates to ONE array per affected document (map-side combined,
-    shuffle ∝ duplicate media spans). The join back to docs is on the
-    table's primary key doc_id — broadcast when the strike set is small
-    (size-gated probe), else a plain equi-join that bucketing on doc_id
-    co-locates; AQE splits any residual skew. The rewrite itself is a
-    zero-shuffle filter + indexed transform, then a native posexplode.
+    100 TB shape: strikes aggregate to ONE array per affected document
+    (map-side combined, shuffle ∝ struck spans). The join back to docs is
+    on the table's primary key doc_id — broadcast when the strike set is
+    small (size-gated probe), else a plain equi-join that bucketing on
+    doc_id co-locates; AQE splits any residual skew. The rewrite itself is
+    a zero-shuffle filter + indexed transform, then a native posexplode.
     """
     from .util import broadcastable
 
-    rm = (
-        media_dedup(docs)
-        .groupBy("doc_id")
-        .agg(F.collect_list("offset").alias("rm_offs"))
-    )
+    rm = strikes.groupBy("doc_id").agg(F.collect_list("offset").alias("rm_offs"))
     if broadcastable(rm, row_limit=2_000_000):
         rm = F.broadcast(rm)
     keep = F.filter(
@@ -400,6 +394,21 @@ def rewrite_dedup_media(docs: DataFrame) -> DataFrame:
             F.col("s.media_ref").alias("media_ref"),
         )
     )
+
+
+def rewrite_dedup_media(docs: DataFrame) -> DataFrame:
+    """Order-preserving document rewrite after cross-corpus media dedup:
+    every NON-canonical media span (per :func:`media_dedup`) is struck
+    from its document -> flat surviving spans with dense re-bound offsets
+    (see :func:`rewrite_without`). This is the curation step the dedup
+    feeds: the corpus after rewrite carries each media asset once, and
+    every document still satisfies the span-sequence invariant (kind,
+    text, media_ref, order).
+
+    100 TB shape: the strike table is media-spans-only (text never moves);
+    see :func:`rewrite_without` for the rewrite plan.
+    """
+    return rewrite_without(docs, media_dedup(docs).select("doc_id", "offset"))
 
 
 def rewrite_dedup_media_oracle_sql(rel: str) -> str:
