@@ -638,6 +638,34 @@ def q_footprint(spark, sf_dir):
     return ri_ops.footprint(_synth(spark, sf_dir, "raster_tiles"))
 
 
+def q_compact_cells(spark, sf_dir):
+    """H3 compact analog on the quadtree covering: zones' bbox covers at
+    res 9 (native codegen polyfill) -> distinct cells -> complete
+    4-sibling groups promoted level-by-level down to res 5. All integer
+    shift/mod codegen; work shrinks 4x per level."""
+    from gdal_common_python_spark.operators import layout as layout_ops
+
+    z = _synth(spark, sf_dir, "zones").select(
+        F.col("bbox4326.xmin").alias("xmin"), F.col("bbox4326.ymin").alias("ymin"),
+        F.col("bbox4326.xmax").alias("xmax"), F.col("bbox4326.ymax").alias("ymax"),
+    )
+    cov = layout_ops.cover_bbox_cells(z, res=9)
+    comp = layout_ops.compact_cells(cov, from_res=9, to_res=5)
+    return comp.select(F.shiftright("cell", 58).alias("res"), "cell")
+
+
+def q_vector_info(spark, sf_dir):
+    """ogrinfo -so analog: one-row layer summary (feature/ring/vertex
+    counts + layer extent) from a single map-side-combined wide
+    aggregate over native HOFs."""
+    from gdal_common_python_spark import api
+
+    return api.layer_info(
+        _synth(spark, sf_dir, "zones").select("zone_id", "rings4326"),
+        rings_col="rings4326",
+    )
+
+
 def q_raster_info(spark, sf_dir):
     """gdalinfo -stats analog: per-band global stats; one aggregate HOF
     per tile before the shuffle (exchange carries one row per tile)."""
@@ -1781,6 +1809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_stats": q_tile_stats,
         "tile_index": q_tile_index,
         "footprint": q_footprint,
+        "compact_cells": q_compact_cells,
+        "vector_info": q_vector_info,
     }
 
 
@@ -3430,6 +3460,32 @@ _SQL_RASTER_XYZ = _xyz_sql(_TILES, "r3", 1)
 _SQL_SLIPPY_TILES = _st_sql(_RASTERS, 6)
 _SQL_TILE_INDEX = _ti_sql(_RASTERS)
 _SQL_FOOTPRINT = _fp_sql(_TILES)
+
+from gdal_common_python_spark.operators.layout import (  # noqa: E402
+    compact_cells_oracle_sql as _cc_sql,
+    cover_bbox_cells_oracle_sql as _cov_sql,
+)
+
+_SQL_COMPACT_CELLS = _cc_sql(
+    _cov_sql(
+        f"(SELECT bbox4326.xmin AS xmin, bbox4326.ymin AS ymin, "
+        f"bbox4326.xmax AS xmax, bbox4326.ymax AS ymax FROM {_ZONES})",
+        res=9,
+    ),
+    from_res=9,
+    to_res=5,
+)
+
+_SQL_VECTOR_INFO = f"""
+SELECT count(*) AS n_features,
+       CAST(sum(len(rings4326)) AS BIGINT) AS n_rings,
+       CAST(sum(list_sum(list_transform(rings4326, r -> len(r)))) AS BIGINT) AS n_vertices,
+       min(list_aggregate(list_transform(flatten(rings4326), p -> p[1]), 'min')) AS xmin,
+       min(list_aggregate(list_transform(flatten(rings4326), p -> p[2]), 'min')) AS ymin,
+       max(list_aggregate(list_transform(flatten(rings4326), p -> p[1]), 'max')) AS xmax,
+       max(list_aggregate(list_transform(flatten(rings4326), p -> p[2]), 'max')) AS ymax
+FROM {_ZONES}
+"""
 del _xyz_sql, _st_sql, _ti_sql, _fp_sql
 
 from gdal_common_python_spark.operators.viewshed import (
@@ -4065,6 +4121,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_stats": _SQL_TILE_STATS,
         "tile_index": _SQL_TILE_INDEX,
         "footprint": _SQL_FOOTPRINT,
+        "compact_cells": _SQL_COMPACT_CELLS,
+        "vector_info": _SQL_VECTOR_INFO,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,
         "zonal_stats": _SQL_ZONAL_STATS,

@@ -90,6 +90,36 @@ def get_layer_extent(df: DataFrame, rings_col: str = "rings") -> DataFrame:
     )
 
 
+def layer_info(df: DataFrame, rings_col: str = "rings") -> DataFrame:
+    """ogrinfo ``-so`` (summary-only) analog: ONE row describing the layer
+    — feature count, ring count, vertex count, and the layer extent — from
+    a single map-side-combined wide aggregate over native HOF expressions
+    (zero Python, zero extra shuffle; the counts are exact integers and
+    min/max are order-free, so the DuckDB oracle hash-matches). The
+    reference surfaces only per-call fragments of this (feature count
+    `features.py`, extent `features.py:79-94`, field list `fields.py`);
+    this rolls the layer summary any OGR user reads off `ogrinfo` into one
+    scan."""
+    n_rings = F.size(F.col(rings_col))
+    n_vertices = F.aggregate(
+        F.transform(F.col(rings_col), lambda r: F.size(r)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    xmin, ymin, xmax, ymax = envelope_exprs(rings_col)
+    per = df.select(
+        n_rings.alias("r"), n_vertices.alias("v"),
+        xmin.alias("x0"), ymin.alias("y0"), xmax.alias("x1"), ymax.alias("y1"),
+    )
+    return per.agg(
+        F.count("*").alias("n_features"),
+        F.sum("r").cast("long").alias("n_rings"),
+        F.sum("v").cast("long").alias("n_vertices"),
+        F.min("x0").alias("xmin"), F.min("y0").alias("ymin"),
+        F.max("x1").alias("xmax"), F.max("y1").alias("ymax"),
+    )
+
+
 def make_valid(df: DataFrame, rings_col: str = "rings") -> DataFrame:
     """P10 — features.make_valid (features.py:204-223): normalize rings
     (drop closing vertex, drop degenerate rings) AND repair self-crossing

@@ -138,6 +138,154 @@ def cell_rollup(
     )
 
 
+def cover_bbox_cells(
+    df: DataFrame,
+    res: int,
+    xmin_col: str = "xmin",
+    ymin_col: str = "ymin",
+    xmax_col: str = "xmax",
+    ymax_col: str = "ymax",
+) -> DataFrame:
+    """Native (pure codegen) bbox covering at ``res``: every cell whose
+    rectangle intersects each row's bbox — the Column-expression twin of
+    ``kernels.cells.cover_bbox`` (H3 polyfill analog on the quadtree
+    scheme). One row per (input row, cell); fan-out is bounded by the
+    bbox/cell size ratio, never data-dependent. Formula ports verbatim to
+    the DuckDB oracle (floor/clamp + two unnested integer sequences)."""
+    if not 0 <= res <= 29:
+        raise ValueError(f"res must be in [0, 29], got {res}")
+    out = (
+        df.withColumn("__ix0", _grid_ix(F.col(xmin_col), res))
+        .withColumn("__ix1", _grid_ix(F.col(xmax_col), res))
+        .withColumn("__iy0", _grid_iy(F.col(ymin_col), res))
+        .withColumn("__iy1", _grid_iy(F.col(ymax_col), res))
+        .withColumn("__ix", F.explode(F.sequence("__ix0", "__ix1")))
+        .withColumn("__iy", F.explode(F.sequence("__iy0", "__iy1")))
+    )
+    cell = (
+        F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+        + F.shiftleft(F.col("__ix"), _IX_SHIFT)
+        + F.col("__iy")
+    )
+    return out.withColumn("cell", cell).drop(
+        "__ix0", "__ix1", "__iy0", "__iy1", "__ix", "__iy"
+    )
+
+
+def compact_cells(
+    cells: DataFrame,
+    from_res: int,
+    to_res: int,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """H3 ``compact`` analog on the quadtree cell scheme: replace every
+    COMPLETE 4-sibling group with its parent, level by level from
+    ``from_res`` down to ``to_res`` -> the minimal mixed-resolution cell
+    set covering exactly the same area (-> (cell,) distinct rows).
+
+    Plan (all lazy, no iteration-to-convergence, no checkpoints): per
+    level, one window count over the parent key + distinct. The partition
+    key for non-candidate rows is the row's own cell id (unique), so a
+    parent ALREADY present in the input (redundant covering) lands in its
+    children's group, the children still promote, and distinct() absorbs
+    the duplicate — compaction is idempotent on redundant input. Work
+    shrinks by up to 4x per level and the number of rounds is the fixed
+    literal ``from_res - to_res``, so the plan is bounded at any data
+    scale. The whole derivation is integer shift/mod codegen — the DuckDB
+    oracle runs the verbatim same expressions."""
+    if not 0 <= to_res <= from_res <= 29:
+        raise ValueError(f"need 0 <= to_res <= from_res <= 29, got {to_res}/{from_res}")
+    from pyspark.sql.window import Window
+
+    cur = cells.select(F.col(cell_col).alias("cell")).distinct()
+    for r in range(from_res, to_res, -1):
+        res_c = F.shiftright(F.col("cell"), _RES_SHIFT)
+        key = F.when(
+            res_c == r, _ancestor_cell(F.col("cell"), r, r - 1)
+        ).otherwise(F.col("cell"))
+        w = Window.partitionBy("__k")
+        cur = (
+            cur.withColumn("__k", key)
+            .withColumn(
+                "__n",
+                F.sum(F.when(res_c == r, F.lit(1)).otherwise(F.lit(0))).over(w),
+            )
+            .select(
+                F.when((res_c == r) & (F.col("__n") == 4), F.col("__k"))
+                .otherwise(F.col("cell"))
+                .alias("cell")
+            )
+            .distinct()
+        )
+    return cur
+
+
+def cover_bbox_cells_oracle_sql(
+    bbox_rel: str,
+    res: int,
+    xmin_col: str = "xmin",
+    ymin_col: str = "ymin",
+    xmax_col: str = "xmax",
+    ymax_col: str = "ymax",
+) -> str:
+    """DuckDB mirror of :func:`cover_bbox_cells` -> DISTINCT cell rows.
+    Verbatim floor/clamp arithmetic; the two integer ranges unnest in two
+    separate SELECT levels (two unnests in ONE DuckDB select would zip,
+    not cross)."""
+    n = 1 << res
+    w, h = 360.0 / n, 180.0 / n
+    return f"""
+SELECT DISTINCT (CAST({res} AS BIGINT) * {1 << _RES_SHIFT})
+       + ix * {1 << _IX_SHIFT} + unnest(generate_series(iy0, iy1)) AS cell
+FROM (
+  SELECT unnest(generate_series(ix0, ix1)) AS ix, iy0, iy1
+  FROM (
+    SELECT
+      CAST(least(greatest(floor(({xmin_col} + 180.0) / {w!r}), 0), {n - 1}) AS BIGINT) AS ix0,
+      CAST(least(greatest(floor(({xmax_col} + 180.0) / {w!r}), 0), {n - 1}) AS BIGINT) AS ix1,
+      CAST(least(greatest(floor(({ymin_col} + 90.0) / {h!r}), 0), {n - 1}) AS BIGINT) AS iy0,
+      CAST(least(greatest(floor(({ymax_col} + 90.0) / {h!r}), 0), {n - 1}) AS BIGINT) AS iy1
+    FROM {bbox_rel}
+  )
+)"""
+
+
+def compact_cells_oracle_sql(cover_sql: str, from_res: int, to_res: int) -> str:
+    """DuckDB mirror of :func:`compact_cells`: the per-level
+    window-count + CASE + DISTINCT round unrolled ``from_res - to_res``
+    times (the engine's loop is the same fixed literal count), each level
+    using the verbatim shift/mod parent arithmetic."""
+    m = 1 << _IX_SHIFT
+    parts = [f"l{from_res + 1} AS ({cover_sql})"]
+    for r in range(from_res, to_res, -1):
+        parent = (
+            f"(CAST({r - 1} AS BIGINT) * {1 << _RES_SHIFT})"
+            f" + (((cell // {m}) % {m}) // 2) * {m}"
+            f" + ((cell % {m}) // 2)"
+        )
+        parts.append(f"""l{r} AS (
+  SELECT DISTINCT CASE WHEN (cell // {1 << _RES_SHIFT}) = {r} AND cnt = 4
+                       THEN k ELSE cell END AS cell
+  FROM (
+    SELECT cell, k,
+           sum(CASE WHEN (cell // {1 << _RES_SHIFT}) = {r} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY k) AS cnt
+    FROM (
+      SELECT cell,
+             CASE WHEN (cell // {1 << _RES_SHIFT}) = {r} THEN {parent}
+                  ELSE cell END AS k
+      FROM l{r + 1}
+    )
+  )
+)""")
+        # chain: l{from_res+1} is the cover, each l{r} reads l{r+1}
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT cell // {1 << _RES_SHIFT} AS res, cell FROM l{to_res + 1}"
+    )
+
+
 _GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
