@@ -654,6 +654,22 @@ def q_compact_cells(spark, sf_dir):
     return comp.select(F.shiftright("cell", 58).alias("res"), "cell")
 
 
+def q_uncompact_cells(spark, sf_dir):
+    """uncompact ∘ compact == identity on a uniform-res covering: the
+    round-trip re-expands the compacted mixed-res set back to res 9 and
+    must equal the RAW covering — the oracle is the plain cover SQL, so
+    any asymmetry in either direction hash-fails."""
+    from gdal_common_python_spark.operators import layout as layout_ops
+
+    z = _synth(spark, sf_dir, "zones").select(
+        F.col("bbox4326.xmin").alias("xmin"), F.col("bbox4326.ymin").alias("ymin"),
+        F.col("bbox4326.xmax").alias("xmax"), F.col("bbox4326.ymax").alias("ymax"),
+    )
+    cov = layout_ops.cover_bbox_cells(z, res=9)
+    comp = layout_ops.compact_cells(cov, from_res=9, to_res=5)
+    return layout_ops.uncompact_cells(comp, res=9)
+
+
 def q_vector_info(spark, sf_dir):
     """ogrinfo -so analog: one-row layer summary (feature/ring/vertex
     counts + layer extent) from a single map-side-combined wide
@@ -1810,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_index": q_tile_index,
         "footprint": q_footprint,
         "compact_cells": q_compact_cells,
+        "uncompact_cells": q_uncompact_cells,
         "vector_info": q_vector_info,
     }
 
@@ -3476,6 +3493,13 @@ _SQL_COMPACT_CELLS = _cc_sql(
     to_res=5,
 )
 
+# the round-trip identity: uncompact(compact(cover)) == cover
+_SQL_UNCOMPACT_CELLS = _cov_sql(
+    f"(SELECT bbox4326.xmin AS xmin, bbox4326.ymin AS ymin, "
+    f"bbox4326.xmax AS xmax, bbox4326.ymax AS ymax FROM {_ZONES})",
+    res=9,
+)
+
 _SQL_VECTOR_INFO = f"""
 SELECT count(*) AS n_features,
        CAST(sum(len(rings4326)) AS BIGINT) AS n_rings,
@@ -4122,6 +4146,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_index": _SQL_TILE_INDEX,
         "footprint": _SQL_FOOTPRINT,
         "compact_cells": _SQL_COMPACT_CELLS,
+        "uncompact_cells": _SQL_UNCOMPACT_CELLS,
         "vector_info": _SQL_VECTOR_INFO,
         "zonal_counts": _SQL_ZONAL_COUNTS,
         "zonal_counts_wide": _SQL_ZONAL_COUNTS_WIDE,

@@ -220,6 +220,42 @@ def compact_cells(
     return cur
 
 
+def uncompact_cells(
+    cells: DataFrame, res: int, cell_col: str = "cell"
+) -> DataFrame:
+    """H3 ``uncompact`` analog: expand every cell of a mixed-resolution
+    set to its complete descendant set at ``res`` -> distinct (cell,)
+    rows. Native: one explode over two integer sequences per row
+    (fan-out 4^(res - cell_res), a data-independent bound); cells already
+    at ``res`` pass through. Raises nothing on finer-than-``res`` input —
+    callers filter; the gate shape (uncompact ∘ compact == identity on a
+    uniform-res covering) pins the round-trip exactly."""
+    if not 0 <= res <= 29:
+        raise ValueError(f"res must be in [0, 29], got {res}")
+    c = F.col(cell_col)
+    res_c = F.shiftright(c, _RES_SHIFT)
+    ix = F.shiftright(c, _IX_SHIFT) % F.lit(1 << _IX_SHIFT)
+    iy = c % F.lit(1 << _IX_SHIFT)
+    # 2^(res - cell_res) via pow: exact in double for exponents <= 29,
+    # then exact long arithmetic (shiftleft-by-a-Column has no Spark API)
+    n = F.pow(F.lit(2.0), (F.lit(res) - res_c).cast("double")).cast("long")
+    out = (
+        cells.select(c.alias("cell"))
+        .withColumn("__n", n)
+        .filter(F.col("__n") >= 1)
+        .withColumn("__ix0", ix * F.col("__n"))
+        .withColumn("__iy0", iy * F.col("__n"))
+        .withColumn("__dx", F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n") - 1)))
+        .withColumn("__dy", F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n") - 1)))
+    )
+    child = (
+        F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+        + (F.col("__ix0") + F.col("__dx")) * F.lit(1 << _IX_SHIFT).cast("long")
+        + (F.col("__iy0") + F.col("__dy"))
+    )
+    return out.select(child.alias("cell")).distinct()
+
+
 def cover_bbox_cells_oracle_sql(
     bbox_rel: str,
     res: int,

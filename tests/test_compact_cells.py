@@ -68,6 +68,23 @@ def test_area_invariant_on_random_covering(spark):
     assert out.count() <= len(ids)
 
 
+def test_uncompact_round_trip(spark):
+    rng = np.random.default_rng(3)
+    ids = sorted(
+        {int(cellk.pack(7, int(x), int(y)))
+         for x, y in zip(rng.integers(0, 32, 200), rng.integers(0, 32, 200))}
+    )
+    comp = layout.compact_cells(_cells_df(spark, ids), from_res=7, to_res=3)
+    back = layout.uncompact_cells(comp, res=7)
+    assert sorted(r.cell for r in back.collect()) == ids
+
+
+def test_uncompact_passthrough_at_res(spark):
+    ids = [int(cellk.pack(6, 5, 9)), int(cellk.pack(6, 5, 10))]
+    out = layout.uncompact_cells(_cells_df(spark, ids), res=6)
+    assert sorted(r.cell for r in out.collect()) == sorted(ids)
+
+
 def test_cover_bbox_cells_matches_kernel(spark):
     rng = np.random.default_rng(11)
     rows = []
