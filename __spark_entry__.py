@@ -445,6 +445,25 @@ def q_raster_warp(spark, sf_dir):
     ).select("tile_x", "tile_y", (F.col("idx0") + 1).alias("idx"), "value")
 
 
+_WARP_AVG_TARGET = dict(
+    origin_x=-13400000.0, origin_y=5650000.0, px_x=56000.0, px_y=-64000.0,
+    width=64, height=64,
+)
+
+
+def q_warp_average(spark, sf_dir):
+    """gdalwarp -r average analog: forward-scatter downsampling warp of r0
+    (4326) onto a 2x-coarser Web-Mercator grid — 100% native codegen, the
+    exchange carries one row per (partition, target pixel); 1e-6 value
+    quantization keeps the per-pixel average order-free bit-exact."""
+    from gdal_common_python_spark.operators import warp as warp_ops
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return warp_ops.warp_average(
+        spark, tiles, "r0", 1, _WARP_AVG_TARGET, dst_srid=3857
+    )
+
+
 _GRID_TARGET = dict(
     origin_x=-120.0, origin_y=45.0, px_x=0.25, px_y=-0.25, width=128, height=128,
 )
@@ -1796,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "pack_sequences": q_pack_sequences,
         "raster_warp": q_raster_warp,
+        "warp_average": q_warp_average,
         "fillnodata": q_fillnodata,
         "rasterize": q_rasterize,
         "cutline": q_cutline,
@@ -3248,6 +3268,12 @@ del _sc_sql, _mx_sql
 from gdal_common_python_spark.operators.warp import warp_oracle_sql as _warp_sql
 
 _SQL_RASTER_WARP = _warp_sql(_TILES, "r0", 1, _WARP_TARGET, dst_srid=3857)
+
+from gdal_common_python_spark.operators.warp import (  # noqa: E402
+    warp_average_oracle_sql as _warp_avg_sql,
+)
+
+_SQL_WARP_AVERAGE = _warp_avg_sql(_TILES, "r0", 1, _WARP_AVG_TARGET, dst_srid=3857)
 del _warp_sql
 
 from gdal_common_python_spark.operators.fillnodata import (
@@ -4110,6 +4136,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _SQL_DEDUP_LINES,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "raster_warp": _SQL_RASTER_WARP,
+        "warp_average": _SQL_WARP_AVERAGE,
         "fillnodata": _SQL_FILLNODATA,
         "rasterize": _SQL_RASTERIZE,
         "cutline": _SQL_CUTLINE,

@@ -202,6 +202,184 @@ def warp_raster(
     return cand.groupBy("t_tx", "t_ty").applyInPandas(kernel, _SCHEMA)
 
 
+def warp_average(
+    spark: SparkSession,
+    tiles: DataFrame,
+    raster_id: str,
+    band: int,
+    target: dict,
+    dst_srid: int,
+    src_srid: int = 4326,
+    tile_size: int = 32,
+    value_quant: float = 1e6,
+) -> DataFrame:
+    """gdalwarp ``-r average`` analog, FORWARD-scatter and 100% native
+    codegen (zero Python, unlike the nearest kernel): every SOURCE pixel
+    center forward-projects into the target SRS, lands in a target pixel
+    under the same 1e-9-quantized floor index rule as :func:`warp_raster`,
+    and each target pixel averages its contributors (source nodata
+    excluded; target pixels with no contributor emit the source nodata).
+    -> long-format rows (tile_x, tile_y, idx, value), idx 1-based within
+    the target tile.
+
+    Exactness discipline: values quantize to ``value_quant`` (floor(v*Q
+    + 0.5), integer-valued doubles) so the per-pixel sum is order-free
+    exact while |sum| < 2^53 (~9e9 contributors at |v| <= 1e3 — beyond
+    any real downsampling factor); the average is then two
+    correctly-rounded divisions, so the DuckDB oracle is bit-equal.
+
+    Scale shape: posexplode + the projection/index expressions stay in
+    ONE codegen stage with the partial aggregate — the exchange carries
+    one row per (partition, distinct target pixel), i.e. shuffle ∝ the
+    DOWNSAMPLED output, never source pixels. The final left join from the
+    enumerated target grid (splittable range x range) restores empty
+    pixels, exactly like translate's full-coverage semantics."""
+    kind = _check_pair(dst_srid, src_srid)  # src coords -> dst coords
+    src = tiles.filter((F.col("raster_id") == raster_id) & (F.col("band") == band))
+    meta = src.select("origin_x", "origin_y", "px_x", "px_y", "width", "height", "nodata").first()
+    if meta is None:
+        raise ValueError(f"no tiles for {raster_id}/{band}")
+    s_ox, s_oy, s_px, s_py = meta.origin_x, meta.origin_y, meta.px_x, meta.px_y
+    nodata = float(meta.nodata)
+    t_ox, t_oy = float(target["origin_x"]), float(target["origin_y"])
+    t_px, t_py = float(target["px_x"]), float(target["px_y"])
+    t_w, t_h = int(target["width"]), int(target["height"])
+    q_tox, q_toy = float(_quant(np.float64(t_ox))), float(_quant(np.float64(t_oy)))
+    q_tpx, q_tpy = float(_quant(np.float64(t_px))), float(_quant(np.float64(t_py)))
+    ts = tile_size
+
+    px = src.select(
+        "tile_x", "tile_y", "tile_w", "tile_h",
+        F.posexplode("pixels").alias("i", "v"),
+    )
+    gx = F.col("tile_x").cast("long") * ts + F.col("i") % F.col("tile_w")
+    gy = F.col("tile_y").cast("long") * ts + (F.col("i") / F.col("tile_w")).cast("long")
+    wx = F.lit(s_ox) + (gx + F.lit(0.5)) * F.lit(s_px)
+    wy = F.lit(s_oy) + (gy + F.lit(0.5)) * F.lit(s_py)
+    dx, dy = _inv_cols(kind, wx, wy)
+    tx = F.floor((F.floor(dx * F.lit(_Q) + F.lit(0.5)) - F.lit(q_tox)) / F.lit(q_tpx))
+    ty = F.floor((F.floor(dy * F.lit(_Q) + F.lit(0.5)) - F.lit(q_toy)) / F.lit(q_tpy))
+    vq = F.floor(F.col("v") * F.lit(value_quant) + F.lit(0.5))
+    agg = (
+        px.withColumn("tx", tx).withColumn("ty", ty)
+        .filter(
+            (F.col("v") != F.lit(nodata))
+            & (F.col("tx") >= 0) & (F.col("tx") < t_w)
+            & (F.col("ty") >= 0) & (F.col("ty") < t_h)
+        )
+        .groupBy("tx", "ty")
+        .agg(F.sum(vq).alias("s"), F.count("*").alias("c"))
+    )
+    grid = (
+        spark.range(t_w).select(F.col("id").alias("oc"))
+        .crossJoin(spark.range(t_h).select(F.col("id").alias("orr")))
+    )
+    tw_tile = F.when(
+        ((F.col("oc") / ts).cast("long") + 1) * ts <= t_w, F.lit(ts)
+    ).otherwise(F.lit(t_w % ts))
+    return (
+        grid.join(agg, (F.col("oc") == F.col("tx")) & (F.col("orr") == F.col("ty")), "left")
+        .select(
+            (F.col("oc") / ts).cast("int").alias("tile_x"),
+            (F.col("orr") / ts).cast("int").alias("tile_y"),
+            ((F.col("orr") % ts) * tw_tile + F.col("oc") % ts + 1).cast("int").alias("idx"),
+            F.coalesce(
+                (F.col("s") / F.col("c")) / F.lit(value_quant), F.lit(nodata)
+            ).alias("value"),
+        )
+    )
+
+
+def _sql_fwd(kind: str) -> tuple[str, str]:
+    """DuckDB expression templates (X/Y placeholders) for a coordinate
+    transform of `kind` — shared by the nearest and average oracles."""
+    R = proj.R_MERC
+    if kind == "identity":
+        return "X", "Y"
+    if kind == "merc_inv":
+        return (
+            f"degrees(X / {R!r})",
+            f"degrees(2.0 * atan(exp(Y / {R!r})) - {np.pi / 2.0!r})",
+        )
+    return (
+        f"{R!r} * radians(X)",
+        f"{R!r} * ln(tan({np.pi / 4.0!r} + radians(Y) / 2.0))",
+    )
+
+
+def warp_average_oracle_sql(
+    tiles_rel: str,
+    raster_id: str,
+    band: int,
+    target: dict,
+    dst_srid: int,
+    src_srid: int = 4326,
+    tile_size: int = 32,
+    value_quant: float = 1e6,
+) -> str:
+    """DuckDB mirror of :func:`warp_average` — verbatim formula tree,
+    same quantizations, same grid enumeration."""
+    kind = _check_pair(dst_srid, src_srid)
+    fx, fy = _sql_fwd(kind)
+    t_ox, t_oy = float(target["origin_x"]), float(target["origin_y"])
+    t_px, t_py = float(target["px_x"]), float(target["px_y"])
+    t_w, t_h = int(target["width"]), int(target["height"])
+    q_tox = float(_quant(np.float64(t_ox)))
+    q_toy = float(_quant(np.float64(t_oy)))
+    q_tpx = float(_quant(np.float64(t_px)))
+    q_tpy = float(_quant(np.float64(t_py)))
+    ts = tile_size
+    fx = fx.replace("X", "wx")
+    fy = fy.replace("Y", "wy")
+    return f"""
+WITH meta AS (
+  SELECT DISTINCT nodata
+  FROM {tiles_rel} WHERE raster_id = '{raster_id}' AND band = {int(band)}
+),
+px AS (
+  SELECT tile_x, tile_y, tile_w, nodata, origin_x, origin_y, px_x, px_y,
+         generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+  FROM {tiles_rel}
+  WHERE raster_id = '{raster_id}' AND band = {int(band)}
+),
+valid AS (SELECT * FROM px WHERE v != nodata),
+w AS (
+  SELECT v,
+         origin_x + ((CAST(tile_x AS BIGINT) * {ts} + (idx - 1) % tile_w) + 0.5) * px_x AS wx,
+         origin_y + ((CAST(tile_y AS BIGINT) * {ts} + (idx - 1) // tile_w) + 0.5) * px_y AS wy
+  FROM valid
+),
+g AS (
+  SELECT * FROM (
+    SELECT floor(v * {value_quant!r} + 0.5) AS vq,
+           floor((floor(({fx}) * {_Q!r} + 0.5) - {q_tox!r}) / {q_tpx!r}) AS tx,
+           floor((floor(({fy}) * {_Q!r} + 0.5) - {q_toy!r}) / {q_tpy!r}) AS ty
+    FROM w
+  )
+  WHERE tx >= 0 AND tx < {t_w} AND ty >= 0 AND ty < {t_h}
+),
+a AS (
+  SELECT tx, ty, sum(vq) AS s, count(*) AS c
+  FROM g
+  GROUP BY 1, 2
+),
+nd AS (SELECT any_value(nodata) AS nodata FROM meta),
+grid AS (
+  SELECT oc, orr FROM
+    (SELECT unnest(range(0, {t_w})) AS oc),
+    (SELECT unnest(range(0, {t_h})) AS orr)
+)
+SELECT CAST(grid.oc // {ts} AS INT) AS tile_x,
+       CAST(grid.orr // {ts} AS INT) AS tile_y,
+       CAST((grid.orr % {ts}) * (CASE WHEN (grid.oc // {ts} + 1) * {ts} <= {t_w}
+                 THEN {ts} ELSE {t_w} % {ts} END) + grid.oc % {ts} + 1 AS INT) AS idx,
+       coalesce((a.s / a.c) / {value_quant!r}, nd.nodata) AS value
+FROM grid
+CROSS JOIN nd
+LEFT JOIN a ON a.tx = grid.oc AND a.ty = grid.orr
+"""
+
+
 def warp_oracle_sql(
     tiles_rel: str,
     raster_id: str,
