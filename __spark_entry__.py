@@ -1352,6 +1352,20 @@ def q_slope(spark, sf_dir):
     return terrain.slope_pixels(tiles, tile_size=32)
 
 
+def q_raster_sample_bilinear(spark, sf_dir):
+    """Bilinear point sampling: 2x2 neighborhood blend with pixel-center
+    weights, corners exploded to 4 rows per point through one tile-key
+    equi-join, max-of-case pivot (no float accumulation order), NULL on
+    any-nodata neighborhoods."""
+    from gdal_common_python_spark.operators import sample
+
+    return sample.sample_raster_bilinear(
+        _synth(spark, sf_dir, "near_points"),
+        _synth(spark, sf_dir, "raster_tiles"),
+        tile_size=32,
+    )
+
+
 def q_raster_sample(spark, sf_dir):
     """gdallocationinfo analog: every raster band sampled at every point
     via R1 trunc-toward-zero pixel coords (rasters.py:113-116), a tiny
@@ -1785,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ruggedness": q_ruggedness,
         "slope": q_slope,
         "raster_sample": q_raster_sample,
+        "raster_sample_bilinear": q_raster_sample_bilinear,
         "proximity": q_proximity,
         "nearblack": q_nearblack,
         "contour": q_contour,
@@ -3193,6 +3208,12 @@ del _hs_sql, _rug_sql, _slope_sql
 from gdal_common_python_spark.operators.sample import sample_oracle_sql as _samp_sql
 
 _SQL_RASTER_SAMPLE = _samp_sql(_POINTS, _TILES)
+
+from gdal_common_python_spark.operators.sample import (  # noqa: E402
+    sample_bilinear_oracle_sql as _bilin_sql,
+)
+
+_SQL_RASTER_SAMPLE_BILINEAR = _bilin_sql(_POINTS, _TILES, tile_size=32)
 del _samp_sql
 
 from gdal_common_python_spark.operators.proximity import proximity_oracle_sql as _prox_sql
@@ -4106,6 +4127,7 @@ def oracle_sql() -> dict[str, str]:
         "slope": _SQL_SLOPE,
         "ruggedness": _SQL_RUGGEDNESS,
         "raster_sample": _SQL_RASTER_SAMPLE,
+        "raster_sample_bilinear": _SQL_RASTER_SAMPLE_BILINEAR,
         "proximity": _SQL_PROXIMITY,
         "nearblack": _SQL_NEARBLACK,
         "contour": _SQL_CONTOUR,
