@@ -176,6 +176,24 @@ def q_strip_boilerplate(spark, sf_dir):
     return strip_boilerplate(_synth(spark, sf_dir, "documents_spans"), min_doc_freq=3)
 
 
+def q_scrub_contaminated(spark, sf_dir):
+    """Span-level decontamination on the interleaved shape: text spans
+    sharing any word 3-gram with the benchmark slice (md5(doc_id) first
+    hex digit '0') struck from the corpus complement, survivors re-bound
+    dense — removal, not flagging."""
+    from gdal_common_python_spark.operators.curation import scrub_contaminated
+
+    docs = _synth(spark, sf_dir, "documents_spans")
+    is_bench = F.substring(F.md5(F.col("doc_id")), 1, 1) == "0"
+    bench_txt = (
+        docs.filter(is_bench)
+        .select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "text")
+        .select(F.col("s.text").alias("text"))
+    )
+    return scrub_contaminated(docs.filter(~is_bench), bench_txt, n=3)
+
+
 def q_media_geotag(spark, sf_dir):
     """Interleaved-payload composition: media spans inherit the zone of the
     nearest preceding geo span in the same document — PIP join for the geo
@@ -1735,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": q_caption_pairs,
         "rewrite_dedup_media": q_rewrite_dedup_media,
         "strip_boilerplate": q_strip_boilerplate,
+        "scrub_contaminated": q_scrub_contaminated,
         "pack_interleaved": q_pack_interleaved,
         "curated_packs": q_curated_packs,
         "zone_corpus_profile": q_zone_corpus_profile,
@@ -3443,6 +3462,14 @@ _SQL_MEDIA_DEDUP = _md_sql(_DOCS)
 _SQL_CAPTION_PAIRS = _cp_sql(_DOCS)
 _SQL_REWRITE_DEDUP_MEDIA = _rdm_sql(_DOCS)
 _SQL_STRIP_BOILERPLATE = _sb_sql(_DOCS, min_doc_freq=3)
+
+from gdal_common_python_spark.operators.curation import (  # noqa: E402
+    scrub_contaminated_oracle_sql as _scrub_sql,
+)
+
+_SQL_SCRUB_CONTAMINATED = _scrub_sql(
+    _DOCS, bench_filter="substr(md5(doc_id), 1, 1) = '0'", n=3
+)
 del _md_sql, _cp_sql, _rdm_sql, _sb_sql
 
 from gdal_common_python_spark.operators.curation import (
@@ -4174,6 +4201,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_pairs": _SQL_CAPTION_PAIRS,
         "rewrite_dedup_media": _SQL_REWRITE_DEDUP_MEDIA,
         "strip_boilerplate": _SQL_STRIP_BOILERPLATE,
+        "scrub_contaminated": _SQL_SCRUB_CONTAMINATED,
         "pack_interleaved": _SQL_PACK_INTERLEAVED,
         "curated_packs": _SQL_CURATED_PACKS,
         "overviews": _SQL_OVERVIEWS,

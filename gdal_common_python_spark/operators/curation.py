@@ -890,6 +890,99 @@ def strip_boilerplate(
     return rewrite_without(docs, strikes)
 
 
+def scrub_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    broadcast_limit: int = 1_000_000,
+) -> DataFrame:
+    """SPAN-level decontamination on the interleaved spans shape: a TEXT
+    span sharing any word ``n``-gram with the benchmark table is struck
+    from its document; survivors keep their relative order re-bound to
+    dense offsets (the shared ``rewrite_without`` contract -> one flat row
+    per surviving span). Where :func:`decontaminate` FLAGS whole documents,
+    this REMOVES the contaminated passages and keeps the rest — the
+    recall-preserving form of benchmark decontamination. Geo and media
+    spans never qualify.
+
+    100 TB shape: the benchmark shingle set is distinct-reduced and
+    size-gated broadcast (the benchmark is eval-set-sized by definition);
+    corpus span shingles build behind the one-element explode barrier
+    (same codegen guard as decontaminate) and join without ever shuffling
+    span text; the rewrite is the zero-window strike path — shuffle ∝
+    struck spans."""
+    from .multimodal import rewrite_without
+
+    bench_sh = (
+        benchmark.select(F.explode(shingle_structs_col(bench_text_col, n)).alias("__h"))
+        .distinct()
+    )
+    if broadcastable(bench_sh, broadcast_limit):
+        bench_sh = F.broadcast(bench_sh)
+    ts = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(spans_col).alias("s"))
+        .filter(F.col("s.kind") == "text")
+        .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.text").alias("__t"))
+    )
+    span_arr = ts.select(
+        "doc_id", "offset",
+        F.explode(F.array(F.struct(shingle_structs_col("__t", n).alias("arr")))).alias("__b"),
+    ).select("doc_id", "offset", F.col("__b.arr").alias("__arr"))
+    span_sh = span_arr.select("doc_id", "offset", F.explode("__arr").alias("__h"))
+    strikes = span_sh.join(bench_sh, "__h").select("doc_id", "offset").distinct()
+    return rewrite_without(docs, strikes)
+
+
+def scrub_contaminated_oracle_sql(rel: str, bench_filter: str, n: int = 3) -> str:
+    """DuckDB mirror of :func:`scrub_contaminated`: benchmark = the text
+    spans of `rel` rows matching ``bench_filter`` (a SQL predicate over
+    doc_id), corpus = the complement; string-joined grams (equality class
+    identical to the engine's struct grams), strike anti-join, row_number
+    re-offset."""
+    grams = (
+        "list_distinct(list_transform("
+        f"range(0, greatest(len(toks) - {n}, 0) + 1), "
+        f"i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' ')))"
+    )
+    return f"""
+WITH ts AS (
+  SELECT doc_id, sp."offset" AS "offset", sp."text" AS txt
+  FROM (SELECT doc_id, unnest(spans) AS sp FROM {rel})
+  WHERE sp.kind = 'text'
+),
+bsh AS (
+  SELECT DISTINCT unnest({grams}) AS g
+  FROM (SELECT string_split_regex(trim(txt), '\\s+') AS toks
+        FROM ts WHERE {bench_filter})
+),
+csh AS (
+  SELECT doc_id, "offset", unnest({grams}) AS g
+  FROM (SELECT doc_id, "offset", string_split_regex(trim(txt), '\\s+') AS toks
+        FROM ts WHERE NOT ({bench_filter}))
+),
+rm AS (SELECT DISTINCT c.doc_id, c."offset" FROM csh c JOIN bsh b USING (g)),
+flat AS (
+  SELECT doc_id, sp.kind AS kind, sp."text" AS "text",
+         sp.media_ref AS media_ref, sp."offset" AS old_off
+  FROM (SELECT doc_id, unnest(spans) AS sp FROM {rel})
+  WHERE NOT ({bench_filter})
+),
+keep AS (
+  SELECT f.* FROM flat f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rm WHERE rm.doc_id = f.doc_id AND rm."offset" = f.old_off
+  )
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY old_off) - 1 AS INT) AS "offset",
+       kind, "text", media_ref
+FROM keep
+"""
+
+
 def strip_boilerplate_oracle_sql(rel: str, min_doc_freq: int = 3) -> str:
     """DuckDB mirror of :func:`strip_boilerplate` — doc-frequency over the
     exact text (md5 grouping in the engine is a pure re-keying of the same
