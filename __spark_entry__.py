@@ -719,6 +719,15 @@ def q_vector_info(spark, sf_dir):
     )
 
 
+def q_raster_minmax(spark, sf_dir):
+    """gdalinfo -mm + locations: struct-ordered min/max with pinned ties
+    (min -> first row-major occurrence, max -> last); partial struct
+    min/max collapse map-side, shuffle ∝ partitions x bands."""
+    from gdal_common_python_spark.operators import rasterinfo as ri_ops
+
+    return ri_ops.raster_minmax(_synth(spark, sf_dir, "raster_tiles"))
+
+
 def q_raster_info(spark, sf_dir):
     """gdalinfo -stats analog: per-band global stats; one aggregate HOF
     per tile before the shuffle (exchange carries one row per tile)."""
@@ -1864,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overviews": q_overviews,
         "segmentize": q_segmentize,
         "raster_info": q_raster_info,
+        "raster_minmax": q_raster_minmax,
         "grid_idw": q_grid_idw,
         "grid_nearest": q_grid_nearest,
         "grid_metrics": q_grid_metrics,
@@ -3527,6 +3537,12 @@ from gdal_common_python_spark.operators.rasterinfo import (
 )
 
 _SQL_RASTER_INFO = _ri_sql(_TILES)
+
+from gdal_common_python_spark.operators.rasterinfo import (  # noqa: E402
+    raster_minmax_oracle_sql as _rmm_sql,
+)
+
+_SQL_RASTER_MINMAX = _rmm_sql(_TILES)
 del _ri_sql
 
 from gdal_common_python_spark.operators.collections import (
@@ -4207,6 +4223,7 @@ def oracle_sql() -> dict[str, str]:
         "overviews": _SQL_OVERVIEWS,
         "segmentize": _SQL_SEGMENTIZE,
         "raster_info": _SQL_RASTER_INFO,
+        "raster_minmax": _SQL_RASTER_MINMAX,
         "grid_idw": _SQL_GRID_IDW,
         "grid_nearest": _SQL_GRID_NEAREST,
         "grid_metrics": _SQL_GRID_METRICS,

@@ -284,6 +284,67 @@ def raster_info(tiles: DataFrame) -> DataFrame:
     )
 
 
+def raster_minmax(tiles: DataFrame, tile_size: int = 32) -> DataFrame:
+    """gdalinfo ``-mm`` + locations: per (raster_id, band) the min and max
+    VALID pixel value with their global pixel coordinates, tie rule pinned
+    by lexicographic struct ordering on (v, gy, gx): the min reports its
+    FIRST row-major occurrence, the max its LAST — deterministic under any
+    partitioning, no window, no second scan.
+
+    100 TB shape: posexplode + one map-side-combined groupBy — the
+    partial struct-min/max collapse per input partition before the
+    exchange, so the shuffle carries one row per (partition, raster,
+    band), never pixels."""
+    ts = tile_size
+    px = tiles.select(
+        "raster_id", "band", "nodata", "tile_x", "tile_y", "tile_w",
+        F.posexplode("pixels").alias("i", "v"),
+    ).filter(F.col("v") != F.col("nodata"))
+    gx = F.col("tile_x").cast("long") * ts + F.col("i") % F.col("tile_w")
+    gy = F.col("tile_y").cast("long") * ts + (F.col("i") / F.col("tile_w")).cast("long")
+    s = F.struct(F.col("v"), gy.alias("gy"), gx.alias("gx"))
+    agg = px.groupBy("raster_id", "band").agg(
+        F.count("*").alias("n_valid"),
+        F.min(s).alias("mn"),
+        F.max(s).alias("mx"),
+    )
+    return agg.select(
+        "raster_id", "band", "n_valid",
+        F.col("mn.v").alias("vmin"),
+        F.col("mn.gx").alias("min_gx"), F.col("mn.gy").alias("min_gy"),
+        F.col("mx.v").alias("vmax"),
+        F.col("mx.gx").alias("max_gx"), F.col("mx.gy").alias("max_gy"),
+    )
+
+
+def raster_minmax_oracle_sql(tiles_rel: str, tile_size: int = 32) -> str:
+    """DuckDB mirror of :func:`raster_minmax` — identical struct ordering
+    (struct_pack preserves field order, comparison is lexicographic)."""
+    return f"""
+WITH px AS (
+  SELECT raster_id, band, nodata, tile_x, tile_y, tile_w,
+         generate_subscripts(pixels, 1) AS idx, unnest(pixels) AS v
+  FROM {tiles_rel}
+),
+valid AS (SELECT * FROM px WHERE v != nodata),
+g AS (
+  SELECT raster_id, band,
+         struct_pack(v := v,
+                     gy := CAST(tile_y AS BIGINT) * {tile_size} + (idx - 1) // tile_w,
+                     gx := CAST(tile_x AS BIGINT) * {tile_size} + (idx - 1) % tile_w) AS s
+  FROM valid
+),
+a AS (
+  SELECT raster_id, band, count(*) AS n_valid, min(s) AS mn, max(s) AS mx
+  FROM g GROUP BY 1, 2
+)
+SELECT raster_id, band, n_valid,
+       mn.v AS vmin, mn.gx AS min_gx, mn.gy AS min_gy,
+       mx.v AS vmax, mx.gx AS max_gx, mx.gy AS max_gy
+FROM a
+"""
+
+
 def raster_info_oracle_sql(tiles_rel: str) -> str:
     """DuckDB mirror of :func:`raster_info` — identical moment tree."""
     return f"""

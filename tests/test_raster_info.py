@@ -64,3 +64,22 @@ class TestTileStats:
         tiles, _ = info
         plan = rasterinfo.tile_stats(tiles)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_raster_minmax_tie_rules(spark):
+    import numpy as np
+    from gdal_common_python_spark.operators.rasterinfo import raster_minmax
+    from tests.test_warp_average import _tile_df
+
+    arr = np.full((64, 64), 5.0)
+    arr[2, 3] = 1.0   # min, first occurrence
+    arr[40, 50] = 1.0  # min, later occurrence — must NOT be reported
+    arr[10, 10] = 9.0  # max, first occurrence — must NOT be reported
+    arr[60, 7] = 9.0   # max, last occurrence
+    arr[0, 0] = -1.0   # nodata
+    out = raster_minmax(_tile_df(spark, arr)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.vmin, r.min_gx, r.min_gy) == (1.0, 3, 2)
+    assert (r.vmax, r.max_gx, r.max_gy) == (9.0, 7, 60)
+    assert r.n_valid == 64 * 64 - 1
