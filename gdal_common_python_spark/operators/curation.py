@@ -876,6 +876,11 @@ def strip_boilerplate(
             F.md5(F.col("s.text")).alias("h"),
         )
     )
+    # cached before the probe so the doc-frequency aggregation runs once
+    # (probe materializes, join reuses — scrub_contaminated rationale);
+    # handle rides the result for util.release()
+    from .util import track_persisted
+
     boiler = (
         ts.select("h", "doc_id")
         .distinct()
@@ -883,11 +888,13 @@ def strip_boilerplate(
         .count()
         .filter(F.col("count") >= int(min_doc_freq))
         .select("h")
+        .cache()
     )
+    handle = boiler
     if broadcastable(boiler, row_limit=5_000_000):
         boiler = F.broadcast(boiler)
     strikes = ts.join(boiler, "h").select("doc_id", "offset")
-    return rewrite_without(docs, strikes)
+    return track_persisted(rewrite_without(docs, strikes), handle)
 
 
 def scrub_contaminated(
@@ -915,11 +922,20 @@ def scrub_contaminated(
     span text; the rewrite is the zero-window strike path — shuffle ∝
     struck spans."""
     from .multimodal import rewrite_without
+    from .util import track_persisted
 
+    # cache the benchmark shingle set BEFORE the broadcastable probe: the
+    # probe's count+sample materializes the cache and the join reuses it
+    # instead of re-shingling the benchmark per action (a modest win here —
+    # the corpus-side span shingling dominates this operator; the same
+    # pattern halves strip_boilerplate, whose strike set IS the expensive
+    # side). Handle rides the result for util.release().
     bench_sh = (
         benchmark.select(F.explode(shingle_structs_col(bench_text_col, n)).alias("__h"))
         .distinct()
+        .cache()
     )
+    handle = bench_sh
     if broadcastable(bench_sh, broadcast_limit):
         bench_sh = F.broadcast(bench_sh)
     ts = (
@@ -933,7 +949,7 @@ def scrub_contaminated(
     ).select("doc_id", "offset", F.col("__b.arr").alias("__arr"))
     span_sh = span_arr.select("doc_id", "offset", F.explode("__arr").alias("__h"))
     strikes = span_sh.join(bench_sh, "__h").select("doc_id", "offset").distinct()
-    return rewrite_without(docs, strikes)
+    return track_persisted(rewrite_without(docs, strikes), handle)
 
 
 def scrub_contaminated_oracle_sql(rel: str, bench_filter: str, n: int = 3) -> str:
