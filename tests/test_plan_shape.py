@@ -504,3 +504,43 @@ class TestSession4Plans:
         tiles = spark.read.parquet("data/synth/sf0.001/raster_tiles.parquet")
         p = plan(overviews.overview_level(tiles))
         assert "Exchange" not in p and "Python" not in p, p
+
+
+class TestSessionR4bOps:
+    """Plan pins for the round-4 session-2 operators."""
+
+    def test_warp_average_no_python(self, spark):
+        # the forward-scatter average warp is 100% native: any
+        # BatchEvalPython/ArrowEval node means a UDF crept in
+        import numpy as np
+        from gdal_common_python_spark.operators.warp import warp_average
+        from tests.test_warp_average import _tile_df
+
+        tiles = _tile_df(spark, np.zeros((64, 64)))
+        out = warp_average(spark, tiles, "r", 1,
+                           dict(origin_x=0.0, origin_y=0.0, px_x=2.0, px_y=-2.0,
+                                width=32, height=32),
+                           dst_srid=3857, src_srid=4326)
+        p = plan(out)
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, p[:1500]
+        # partial aggregation before the exchange (map-side combine)
+        assert re.search(r"HashAggregate.*\n(.|\n)*Exchange", p), p[:1500]
+
+    def test_compact_cells_no_python_bounded_plan(self, spark):
+        from gdal_common_python_spark.operators import layout
+
+        cells = spark.range(100).select((F.lit(9 << 58) + F.col("id")).alias("cell"))
+        out = layout.compact_cells(cells, from_res=9, to_res=5)
+        p = plan(out)
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p, p[:1500]
+        # one window per level, levels = from_res - to_res = 4
+        assert p.count("Window") <= 2 * 4, p.count("Window")
+
+    def test_bilinear_sample_no_python(self, spark):
+        import numpy as np
+        from gdal_common_python_spark.operators.sample import sample_raster_bilinear
+        from tests.test_warp_average import _tile_df
+
+        pts = spark.createDataFrame([(1, 5.0, -5.0)], "point_id long, x double, y double")
+        out = sample_raster_bilinear(pts, _tile_df(spark, np.zeros((64, 64))))
+        assert "BatchEvalPython" not in plan(out), plan(out)[:1500]
