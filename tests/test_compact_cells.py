@@ -113,3 +113,22 @@ def test_layer_info_counts(spark):
     row = api.layer_info(df).collect()[0]
     assert (row.n_features, row.n_rings, row.n_vertices) == (2, 3, 10)
     assert (row.xmin, row.ymin, row.xmax, row.ymax) == (-1.0, -1.0, 4.0, 4.0)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ixs=st.lists(st.integers(0, 31), min_size=1, max_size=60),
+    iys=st.lists(st.integers(0, 31), min_size=1, max_size=60),
+)
+def test_compact_idempotent_and_round_trip(spark, ixs, iys):
+    # arbitrary res-7 covering: compact is idempotent and uncompact inverts
+    ids = sorted({int(cellk.pack(7, x, y)) for x, y in zip(ixs, iys)})
+    comp = layout.compact_cells(_cells_df(spark, ids), from_res=7, to_res=4)
+    rows = sorted(r.cell for r in comp.collect())
+    again = layout.compact_cells(_cells_df(spark, rows), from_res=7, to_res=4)
+    assert sorted(r.cell for r in again.collect()) == rows
+    back = layout.uncompact_cells(comp, res=7)
+    assert sorted(r.cell for r in back.collect()) == ids
