@@ -588,7 +588,62 @@ def _bench_main():
             "walls, warm-up excluded; executors mode: fixed 2-core executor "
             "JVMs, count scaled 1->4",
         }
+    _emit(result)
+
+
+def _emit(result):
+    """Emit the record. The full record goes to BENCH/bench_last.json AND to
+    stdout as its own line; the FINAL stdout line is a compact summary kept
+    under ~1900 chars because the round driver captures only the last 2000
+    chars of output and json-parses the tail (BENCH_r03.json recorded
+    parsed=None when the full 136-query line exceeded that window). The
+    compact line truncates "queries" to the slowest entries that fit and
+    says so explicitly (queries_total vs queries_shown) — full per-query
+    walls are in full_record."""
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "bench_last.json")
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            json.dump(result, f)
+    except OSError:
+        full_path = None
     print(json.dumps(result))
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "cpus": result.get("cpus"),
+        "flagship_docs_per_sec": result.get("flagship_docs_per_sec"),
+        "build_total": result.get("build_total"),
+        "queries_total": len(result.get("queries", {})),
+        "full_record": "BENCH/bench_last.json" if full_path else None,
+    }
+    sc = result.get("scaling")
+    if sc:
+        compact["scaling"] = {
+            "mode": sc.get("mode"),
+            "factor": sc.get("factor"),
+            "efficiency": sc.get("efficiency"),
+            "efficiency_min_based": sc.get("efficiency_min_based"),
+            "efficiency_paired": sc.get("efficiency_paired"),
+        }
+    # fill with the slowest queries until the line would leave the driver's
+    # 2000-char tail window (keep headroom for the trailing newline)
+    budget = 1800
+    items = sorted(result.get("queries", {}).items(), key=lambda kv: -kv[1])
+    shown = {}
+    for k, v in items:
+        shown[k] = round(v, 2)
+        compact["queries"] = shown
+        compact["queries_shown"] = len(shown)
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del shown[k]
+            compact["queries"] = shown
+            compact["queries_shown"] = len(shown)
+            break
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
