@@ -1754,9 +1754,81 @@ def q_dedup_lines(spark, sf_dir):
     return dedup_ops.dedup_segments(docs, window=8, max_count=1)
 
 
+def q_skew_report(spark, sf_dir):
+    """Hot-cell skew census at the join resolution: per-cell point counts,
+    integer ppm share, and the salt factor ceil(n/target) that bounds a
+    reducer's slice — the planning table behind the salted join path.
+    One map-side-combined groupBy(cell) (shuffle bounded by 4^res, not
+    data) + a single-row total broadcast."""
+    return sj.skew_report(
+        spark, _synth(spark, sf_dir, "documents_spans"),
+        res=9, top_k=100, target_rows=50,
+    )
+
+
+def q_join_partition_metrics(spark, sf_dir):
+    """Per-partition lineage of the flagship PIP join — the bucket rows
+    the checkpoint table commits (streaming/checkpoint.py), as a queryable
+    metrics table: md5-mod-16 bucket of doc_id -> (input_docs,
+    input_points, output_rows). The md5 draw is the engine/oracle-shared
+    deterministic bucket identity resume depends on."""
+    return sj.join_partition_metrics(
+        spark,
+        _synth(spark, sf_dir, "documents_spans"),
+        _synth(spark, sf_dir, "zones"),
+        n_buckets=16,
+    )
+
+
+def q_grid_disk(spark, sf_dir):
+    """H3 gridDisk analog: zone bbox-center cells at res 9 expanded to the
+    Chebyshev k=2 neighborhood — fixed (2k+1)^2 fan-out, pure codegen, no
+    shuffle (the kNN ring expansion's neighborhood op as a table)."""
+    from gdal_common_python_spark.operators import layout as layout_ops
+
+    z = _synth(spark, sf_dir, "zones").select(
+        "zone_id",
+        ((F.col("bbox4326.xmin") + F.col("bbox4326.xmax")) / F.lit(2.0)).alias("cx"),
+        ((F.col("bbox4326.ymin") + F.col("bbox4326.ymax")) / F.lit(2.0)).alias("cy"),
+    )
+    cells = z.select(
+        "zone_id", sj.cell_expr(F.col("cx"), F.col("cy"), 9).alias("cell")
+    )
+    return layout_ops.grid_disk(cells, res=9, k=2)
+
+
+def q_grid_distance(spark, sf_dir):
+    """H3 gridDistance analog: Chebyshev cell distance between every
+    ordered pair of zone bbox-center cells at res 9 — dimension-sized
+    both sides, broadcast nested-loop join on the < predicate (never a
+    corpus-side cross join)."""
+    from gdal_common_python_spark.operators import layout as layout_ops
+
+    z = _synth(spark, sf_dir, "zones").select(
+        "zone_id",
+        sj.cell_expr(
+            (F.col("bbox4326.xmin") + F.col("bbox4326.xmax")) / F.lit(2.0),
+            (F.col("bbox4326.ymin") + F.col("bbox4326.ymax")) / F.lit(2.0),
+            9,
+        ).alias("cell"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    return a.join(
+        F.broadcast(b), F.col("a.zone_id") < F.col("b.zone_id")
+    ).select(
+        F.col("a.zone_id").alias("zone_a"),
+        F.col("b.zone_id").alias("zone_b"),
+        layout_ops.grid_distance(F.col("a.cell"), F.col("b.cell")).alias("grid_dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_pip": q_spatial_join_pip,
+        "skew_report": q_skew_report,
+        "join_partition_metrics": q_join_partition_metrics,
+        "grid_disk": q_grid_disk,
+        "grid_distance": q_grid_distance,
         "media_geotag": q_media_geotag,
         "media_dedup": q_media_dedup,
         "caption_pairs": q_caption_pairs,
@@ -4100,6 +4172,73 @@ FROM (
 """
 
 
+# hot-cell skew census: verbatim grid arithmetic + integer div shares
+_SQL_SKEW_REPORT = f"""
+WITH pts AS ({_PTS_CTE}),
+cells AS (SELECT {_sql_grid_ixy(9)} FROM pts),
+counts AS (
+  SELECT ix AS cell_ix, iy AS cell_iy, count(*) AS n_points
+  FROM cells GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_points) AS t FROM counts)
+SELECT cell_ix, cell_iy, n_points,
+       CAST((n_points * 1000000) // t AS BIGINT) AS share_ppm,
+       CAST((n_points + 49) // 50 AS INT) AS salt
+FROM counts, tot
+ORDER BY n_points DESC, cell_ix, cell_iy
+LIMIT 100
+"""
+
+# per-bucket lineage of the flagship join: md5-mod-16 bucket draw shared
+# with the engine (curation.pack_sequences pattern)
+_SQL_JOIN_PARTITION_METRICS = f"""
+WITH pts AS ({_PTS_CTE}),
+pip AS ({_SQL_SPATIAL_JOIN_PIP}),
+inm AS (
+  SELECT CAST(CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 16 AS INT)
+           AS partition_id,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS input_docs,
+         CAST(count(*) AS BIGINT) AS input_points
+  FROM pts GROUP BY 1
+),
+outm AS (
+  SELECT CAST(CAST('0x' || substr(md5(doc_id), 1, 8) AS BIGINT) % 16 AS INT)
+           AS partition_id,
+         CAST(count(*) AS BIGINT) AS output_rows
+  FROM pip GROUP BY 1
+)
+SELECT i.partition_id, i.input_docs, i.input_points,
+       coalesce(o.output_rows, 0) AS output_rows
+FROM inm i LEFT JOIN outm o USING (partition_id)
+"""
+
+# zone bbox-center cells at res 9 (verbatim cell_expr arithmetic)
+_ZCELLS_CTE = f"""
+  SELECT zone_id,
+         (CAST(9 AS BIGINT) * {1 << 58})
+         + CAST(least(greatest(floor(((bbox4326.xmin + bbox4326.xmax) / 2.0
+             + 180.0) / {360.0 / 512!r}), 0), 511) AS BIGINT) * {1 << 29}
+         + CAST(least(greatest(floor(((bbox4326.ymin + bbox4326.ymax) / 2.0
+             + 90.0) / {180.0 / 512!r}), 0), 511) AS BIGINT) AS cell
+  FROM {_ZONES}
+"""
+
+from gdal_common_python_spark.operators.layout import (  # noqa: E402
+    grid_disk_oracle_sql as _gd_sql,
+)
+
+_SQL_GRID_DISK = _gd_sql(f"(SELECT * FROM ({_ZCELLS_CTE}))", res=9, k=2)
+
+_SQL_GRID_DISTANCE = f"""
+WITH zc AS ({_ZCELLS_CTE})
+SELECT a.zone_id AS zone_a, b.zone_id AS zone_b,
+       greatest(abs(((a.cell // {1 << 29}) % {1 << 29})
+                    - ((b.cell // {1 << 29}) % {1 << 29})),
+                abs((a.cell % {1 << 29}) - (b.cell % {1 << 29}))) AS grid_dist
+FROM zc a JOIN zc b ON a.zone_id < b.zone_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     synth.ensure("sf0.01")  # the oracle reads the synth parquet directly
     # the ANN oracles read driver testdata at generation time (k-means
@@ -4247,4 +4386,8 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": _SQL_ZONAL_STATS,
         "spatial_join_polygons": _SQL_SPATIAL_POLY,
         "spatial_join_polygons_distributed": _SQL_SPATIAL_POLY,
+        "skew_report": _SQL_SKEW_REPORT,
+        "join_partition_metrics": _SQL_JOIN_PARTITION_METRICS,
+        "grid_disk": _SQL_GRID_DISK,
+        "grid_distance": _SQL_GRID_DISTANCE,
     }

@@ -362,3 +362,77 @@ def geohash(lon_col: Column, lat_col: Column, precision: int = 9) -> Column:
         for i in range(precision)
     ]
     return F.concat(*chars)
+
+
+def grid_disk(
+    df: DataFrame,
+    res: int,
+    k: int,
+    cell_col: str = "cell",
+    out_col: str = "neighbor",
+) -> DataFrame:
+    """H3 ``gridDisk`` analog on the quadtree scheme: one row per (input
+    row, cell within Chebyshev ring distance <= ``k``) — the neighborhood
+    expansion the kNN ring search uses (``kernels.cells.disk``), exposed as
+    a pure-codegen DataFrame op. Neighbors that would fall outside the
+    [0, 2^res) index domain are dropped (the grid does not wrap; H3's
+    pentagon-distortion caveat maps to this edge clipping here).
+
+    Fan-out is the fixed (2k+1)^2 bound — never data-dependent — so the
+    explode stays safe at any corpus size; no shuffle is introduced.
+    Formula ports verbatim to the DuckDB oracle
+    (:func:`grid_disk_oracle_sql`)."""
+    if not 0 <= res <= 29:
+        raise ValueError(f"res must be in [0, 29], got {res}")
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    n = 1 << res
+    m = F.lit(1 << _IX_SHIFT)
+    ix = F.shiftright(F.col(cell_col), _IX_SHIFT) % m
+    iy = F.col(cell_col) % m
+    out = (
+        df.withColumn("__nix", F.explode(F.sequence(
+            F.greatest(ix - k, F.lit(0)), F.least(ix + k, F.lit(n - 1)))))
+        .withColumn("__niy", F.explode(F.sequence(
+            F.greatest(iy - k, F.lit(0)), F.least(iy + k, F.lit(n - 1)))))
+    )
+    nb = (
+        F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+        + F.shiftleft(F.col("__nix"), _IX_SHIFT)
+        + F.col("__niy")
+    )
+    return out.withColumn(out_col, nb).drop("__nix", "__niy")
+
+
+def grid_distance(cell_a: Column, cell_b: Column) -> Column:
+    """H3 ``gridDistance`` analog: Chebyshev cell distance between two
+    same-resolution cells (the ring index at which ``grid_disk`` from one
+    first reaches the other). Pure integer codegen; ports verbatim to SQL."""
+    m = F.lit(1 << _IX_SHIFT)
+    ixa = F.shiftright(cell_a, _IX_SHIFT) % m
+    iya = cell_a % m
+    ixb = F.shiftright(cell_b, _IX_SHIFT) % m
+    iyb = cell_b % m
+    return F.greatest(F.abs(ixa - ixb), F.abs(iya - iyb))
+
+
+def grid_disk_oracle_sql(cells_rel: str, res: int, k: int,
+                         cell_col: str = "cell") -> str:
+    """DuckDB mirror of :func:`grid_disk`: the same clamp + two integer
+    sequences, unnested in two SELECT levels (one level would zip)."""
+    n = 1 << res
+    m = 1 << _IX_SHIFT
+    return f"""
+SELECT * EXCLUDE (__ix, __iy, __nix),
+       (CAST({res} AS BIGINT) * {1 << _RES_SHIFT})
+       + __nix * {m}
+       + unnest(generate_series(greatest(__iy - {k}, 0),
+                                least(__iy + {k}, {n - 1}))) AS neighbor
+FROM (
+  SELECT *, unnest(generate_series(greatest(__ix - {k}, 0),
+                                   least(__ix + {k}, {n - 1}))) AS __nix
+  FROM (
+    SELECT *, ({cell_col} // {m}) % {m} AS __ix, {cell_col} % {m} AS __iy
+    FROM {cells_rel}
+  )
+)"""

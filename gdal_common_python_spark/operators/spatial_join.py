@@ -850,3 +850,94 @@ def zone_corpus_profile(
         F.coalesce("n_media", F.lit(0).cast("long")).alias("n_media"),
     )
     return track_persisted(out, pip)
+
+
+def skew_report(
+    spark: SparkSession,
+    docs: DataFrame,
+    res: int = 9,
+    top_k: int = 100,
+    target_rows: int = 100_000,
+) -> DataFrame:
+    """Hot-cell skew diagnostics at the join resolution — the planning
+    report behind the salted join path (`hot_cells` samples; this is the
+    exact census a scheduled rebalance job would persist): per-cell geo
+    point counts, each cell's integer share in parts-per-million, and the
+    salt factor ``ceil(n / target_rows)`` that bounds any single reducer's
+    slice of that cell to ``target_rows`` candidates.
+
+    -> (cell_ix, cell_iy, n_points, share_ppm, salt) for the ``top_k``
+    hottest cells, deterministically ordered (count desc, ix, iy).
+
+    100 TB shape: one groupBy(cell) with map-side combine over the point
+    stream (shuffle ∝ distinct cells, bounded by 4^res not by data), then
+    a single-row total broadcast back over the dimension-sized cell table.
+    All-integer arithmetic (`div`), so the oracle hash-matches."""
+    if top_k < 1 or target_rows < 1:
+        raise ValueError("top_k and target_rows must be >= 1")
+    n = 1 << res
+    pts = geo_points(docs)
+    ix = F.least(
+        F.greatest(F.floor((F.col("x") + F.lit(180.0)) / F.lit(360.0 / n)), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("long")
+    iy = F.least(
+        F.greatest(F.floor((F.col("y") + F.lit(90.0)) / F.lit(180.0 / n)), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("long")
+    counts = pts.select(ix.alias("cell_ix"), iy.alias("cell_iy")).groupBy(
+        "cell_ix", "cell_iy"
+    ).agg(F.count("*").alias("n_points"))
+    total = counts.agg(F.sum("n_points").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "cell_ix",
+            "cell_iy",
+            "n_points",
+            F.expr("(n_points * 1000000) div __total").alias("share_ppm"),
+            F.expr(f"(n_points + {int(target_rows) - 1}) div {int(target_rows)}")
+            .cast("int")
+            .alias("salt"),
+        )
+        .orderBy(F.desc("n_points"), "cell_ix", "cell_iy")
+        .limit(top_k)
+    )
+
+
+def join_partition_metrics(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    n_buckets: int = 16,
+    **join_kwargs,
+) -> DataFrame:
+    """Per-partition lineage metrics of the flagship PIP join — the row
+    shape the checkpoint table records per bucket (streaming/checkpoint.py:
+    run_stage commits exactly these counts), computed as a queryable table:
+    (partition_id, input_docs, input_points, output_rows) with
+    ``partition_id = first-32-md5-bits(doc_id) mod n_buckets`` — the repo's
+    engine/oracle-shared deterministic bucket draw (curation.pack_sequences
+    uses the same), so a resumed run re-derives identical bucket identity.
+
+    100 TB shape: the join's own shuffles plus two map-side-combined
+    groupBy(bucket) aggregations over streams already in hand; the final
+    left join is n_buckets rows."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+    pip = spatial_join_points(spark, docs, zones, **join_kwargs)
+    outm = pip.groupBy(bucket.alias("partition_id")).agg(
+        F.count("*").alias("output_rows")
+    )
+    inm = geo_points(docs).groupBy(bucket.alias("partition_id")).agg(
+        F.countDistinct("doc_id").alias("input_docs"),
+        F.count("*").alias("input_points"),
+    )
+    return inm.join(outm, "partition_id", "left").select(
+        "partition_id",
+        "input_docs",
+        "input_points",
+        F.coalesce("output_rows", F.lit(0).cast("long")).alias("output_rows"),
+    )

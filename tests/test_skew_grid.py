@@ -1,0 +1,71 @@
+"""skew_report / join_partition_metrics / grid_disk / grid_distance."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from gdal_common_python_spark.kernels import cells as cellk
+from gdal_common_python_spark.operators import layout, spatial_join as sj
+
+
+def test_grid_disk_matches_kernel(spark):
+    res, k = 6, 2
+    ids = [int(cellk.encode(lon, lat, res)) for lon, lat in
+           [(-87.6, 41.8), (0.0, 0.0), (-179.99, -89.99), (179.99, 89.99)]]
+    df = spark.createDataFrame(pd.DataFrame({"cell": ids}))
+    got = (
+        layout.grid_disk(df, res=res, k=k)
+        .groupBy("cell")
+        .agg(F.sort_array(F.collect_list("neighbor")).alias("nbs"))
+        .collect()
+    )
+    by_cell = {r["cell"]: r["nbs"] for r in got}
+    for c in ids:
+        expect = sorted(int(x) for x in cellk.disk(c, k))
+        assert by_cell[c] == expect
+    # interior cell: full (2k+1)^2; corner cell: clamped to (k+1)^2
+    assert len(by_cell[ids[0]]) == (2 * k + 1) ** 2
+    assert len(by_cell[ids[2]]) == (k + 1) ** 2
+
+
+def test_grid_distance_chebyshev(spark):
+    res = 8
+    a = int(cellk.encode(10.0, 10.0, res))
+    # 3 cells east, 1 cell north of a
+    ra, ixa, iya = cellk.decode(np.int64(a))
+    b = int(cellk.pack(res, int(ixa) + 3, int(iya) + 1))
+    df = spark.createDataFrame(pd.DataFrame({"ca": [a, a], "cb": [b, a]}))
+    got = df.select(
+        layout.grid_distance(F.col("ca"), F.col("cb")).alias("d")
+    ).collect()
+    assert sorted(r["d"] for r in got) == [0, 3]
+
+
+def test_skew_report_census(spark, docs):
+    rep = sj.skew_report(spark, docs, res=7, top_k=1000, target_rows=10)
+    pdf = rep.toPandas()
+    pts = sj.geo_points(docs).toPandas()
+    n = 1 << 7
+    ix = np.clip(np.floor((pts.x + 180.0) / (360.0 / n)), 0, n - 1).astype(int)
+    iy = np.clip(np.floor((pts.y + 90.0) / (180.0 / n)), 0, n - 1).astype(int)
+    manual = pd.DataFrame({"ix": ix, "iy": iy}).value_counts().to_dict()
+    got = {(r.cell_ix, r.cell_iy): r.n_points for r in pdf.itertuples()}
+    assert got == manual
+    total = sum(manual.values())
+    for r in pdf.itertuples():
+        assert r.share_ppm == (r.n_points * 1_000_000) // total
+        assert r.salt == -(-r.n_points // 10)  # ceil
+    # deterministic ordering: count desc then ix, iy
+    key = list(zip(-pdf.n_points, pdf.cell_ix, pdf.cell_iy))
+    assert key == sorted(key)
+
+
+def test_join_partition_metrics_conserves_counts(spark, docs, zones):
+    m = sj.join_partition_metrics(spark, docs, zones, n_buckets=16).toPandas()
+    assert set(m.partition_id) <= set(range(16))
+    assert m.partition_id.is_unique
+    pip_n = sj.spatial_join_points(spark, docs, zones).count()
+    pts = sj.geo_points(docs)
+    assert int(m.output_rows.sum()) == pip_n
+    assert int(m.input_points.sum()) == pts.count()
+    assert int(m.input_docs.sum()) == pts.select("doc_id").distinct().count()
