@@ -1822,10 +1822,24 @@ def q_grid_distance(spark, sf_dir):
     )
 
 
+def q_proximity_alloc(spark, sf_dir):
+    """Nearest-target allocation (discrete Voronoi companion to
+    gdal_proximity): same single halo-exchange shape, per-pixel min
+    squared distance plus the claiming target's value, equidistant ties
+    to the minimum target value."""
+    from gdal_common_python_spark.operators import proximity
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return proximity.allocation_pixels(
+        tiles, values=_PROX_VALUES, maxdist=_PROX_MAXDIST, tile_size=32
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_pip": q_spatial_join_pip,
         "skew_report": q_skew_report,
+        "proximity_alloc": q_proximity_alloc,
         "join_partition_metrics": q_join_partition_metrics,
         "grid_disk": q_grid_disk,
         "grid_distance": q_grid_distance,
@@ -3317,10 +3331,14 @@ from gdal_common_python_spark.operators.sample import (  # noqa: E402
 _SQL_RASTER_SAMPLE_BILINEAR = _bilin_sql(_POINTS, _TILES, tile_size=32)
 del _samp_sql
 
-from gdal_common_python_spark.operators.proximity import proximity_oracle_sql as _prox_sql
+from gdal_common_python_spark.operators.proximity import (
+    allocation_oracle_sql as _alloc_sql,
+    proximity_oracle_sql as _prox_sql,
+)
 
 _SQL_PROXIMITY = _prox_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
-del _prox_sql
+_SQL_PROXIMITY_ALLOC = _alloc_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
+del _prox_sql, _alloc_sql
 
 from gdal_common_python_spark.operators.nearblack import nearblack_oracle_sql as _nb_sql
 
@@ -4387,6 +4405,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_polygons": _SQL_SPATIAL_POLY,
         "spatial_join_polygons_distributed": _SQL_SPATIAL_POLY,
         "skew_report": _SQL_SKEW_REPORT,
+        "proximity_alloc": _SQL_PROXIMITY_ALLOC,
         "join_partition_metrics": _SQL_JOIN_PARTITION_METRICS,
         "grid_disk": _SQL_GRID_DISK,
         "grid_distance": _SQL_GRID_DISTANCE,

@@ -84,3 +84,22 @@ class TestProximity:
         arr = np.zeros((4, 4))
         with pytest.raises(ValueError):
             proximity.proximity_pixels(_tile_df(spark, arr, tile=4), values=[0.0], maxdist=0.0)
+
+
+def test_allocation_matches_proximity_support(spark, tiles):
+    from gdal_common_python_spark.operators import proximity as P
+
+    vals, maxd = [250.0, 251.0, 252.0, 253.0, 254.0, 255.0], 4.0
+    prox = P.proximity_pixels(tiles, values=vals, maxdist=maxd).toPandas()
+    alloc = P.allocation_pixels(tiles, values=vals, maxdist=maxd).toPandas()
+    key = ["raster_id", "band", "gx", "gy"]
+    a = alloc.set_index(key).sort_index()
+    p = prox.set_index(key).sort_index()
+    # identical pixel support and identical distances
+    assert a.index.equals(p.index)
+    assert (a.dist2.values == p.dist2.values).all()
+    # allocation values come from the target class set
+    assert set(a.alloc.unique()) <= set(vals)
+    # target pixels claim themselves (d2 == 0 -> alloc == own value)
+    zero = a[a.dist2 == 0]
+    assert len(zero) > 0
