@@ -544,3 +544,39 @@ class TestSessionR4bOps:
         pts = spark.createDataFrame([(1, 5.0, -5.0)], "point_id long, x double, y double")
         out = sample_raster_bilinear(pts, _tile_df(spark, np.zeros((64, 64))))
         assert "BatchEvalPython" not in plan(out), plan(out)[:1500]
+
+
+class TestSkewGridPlans:
+    def test_skew_report_no_python_and_two_aggs(self, spark, docs):
+        out = sj.skew_report(spark, docs, res=9, top_k=10, target_rows=100)
+        p = plan(out)
+        # pure JVM: no Arrow/python eval anywhere in the census
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p[:1500]
+        # the cell census is one partial+final HashAggregate pair over the
+        # point stream (map-side combine); the single-row total is its own
+        # tiny agg; nothing else may aggregate
+        # formatted explain lists each node twice (tree + detail): 6 agg
+        # nodes = census partial+final, total partial+final, and the
+        # two-stage count reuse — 12 mentions max
+        assert p.count("HashAggregate") <= 12, p.count("HashAggregate")
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p[:1500]
+
+    def test_grid_disk_zero_shuffle(self, spark, zones):
+        from gdal_common_python_spark.operators import layout
+
+        cells = zones.select(
+            "zone_id", sj.cell_expr(F.col("bbox4326.xmin"), F.col("bbox4326.ymin"), 9).alias("cell")
+        )
+        p = plan(layout.grid_disk(cells, res=9, k=2))
+        assert "Exchange" not in p, [ln for ln in p.splitlines() if "Exchange" in ln]
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+    def test_join_partition_metrics_bucket_agg_shape(self, spark, docs, zones):
+        out = sj.join_partition_metrics(spark, docs, zones, n_buckets=16)
+        p = plan(out)
+        # input-side census: scan -> explode -> partial agg before exchange
+        # (map-side combine on the md5 bucket), then one final agg
+        assert "HashAggregate" in p
+        # the final n_buckets-row join must not shuffle the corpus again:
+        # only hash/aggregate exchanges, no global sort
+        assert "Sort [" not in p.split("== Physical Plan ==")[-1][:200]
