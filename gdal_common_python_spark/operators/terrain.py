@@ -447,3 +447,32 @@ SELECT raster_id, band, gx, gy,
        100.0 * sqrt(dzdx * dzdx + dzdy * dzdy) AS slope_pct
 FROM d
 """
+
+
+def aspect_pixels(
+    tiles: DataFrame,
+    z_factor: float = 1.0,
+    tile_size: int = 32,
+    flat_value: float = -1.0,
+) -> DataFrame:
+    """gdaldem aspect analog -> (raster_id, band, gx, gy, aspect_deg):
+    compass azimuth of steepest DESCENT in degrees clockwise from north
+    (0 = N, 90 = E), ``flat_value`` where the Horn gradient is exactly
+    zero. Engine-surface convenience WITHOUT a hash gate: the atan2 last
+    ulp is not pinned across engines (the documented slope/hillshade
+    caveat — gates use the exact octant form `aspect_octant` instead);
+    pytest covers it against numpy within 1e-9 deg. Same halo-exchange
+    plan and full-3x3-window edge semantics as :func:`slope_pixels`."""
+    gpx = horn_gradient_pixels(tiles, tile_size=tile_size)
+    dzdx = F.col("gx_num") * F.lit(float(z_factor)) / (F.lit(8.0) * F.col("px_x"))
+    dzdy = -F.col("gy_num") * F.lit(float(z_factor)) / (F.lit(8.0) * F.col("px_y"))
+    fx, fy = -dzdx, -dzdy  # steepest descent (east, north)
+    deg = F.atan2(fx, fy) * F.lit(180.0 / math.pi)
+    az = F.when(deg < 0, deg + F.lit(360.0)).otherwise(deg)
+    return gpx.select(
+        "raster_id", "band", "gx", "gy",
+        F.when(
+            (F.col("gx_num") == 0) & (F.col("gy_num") == 0),
+            F.lit(float(flat_value)),
+        ).otherwise(az).alias("aspect_deg"),
+    )

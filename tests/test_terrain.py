@@ -154,3 +154,32 @@ class TestTerrain:
         lx, ly, lz = terrain.light_vector(200.0, 30.0)
         for lit in (lx, ly, lz):
             assert repr(lit) in sql
+
+
+def test_aspect_degrees_vs_numpy(spark, tiles):
+    import math
+
+    import numpy as np
+
+    from gdal_common_python_spark.operators import terrain as TR
+
+    got = TR.aspect_pixels(tiles).toPandas()
+    gpx = TR.horn_gradient_pixels(tiles).toPandas()
+    m = got.merge(gpx, on=["raster_id", "band", "gx", "gy"])
+    assert len(m) == len(got) > 0
+    dzdx = m.gx_num / (8.0 * m.px_x)
+    dzdy = -m.gy_num / (8.0 * m.px_y)
+    ref = np.degrees(np.arctan2(-dzdx, -dzdy))
+    ref = np.where(ref < 0, ref + 360.0, ref)
+    flat = (m.gx_num == 0) & (m.gy_num == 0)
+    ref = np.where(flat, -1.0, ref)
+    assert np.max(np.abs(m.aspect_deg.values - ref)) < 1e-9
+    nz = m[~flat]
+    assert ((nz.aspect_deg >= 0) & (nz.aspect_deg < 360)).all()
+    # octant consistency: continuous aspect falls inside its octant bucket
+    hs = TR.hillshade_pixels(tiles).toPandas().merge(
+        got, on=["raster_id", "band", "gx", "gy"])
+    oc = hs[hs.aspect_octant >= 0]
+    centers = oc.aspect_octant * 45.0
+    diff = np.abs(((oc.aspect_deg - centers) + 180.0) % 360.0 - 180.0)
+    assert (diff <= 22.5 + 1e-9).all()
