@@ -1822,6 +1822,17 @@ def q_grid_distance(spark, sf_dir):
     )
 
 
+def q_point_on_surface(spark, sf_dir):
+    """ST_PointOnSurface analog: widest even-odd interval midpoint on the
+    bbox-midline scanline — guaranteed interior, fully native windows over
+    the dimension-sized crossing set, bit-exact vs the oracle."""
+    from gdal_common_python_spark.functions import measures
+
+    return measures.point_on_surface(
+        _synth(spark, sf_dir, "zones"), _synth(spark, sf_dir, "zone_edges")
+    )
+
+
 def q_proximity_alloc(spark, sf_dir):
     """Nearest-target allocation (discrete Voronoi companion to
     gdal_proximity): same single halo-exchange shape, per-pixel min
@@ -1840,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_pip": q_spatial_join_pip,
         "skew_report": q_skew_report,
         "proximity_alloc": q_proximity_alloc,
+        "point_on_surface": q_point_on_surface,
         "join_partition_metrics": q_join_partition_metrics,
         "grid_disk": q_grid_disk,
         "grid_distance": q_grid_distance,
@@ -3331,10 +3343,15 @@ from gdal_common_python_spark.operators.sample import (  # noqa: E402
 _SQL_RASTER_SAMPLE_BILINEAR = _bilin_sql(_POINTS, _TILES, tile_size=32)
 del _samp_sql
 
+from gdal_common_python_spark.functions.measures import (
+    point_on_surface_oracle_sql as _pos_sql,
+)
 from gdal_common_python_spark.operators.proximity import (
     allocation_oracle_sql as _alloc_sql,
     proximity_oracle_sql as _prox_sql,
 )
+
+_SQL_POINT_ON_SURFACE = _pos_sql(_ZONES, _EDGES)
 
 _SQL_PROXIMITY = _prox_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
 _SQL_PROXIMITY_ALLOC = _alloc_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
@@ -4406,6 +4423,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_polygons_distributed": _SQL_SPATIAL_POLY,
         "skew_report": _SQL_SKEW_REPORT,
         "proximity_alloc": _SQL_PROXIMITY_ALLOC,
+        "point_on_surface": _SQL_POINT_ON_SURFACE,
         "join_partition_metrics": _SQL_JOIN_PARTITION_METRICS,
         "grid_disk": _SQL_GRID_DISK,
         "grid_distance": _SQL_GRID_DISTANCE,

@@ -140,3 +140,85 @@ SELECT zone_id,
        CASE WHEN a_q != 0 THEN cy_q / (CAST(3.0 AS DOUBLE) * a_q) END AS centroid_y
 FROM s
 """
+
+
+def point_on_surface(zones: DataFrame, edges: DataFrame) -> DataFrame:
+    """Guaranteed-interior representative point (ST_PointOnSurface /
+    OGR PointOnSurface analog), defined deterministically: cast the
+    horizontal scanline through the bbox vertical midpoint
+    ``y0 = (ymin + ymax) / 2``, collect its even-odd edge crossings,
+    pair them into interior intervals, and return the midpoint of the
+    WIDEST interval (ties to the smallest midpoint x) ->
+    (zone_id, pos_x, pos_y).
+
+    Fully native (no UDF): the crossing x uses the exact same IEEE
+    expression tree as the distributed PIP refinement, the pairing is a
+    lead() window over the dimension-sized per-zone crossing set, so the
+    DuckDB oracle hash-matches bit-for-bit. Interior by construction for
+    valid rings (even-odd intervals are inside by definition) — unlike
+    the centroid, which can fall outside a concave polygon.
+
+    100 TB shape: zones are dimension-sized; the windows partition by
+    zone_id (no global sort) and shuffle only the crossing rows
+    (∝ zones, never a corpus)."""
+    from pyspark.sql import Window
+
+    zy = zones.select(
+        "zone_id",
+        ((F.col("bbox4326.ymin") + F.col("bbox4326.ymax")) / F.lit(2.0)).alias("y0"),
+    )
+    e = edges.join(zy, "zone_id").filter(
+        (F.col("ey1") > F.col("y0")) != (F.col("ey2") > F.col("y0"))
+    )
+    x = (
+        (F.col("ex2") - F.col("ex1"))
+        * (F.col("y0") - F.col("ey1"))
+        / (F.col("ey2") - F.col("ey1"))
+        + F.col("ex1")
+    )
+    cr = e.select("zone_id", "y0", x.alias("x"))
+    w = Window.partitionBy("zone_id").orderBy("x")
+    paired = (
+        cr.withColumn("rn", F.row_number().over(w))
+        .withColumn("x2", F.lead("x").over(w))
+        .filter((F.col("rn") % 2 == 1) & F.col("x2").isNotNull())
+    )
+    pick = Window.partitionBy("zone_id").orderBy(
+        F.desc(F.col("x2") - F.col("x")), (F.col("x") + F.col("x2")) / F.lit(2.0)
+    )
+    return (
+        paired.withColumn("pk", F.row_number().over(pick))
+        .filter(F.col("pk") == 1)
+        .select(
+            "zone_id",
+            ((F.col("x") + F.col("x2")) / F.lit(2.0)).alias("pos_x"),
+            F.col("y0").alias("pos_y"),
+        )
+    )
+
+
+def point_on_surface_oracle_sql(zones_rel: str, edges_rel: str) -> str:
+    """DuckDB oracle for :func:`point_on_surface`: identical crossing
+    expression, identical pairing windows, QUALIFY pick."""
+    return f"""
+WITH zy AS (
+  SELECT zone_id, (bbox4326.ymin + bbox4326.ymax) / 2.0 AS y0 FROM {zones_rel}
+),
+cr AS (
+  SELECT e.zone_id, zy.y0,
+         (e.ex2 - e.ex1) * (zy.y0 - e.ey1) / (e.ey2 - e.ey1) + e.ex1 AS x
+  FROM {edges_rel} e JOIN zy USING (zone_id)
+  WHERE (e.ey1 > zy.y0) != (e.ey2 > zy.y0)
+),
+paired AS (
+  SELECT zone_id, y0, x,
+         row_number() OVER (PARTITION BY zone_id ORDER BY x) AS rn,
+         lead(x) OVER (PARTITION BY zone_id ORDER BY x) AS x2
+  FROM cr
+)
+SELECT zone_id, (x + x2) / 2.0 AS pos_x, y0 AS pos_y
+FROM paired
+WHERE rn % 2 = 1 AND x2 IS NOT NULL
+QUALIFY row_number() OVER (PARTITION BY zone_id
+                           ORDER BY x2 - x DESC, (x + x2) / 2.0) = 1
+"""

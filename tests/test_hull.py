@@ -49,3 +49,24 @@ class TestHull:
             a, b = h[i], h[(i + 1) % len(h)]
             cr = (b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (pts[:, 0] - a[0])
             assert (cr >= -1e-12).all()
+
+
+def test_point_on_surface_is_interior(spark, zones, sf_dir):
+    import os
+
+    from gdal_common_python_spark.functions import measures
+    from gdal_common_python_spark.kernels import geom
+
+    edges = spark.read.parquet(os.path.join(sf_dir, "zone_edges.parquet"))
+    pos = measures.point_on_surface(zones, edges).toPandas()
+    import numpy as np
+
+    rings = {
+        r["zone_id"]: geom.rings_from_cell(r["rings4326"])
+        for r in zones.select("zone_id", "rings4326").collect()
+    }
+    assert len(pos) == len(rings)
+    for r in pos.itertuples():
+        e = geom.rings_to_edges(rings[r.zone_id])
+        inside = geom.points_in_rings(np.array([r.pos_x]), np.array([r.pos_y]), e)
+        assert inside[0], r.zone_id
