@@ -1822,6 +1822,16 @@ def q_grid_distance(spark, sf_dir):
     )
 
 
+def q_line_interpolate(spark, sf_dir):
+    """ST_LineInterpolatePoint analog at f=1/2 over document tracks
+    (ordered geo spans): micro-unit-quantized cumulative length keeps the
+    running sums order-independent exact integers; one double lerp."""
+    from gdal_common_python_spark.operators import tracks
+
+    pts = sj.geo_points(_synth(spark, sf_dir, "documents_spans"))
+    return tracks.line_interpolate(pts, frac_num=1, frac_den=2)
+
+
 def q_point_on_surface(spark, sf_dir):
     """ST_PointOnSurface analog: widest even-odd interval midpoint on the
     bbox-midline scanline — guaranteed interior, fully native windows over
@@ -1852,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "proximity_alloc": q_proximity_alloc,
         "point_on_surface": q_point_on_surface,
+        "line_interpolate": q_line_interpolate,
         "join_partition_metrics": q_join_partition_metrics,
         "grid_disk": q_grid_disk,
         "grid_distance": q_grid_distance,
@@ -3353,6 +3364,12 @@ from gdal_common_python_spark.operators.proximity import (
 
 _SQL_POINT_ON_SURFACE = _pos_sql(_ZONES, _EDGES)
 
+from gdal_common_python_spark.operators.tracks import (  # noqa: E402
+    line_interpolate_oracle_sql as _li_sql,
+)
+
+_SQL_LINE_INTERPOLATE = _li_sql(_PTS_CTE, frac_num=1, frac_den=2)
+
 _SQL_PROXIMITY = _prox_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
 _SQL_PROXIMITY_ALLOC = _alloc_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
 del _prox_sql, _alloc_sql
@@ -4424,6 +4441,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report": _SQL_SKEW_REPORT,
         "proximity_alloc": _SQL_PROXIMITY_ALLOC,
         "point_on_surface": _SQL_POINT_ON_SURFACE,
+        "line_interpolate": _SQL_LINE_INTERPOLATE,
         "join_partition_metrics": _SQL_JOIN_PARTITION_METRICS,
         "grid_disk": _SQL_GRID_DISK,
         "grid_distance": _SQL_GRID_DISTANCE,

@@ -107,3 +107,110 @@ def dwell_points(
     return pts.groupBy("track_id", "dwell_ix", "anchor_x", "anchor_y").agg(
         F.count("*").cast("long").alias("n_points")
     ).select("track_id", "dwell_ix", "n_points", "anchor_x", "anchor_y")
+
+
+def line_interpolate(
+    points: DataFrame,
+    frac_num: int = 1,
+    frac_den: int = 2,
+    id_col: str = "doc_id",
+    seq_col: str = "offset",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """ST_LineInterpolatePoint analog over ordered tracks: the point at
+    fraction ``frac_num / frac_den`` of each track's cumulative planar
+    length -> (track_id, pos_x, pos_y).
+
+    Exact by the module's micro-unit discipline: segment lengths
+    floor-quantize to int64 (``floor(sqrt(dx^2+dy^2) * 1e6)``) BEFORE the
+    cumulative sum, so running/total lengths are order-independent exact
+    integers in both engines; the target arc ``(total * num) div den`` and
+    the segment pick (first nonzero segment whose inclusive cum reaches
+    the target) are pure integer comparisons, leaving exactly one double
+    division + lerp — a fixed IEEE expression tree, hash-exact.
+
+    Tracks whose quantized length is zero (single point / coincident
+    points) emit no row. One shuffle: the id-hash window partition."""
+    if frac_den <= 0 or not 0 <= frac_num <= frac_den:
+        raise ValueError("need 0 <= frac_num/frac_den <= 1")
+    w = Window.partitionBy(id_col).orderBy(seq_col)
+    x2 = F.lead(x_col).over(w)
+    y2 = F.lead(y_col).over(w)
+    d = F.sqrt(
+        (x2 - F.col(x_col)) * (x2 - F.col(x_col))
+        + (y2 - F.col(y_col)) * (y2 - F.col(y_col))
+    )
+    segs = (
+        points.select(
+            F.col(id_col).alias("track_id"),
+            F.col(seq_col).alias("__seq"),
+            F.col(x_col).alias("__x1"),
+            F.col(y_col).alias("__y1"),
+            x2.alias("__x2"),
+            y2.alias("__y2"),
+            F.floor(d * 1e6).cast("long").alias("__seg_q"),
+        )
+        .filter(F.col("__x2").isNotNull())
+    )
+    ws = Window.partitionBy("track_id").orderBy("__seq")
+    wall = Window.partitionBy("track_id")
+    segs = (
+        segs.withColumn(
+            "__cum",
+            F.sum("__seg_q").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("__total", F.sum("__seg_q").over(wall))
+        .withColumn(
+            "__target",
+            F.expr(f"(__total * {int(frac_num)}) div {int(frac_den)}"),
+        )
+    )
+    hits = segs.filter((F.col("__seg_q") > 0) & (F.col("__cum") >= F.col("__target")))
+    first = Window.partitionBy("track_id").orderBy("__seq")
+    t = (F.col("__target") - (F.col("__cum") - F.col("__seg_q"))).cast("double") / F.col(
+        "__seg_q"
+    ).cast("double")
+    return (
+        hits.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "track_id",
+            (F.col("__x1") + t * (F.col("__x2") - F.col("__x1"))).alias("pos_x"),
+            (F.col("__y1") + t * (F.col("__y2") - F.col("__y1"))).alias("pos_y"),
+        )
+    )
+
+
+def line_interpolate_oracle_sql(
+    pts_cte: str, frac_num: int = 1, frac_den: int = 2
+) -> str:
+    """DuckDB oracle for :func:`line_interpolate`. ``pts_cte`` must yield
+    (doc_id, off, px, py); identical micro-unit windows, QUALIFY pick."""
+    return f"""
+WITH pts AS ({pts_cte}),
+segs AS (
+  SELECT doc_id AS track_id, off AS seq, px AS x1, py AS y1,
+         lead(px) OVER w AS x2, lead(py) OVER w AS y2,
+         CAST(floor(sqrt((lead(px) OVER w - px) * (lead(px) OVER w - px)
+                       + (lead(py) OVER w - py) * (lead(py) OVER w - py))
+                    * 1e6) AS BIGINT) AS seg_q
+  FROM pts
+  WINDOW w AS (PARTITION BY doc_id ORDER BY off)
+),
+cum AS (
+  SELECT *,
+         sum(seg_q) OVER (PARTITION BY track_id ORDER BY seq
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(seg_q) OVER (PARTITION BY track_id) AS total
+  FROM segs WHERE x2 IS NOT NULL
+)
+SELECT track_id,
+       x1 + (CAST(target - (cum - seg_q) AS DOUBLE) / CAST(seg_q AS DOUBLE))
+            * (x2 - x1) AS pos_x,
+       y1 + (CAST(target - (cum - seg_q) AS DOUBLE) / CAST(seg_q AS DOUBLE))
+            * (y2 - y1) AS pos_y
+FROM (SELECT *, (total * {int(frac_num)}) // {int(frac_den)} AS target FROM cum)
+WHERE seg_q > 0 AND cum >= target
+QUALIFY row_number() OVER (PARTITION BY track_id ORDER BY seq) = 1
+"""

@@ -78,3 +78,34 @@ class TestDwells:
         pts = _pts(spark, [(1, 0, 0.0, 0.0), (1, 1, 1.0, 0.0)])
         rows = tracks.dwell_points(pts, radius=1.0).collect()
         assert len(rows) == 1 and rows[0].n_points == 2
+
+
+def test_line_interpolate_midpoint_properties(spark, docs):
+    import numpy as np
+
+    from gdal_common_python_spark.operators import spatial_join as sj
+    from gdal_common_python_spark.operators import tracks
+
+    pts = sj.geo_points(docs)
+    mid = tracks.line_interpolate(pts, 1, 2).toPandas()
+    pdf = pts.toPandas().sort_values(["doc_id", "offset"])
+    by = {k: g[["x", "y"]].to_numpy() for k, g in pdf.groupby("doc_id")}
+    assert len(mid) > 0
+    for r in mid.itertuples():
+        p = by[r.track_id]
+        seg = np.floor(np.sqrt(((p[1:] - p[:-1]) ** 2).sum(axis=1)) * 1e6).astype(np.int64)
+        total = seg.sum()
+        assert total > 0
+        target = total // 2
+        cum = np.cumsum(seg)
+        i = int(np.argmax((cum >= target) & (seg > 0)))
+        t = (target - (cum[i] - seg[i])) / seg[i]
+        exp = p[i] + t * (p[i + 1] - p[i])
+        assert abs(r.pos_x - exp[0]) < 1e-12 and abs(r.pos_y - exp[1]) < 1e-12
+    # f=0 -> first point of every multi-point track with nonzero length
+    z = tracks.line_interpolate(pts, 0, 1).toPandas()
+    for r in z.itertuples():
+        assert abs(r.pos_x - by[r.track_id][0][0]) < 1e-12
+    # f=1 -> cumulative end: pos equals last vertex of the quantized walk
+    e = tracks.line_interpolate(pts, 1, 1).toPandas()
+    assert set(e.track_id) == set(z.track_id)
