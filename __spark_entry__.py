@@ -1822,6 +1822,14 @@ def q_grid_distance(spark, sf_dir):
     )
 
 
+def q_bpe_train(spark, sf_dir):
+    """Greedy BPE merge learning (8 merges) on the corpus vocab: one
+    corpus pass builds word counts; each round is a pair aggregation over
+    the dimension-sized vocab + a 1-row deterministic argmax collect —
+    corpus size never re-enters the loop."""
+    return text_ops.bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
 def q_line_interpolate(spark, sf_dir):
     """ST_LineInterpolatePoint analog at f=1/2 over document tracks
     (ordered geo spans): micro-unit-quantized cumulative length keeps the
@@ -1863,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_alloc": q_proximity_alloc,
         "point_on_surface": q_point_on_surface,
         "line_interpolate": q_line_interpolate,
+        "bpe_train": q_bpe_train,
         "join_partition_metrics": q_join_partition_metrics,
         "grid_disk": q_grid_disk,
         "grid_distance": q_grid_distance,
@@ -3370,6 +3379,12 @@ from gdal_common_python_spark.operators.tracks import (  # noqa: E402
 
 _SQL_LINE_INTERPOLATE = _li_sql(_PTS_CTE, frac_num=1, frac_den=2)
 
+from gdal_common_python_spark.operators.text import (  # noqa: E402
+    bpe_train_oracle_sql as _bpe_sql,
+)
+
+_SQL_BPE_TRAIN = _bpe_sql("documents", n_merges=8)
+
 _SQL_PROXIMITY = _prox_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
 _SQL_PROXIMITY_ALLOC = _alloc_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
 del _prox_sql, _alloc_sql
@@ -4442,6 +4457,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_alloc": _SQL_PROXIMITY_ALLOC,
         "point_on_surface": _SQL_POINT_ON_SURFACE,
         "line_interpolate": _SQL_LINE_INTERPOLATE,
+        "bpe_train": _SQL_BPE_TRAIN,
         "join_partition_metrics": _SQL_JOIN_PARTITION_METRICS,
         "grid_disk": _SQL_GRID_DISK,
         "grid_distance": _SQL_GRID_DISTANCE,

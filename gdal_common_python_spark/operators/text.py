@@ -11,7 +11,7 @@ formula-portable to the DuckDB oracle (regexp lengths, md5, arithmetic).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 _STOP = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
@@ -403,3 +403,140 @@ def bigram_surprisal_bits(
             F.coalesce("surprisal_bits", F.lit(0)).cast("long").alias("surprisal_bits"),
         )
     )
+
+
+_BPE_T = T.StructType(
+    [
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("lhs", T.StringType(), False),
+        T.StructField("rhs", T.StringType(), False),
+        T.StructField("merged", T.StringType(), False),
+        T.StructField("pair_count", T.LongType(), False),
+    ]
+)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the top ``n_merges`` byte-pair-encoding merges over the corpus
+    -> (rank, lhs, rhs, merged, pair_count), the merge table a subword
+    tokenizer trains (the real form of the `subword_estimate` heuristic).
+
+    Algorithm (greedy BPE on the VOCAB table): words are [a-z]+ whitespace
+    tokens with counts; each word is a '|'-separated token sequence seeded
+    with its characters; each round counts adjacent token pairs weighted by
+    word count, merges the argmax pair — ties broken deterministically
+    (count desc, lhs asc, rhs asc) — and rewrites sequences via literal
+    `replace('|l|r|' -> '|lr|')`. Replacement is left-to-right
+    non-overlapping in BOTH engines (Java and DuckDB `replace` share the
+    scan-resume rule), which for runs of the same pair ('a a a a') merges
+    alternate occurrences exactly like canonical BPE's left-to-right rule.
+
+    100 TB shape: ONE corpus pass builds the word-count vocab (map-side
+    combined, shuffle ~ vocab size); the k iterative rounds then run on
+    the dimension-sized vocab only — corpus size never re-enters. Each
+    round is one pair aggregation plus a 1-row argmax collect (the same
+    driver-coordinated loop discipline as the median-cut palette).
+
+    Exact: pair counts are integer sums of integer word counts; the gate
+    emits only strings and integers."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
+    words = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    base = words.select(
+        "w", "cnt", F.regexp_replace("w", "(.)(?=.)", "$1||").alias("seq")
+    ).persist()
+    vocab = base
+    merges: list[tuple] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            toks = vocab.select("cnt", F.split("seq", r"\|\|").alias("ts")).filter(
+                F.size("ts") >= 2
+            )
+            pairs = toks.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ts) - 1),"
+                        " i -> struct(ts[i - 1] AS l, ts[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            best = (
+                pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+            merges.append((rank, l, r, l + r, c))
+            vocab = vocab.withColumn(
+                "seq",
+                F.expr(
+                    "trim(BOTH '|' FROM replace(concat('||', seq, '||'),"
+                    f" '|{l}||{r}|', '|{l}{r}|'))"
+                ),
+            )
+    finally:
+        # the loop is eager (per-round collect), so the cache can release
+        # before the (driver-built) result is returned
+        base.unpersist()
+    return spark.createDataFrame(merges, schema=_BPE_T)
+
+
+def bpe_train_oracle_sql(docs_rel: str, n_merges: int = 8) -> str:
+    """DuckDB oracle for :func:`bpe_train`: the greedy loop unrolled
+    ``n_merges`` times (fixed literal rounds, like the compact_cells
+    oracle), each round an ORDER/LIMIT-1 argmax CTE and a literal-pattern
+    sequence rewrite driven by that CTE."""
+    parts = [
+        f"""w0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         array_to_string(list_transform(range(1, length(w) + 1),
+                                        i -> w[i]), '||') AS seq
+  FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM {docs_rel} WHERE length(trim(text)) > 0
+  )
+  WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2
+  GROUP BY w
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} AS (
+  SELECT ts[i] AS l, ts[i + 1] AS r2, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (
+    SELECT cnt, ts, unnest(range(1, len(ts))) AS i
+    FROM (SELECT cnt, string_split(seq, '||') AS ts FROM w{r - 1})
+    WHERE len(ts) >= 2
+  )
+  GROUP BY 1, 2
+)""")
+        parts.append(
+            f"b{r} AS (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1)"
+        )
+        parts.append(f"""w{r} AS (
+  SELECT w, cnt,
+         trim(replace('||' || seq || '||', '|' || l || '||' || r2 || '|',
+                      '|' || l || r2 || '|'), '|') AS seq
+  FROM w{r - 1}, b{r}
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, l AS lhs, r2 AS rhs, l || r2 AS merged,"
+        f" c AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals

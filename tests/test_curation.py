@@ -186,3 +186,45 @@ class TestKeywords:
         a = sorted(map(tuple, keywords_tfidf(docs, top_k=3).collect()))
         b = sorted(map(tuple, keywords_tfidf(docs.repartition(11), top_k=3).collect()))
         assert a == b
+
+
+def test_bpe_train_hand_corpus(spark):
+    import pandas as pd
+
+    from gdal_common_python_spark.operators import text as text_ops
+
+    # corpus: 'abab' x3, 'ab' x2, 'cd' x4  (plus non-word tokens filtered)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["abab abab ab cd cd", "abab ab cd", "cd X9 !"],
+            }
+        )
+    )
+    out = (
+        text_ops.bpe_train(docs, n_merges=3)
+        .orderBy("rank")
+        .collect()
+    )
+    # round 1 pairs: (a,b): abab has 2 each x3 =6, ab x2 -> 8; (b,a): 3; (c,d): 4
+    assert (out[0]["lhs"], out[0]["rhs"], out[0]["pair_count"]) == ("a", "b", 8)
+    # round 2: abab -> ab|ab (pair (ab,ab)=3), cd pairs (c,d)=4 -> cd wins
+    assert (out[1]["lhs"], out[1]["rhs"], out[1]["pair_count"]) == ("c", "d", 4)
+    # round 3: (ab,ab) from 'abab' x3
+    assert (out[2]["lhs"], out[2]["rhs"], out[2]["pair_count"]) == ("ab", "ab", 3)
+    assert out[2]["merged"] == "abab"
+
+
+def test_bpe_train_no_cache_leak(spark):
+    import pandas as pd
+
+    from gdal_common_python_spark.operators import text as text_ops
+    from tests.conftest import assert_no_new_persistent, persistent_ids
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["aa bb aa bb"]})
+    )
+    before = persistent_ids(spark)
+    text_ops.bpe_train(docs, n_merges=2).collect()
+    assert_no_new_persistent(spark, before)
