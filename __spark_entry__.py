@@ -1830,6 +1830,13 @@ def q_bpe_train(spark, sf_dir):
     return text_ops.bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_bpe_segment(spark, sf_dir):
+    """Apply the learned BPE merges: per-document true subword counts —
+    the merge loop runs on the vocab, the segmented vocab broadcasts back
+    over the word stream (word text never shuffles)."""
+    return text_ops.bpe_segment(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
 def q_line_interpolate(spark, sf_dir):
     """ST_LineInterpolatePoint analog at f=1/2 over document tracks
     (ordered geo spans): micro-unit-quantized cumulative length keeps the
@@ -1872,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_on_surface": q_point_on_surface,
         "line_interpolate": q_line_interpolate,
         "bpe_train": q_bpe_train,
+        "bpe_segment": q_bpe_segment,
         "join_partition_metrics": q_join_partition_metrics,
         "grid_disk": q_grid_disk,
         "grid_distance": q_grid_distance,
@@ -3380,10 +3388,12 @@ from gdal_common_python_spark.operators.tracks import (  # noqa: E402
 _SQL_LINE_INTERPOLATE = _li_sql(_PTS_CTE, frac_num=1, frac_den=2)
 
 from gdal_common_python_spark.operators.text import (  # noqa: E402
+    bpe_segment_oracle_sql as _bpeseg_sql,
     bpe_train_oracle_sql as _bpe_sql,
 )
 
 _SQL_BPE_TRAIN = _bpe_sql("documents", n_merges=8)
+_SQL_BPE_SEGMENT = _bpeseg_sql("documents", n_merges=8)
 
 _SQL_PROXIMITY = _prox_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
 _SQL_PROXIMITY_ALLOC = _alloc_sql(_TILES, _PROX_VALUES, _PROX_MAXDIST)
@@ -4458,6 +4468,7 @@ def oracle_sql() -> dict[str, str]:
         "point_on_surface": _SQL_POINT_ON_SURFACE,
         "line_interpolate": _SQL_LINE_INTERPOLATE,
         "bpe_train": _SQL_BPE_TRAIN,
+        "bpe_segment": _SQL_BPE_SEGMENT,
         "join_partition_metrics": _SQL_JOIN_PARTITION_METRICS,
         "grid_disk": _SQL_GRID_DISK,
         "grid_distance": _SQL_GRID_DISTANCE,

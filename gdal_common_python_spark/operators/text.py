@@ -446,6 +446,14 @@ def bpe_train(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = docs.sparkSession
+    merges, _vocab, base = _bpe_loop(docs, n_merges, text_col)
+    base.unpersist()
+    return spark.createDataFrame(merges, schema=_BPE_T)
+
+
+def _bpe_loop(docs: DataFrame, n_merges: int, text_col: str):
+    """Shared greedy loop: returns (merges, final vocab DF with merged
+    seqs, persisted base handle). Caller owns releasing ``base``."""
     words = (
         docs.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.explode(tokens(F.col(text_col))).alias("w"))
@@ -458,43 +466,78 @@ def bpe_train(
     ).persist()
     vocab = base
     merges: list[tuple] = []
-    try:
-        for rank in range(1, n_merges + 1):
-            toks = vocab.select("cnt", F.split("seq", r"\|\|").alias("ts")).filter(
-                F.size("ts") >= 2
-            )
-            pairs = toks.select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(ts) - 1),"
-                        " i -> struct(ts[i - 1] AS l, ts[i] AS r))"
-                    )
-                ).alias("p"),
-            )
-            best = (
-                pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-                .agg(F.sum("cnt").alias("c"))
-                .orderBy(F.desc("c"), "l", "r")
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
-            merges.append((rank, l, r, l + r, c))
-            vocab = vocab.withColumn(
-                "seq",
+    for rank in range(1, n_merges + 1):
+        toks = vocab.select("cnt", F.split("seq", r"\|\|").alias("ts")).filter(
+            F.size("ts") >= 2
+        )
+        pairs = toks.select(
+            "cnt",
+            F.explode(
                 F.expr(
-                    "trim(BOTH '|' FROM replace(concat('||', seq, '||'),"
-                    f" '|{l}||{r}|', '|{l}{r}|'))"
-                ),
-            )
-    finally:
-        # the loop is eager (per-round collect), so the cache can release
-        # before the (driver-built) result is returned
-        base.unpersist()
-    return spark.createDataFrame(merges, schema=_BPE_T)
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i - 1] AS l, ts[i] AS r))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, l, r, l + r, c))
+        vocab = vocab.withColumn(
+            "seq",
+            F.expr(
+                "trim(BOTH '|' FROM replace(concat('||', seq, '||'),"
+                f" '|{l}||{r}|', '|{l}{r}|'))"
+            ),
+        )
+    return merges, vocab, base
+
+
+def bpe_segment(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the learned BPE merge table to the corpus -> per-document
+    TRUE subword token counts (doc_id, n_words, n_bpe_tokens): the exact
+    form of `subword_estimate`, for token-budget packing and pricing.
+
+    Shape: the merge loop runs on the dimension-sized vocab
+    (:func:`_bpe_loop`); the segmented vocab (word -> subword count) joins
+    the per-document word stream size-gated broadcast, so the corpus pass
+    adds ONE map-side-combined groupBy(doc_id) — word text never shuffles.
+    Words outside the trainable class ([a-z]+, len >= 2) count 1 token.
+    Integer-only output, hash-exact vs the unrolled oracle."""
+    from .util import broadcastable, track_persisted
+
+    _merges, vocab, base = _bpe_loop(docs, n_merges, text_col)
+    seg = vocab.select(
+        "w", F.size(F.split("seq", r"\|\|")).cast("long").alias("n_sub")
+    )
+    ws = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    if broadcastable(seg, row_limit=50_000_000):
+        seg = F.broadcast(seg)
+    out = (
+        ws.join(seg, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.coalesce("n_sub", F.lit(1).cast("long"))).alias("n_bpe_tokens"),
+        )
+    )
+    return track_persisted(out, base)
 
 
 def bpe_train_oracle_sql(docs_rel: str, n_merges: int = 8) -> str:
@@ -540,3 +583,27 @@ def bpe_train_oracle_sql(docs_rel: str, n_merges: int = 8) -> str:
         for r in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
+def bpe_segment_oracle_sql(docs_rel: str, n_merges: int = 8) -> str:
+    """DuckDB oracle for :func:`bpe_segment`: the same unrolled merge
+    rounds, then the per-document word stream left-joined to the segmented
+    vocab (non-trainable words count 1)."""
+    train = bpe_train_oracle_sql(docs_rel, n_merges)
+    with_block = train[: train.rindex("\nSELECT 1 AS rank")]
+    return f"""{with_block},
+seg AS (
+  SELECT w, CAST(len(string_split(seq, '||')) AS BIGINT) AS n_sub
+  FROM w{n_merges}
+),
+ws AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM {docs_rel} WHERE length(trim(text)) > 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(coalesce(n_sub, 1)) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT * FROM ws WHERE w != '') ws2
+LEFT JOIN seg USING (w)
+GROUP BY doc_id
+"""

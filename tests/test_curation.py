@@ -228,3 +228,30 @@ def test_bpe_train_no_cache_leak(spark):
     before = persistent_ids(spark)
     text_ops.bpe_train(docs, n_merges=2).collect()
     assert_no_new_persistent(spark, before)
+
+
+def test_bpe_segment_counts(spark):
+    import pandas as pd
+
+    from gdal_common_python_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["abab abab cd", "zz 42 cd"],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in text_ops.bpe_segment(docs, n_merges=3).collect()
+    }
+    # merges: (a,b)->ab (4), then (ab,ab)->abab (2) or (c,d)->cd (2):
+    # tie at 2 -> lex ('ab','ab') < ('c','d') -> round2 = abab, round3 = cd
+    # doc1: abab=1 token x2, cd=1 -> 3 subwords over 3 words
+    # doc2: zz (vocab word, stays 'z||z'? no pair survives for zz count 1:
+    #   pairs (z,z)=1 never argmax within 3 rounds -> 2 subwords), 42 -> 1
+    #   (non-trainable), cd -> 1
+    assert out[1] == (3, 3)
+    assert out[2] == (3, 4)
