@@ -255,3 +255,29 @@ def test_bpe_segment_counts(spark):
     #   (non-trainable), cd -> 1
     assert out[1] == (3, 3)
     assert out[2] == (3, 4)
+
+
+def test_bpe_train_degenerate_corpora(spark):
+    import pandas as pd
+    import pytest
+
+    from gdal_common_python_spark.operators import text as text_ops
+
+    # no trainable words at all -> empty merge table, correct schema
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["42 7 !! X"]})
+    )
+    out = text_ops.bpe_train(docs, n_merges=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "rank", "lhs", "rhs", "merged", "pair_count",
+    ]
+    with pytest.raises(ValueError):
+        text_ops.bpe_train(docs, n_merges=0)
+    # fewer distinct pairs than requested merges -> early stop, no error
+    docs2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["ab ab"]})
+    )
+    got = text_ops.bpe_train(docs2, n_merges=5).collect()
+    assert len(got) == 1
+    assert (got[0]["lhs"], got[0]["rhs"], got[0]["pair_count"]) == ("a", "b", 2)

@@ -69,3 +69,52 @@ def test_join_partition_metrics_conserves_counts(spark, docs, zones):
     assert int(m.output_rows.sum()) == pip_n
     assert int(m.input_points.sum()) == pts.count()
     assert int(m.input_docs.sum()) == pts.select("doc_id").distinct().count()
+
+
+def test_grid_disk_k0_identity(spark):
+    import pandas as pd
+
+    from gdal_common_python_spark.operators import layout
+    from gdal_common_python_spark.kernels import cells as cellk
+
+    c = int(cellk.encode(10.0, 10.0, 9))
+    df = spark.createDataFrame(pd.DataFrame({"cell": [c]}))
+    got = layout.grid_disk(df, res=9, k=0).collect()
+    assert len(got) == 1 and got[0]["neighbor"] == c
+
+
+def test_grid_disk_rejects_bad_params(spark):
+    import pandas as pd
+    import pytest
+
+    from gdal_common_python_spark.operators import layout
+
+    df = spark.createDataFrame(pd.DataFrame({"cell": [0]}))
+    with pytest.raises(ValueError):
+        layout.grid_disk(df, res=30, k=1)
+    with pytest.raises(ValueError):
+        layout.grid_disk(df, res=9, k=-1)
+
+
+def test_skew_report_empty_corpus(spark):
+    import pandas as pd
+
+    from gdal_common_python_spark.operators import spatial_join as sj
+
+    empty = spark.createDataFrame(
+        [],
+        schema="doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    assert sj.skew_report(spark, empty, res=9).count() == 0
+
+
+def test_skew_report_rejects_bad_params(spark, docs):
+    import pytest
+
+    from gdal_common_python_spark.operators import spatial_join as sj
+
+    with pytest.raises(ValueError):
+        sj.skew_report(spark, docs, top_k=0)
+    with pytest.raises(ValueError):
+        sj.skew_report(spark, docs, target_rows=0)
