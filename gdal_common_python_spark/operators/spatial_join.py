@@ -885,11 +885,17 @@ def skew_report(
         F.greatest(F.floor((F.col("y") + F.lit(90.0)) / F.lit(180.0 / n)), F.lit(0)),
         F.lit(n - 1),
     ).cast("long")
+    from .util import track_persisted
+
+    # persist the dimension-sized census so the total and the join share ONE
+    # corpus pass by construction (AQE's ReusedExchange already dedupes the
+    # identical shuffle at runtime, but a 100 TB scan should not depend on a
+    # runtime optimization firing); handle rides the result for release()
     counts = pts.select(ix.alias("cell_ix"), iy.alias("cell_iy")).groupBy(
         "cell_ix", "cell_iy"
-    ).agg(F.count("*").alias("n_points"))
+    ).agg(F.count("*").alias("n_points")).persist()
     total = counts.agg(F.sum("n_points").alias("__total"))
-    return (
+    return track_persisted(
         counts.crossJoin(F.broadcast(total))
         .select(
             "cell_ix",
@@ -901,7 +907,8 @@ def skew_report(
             .alias("salt"),
         )
         .orderBy(F.desc("n_points"), "cell_ix", "cell_iy")
-        .limit(top_k)
+        .limit(top_k),
+        counts,
     )
 
 
