@@ -1822,6 +1822,33 @@ def q_grid_distance(spark, sf_dir):
     )
 
 
+def q_polyfill(spark, sf_dir):
+    """H3 polygonToCells analog: bbox cover (bounded fan-out) refined by
+    center even-odd crossing parity — the verbatim distributed-PIP
+    expression, map-side-combined on (zone_id, cell)."""
+    from gdal_common_python_spark.operators import layout as layout_ops
+
+    return layout_ops.polyfill(
+        _synth(spark, sf_dir, "zones"), _synth(spark, sf_dir, "zone_edges"), res=9
+    )
+
+
+def q_cell_bounds(spark, sf_dir):
+    """H3 cellToBoundary analog: exact power-of-two rectangle of each
+    zone-center cell — pure codegen, zero shuffle."""
+    from gdal_common_python_spark.operators import layout as layout_ops
+
+    z = _synth(spark, sf_dir, "zones").select(
+        "zone_id",
+        sj.cell_expr(
+            (F.col("bbox4326.xmin") + F.col("bbox4326.xmax")) / F.lit(2.0),
+            (F.col("bbox4326.ymin") + F.col("bbox4326.ymax")) / F.lit(2.0),
+            9,
+        ).alias("cell"),
+    )
+    return layout_ops.cell_bounds(z, res=9)
+
+
 def q_bpe_train(spark, sf_dir):
     """Greedy BPE merge learning (8 merges) on the corpus vocab: one
     corpus pass builds word counts; each round is a pair aggregation over
@@ -1880,6 +1907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_interpolate": q_line_interpolate,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
+        "polyfill": q_polyfill,
+        "cell_bounds": q_cell_bounds,
         "join_partition_metrics": q_join_partition_metrics,
         "grid_disk": q_grid_disk,
         "grid_distance": q_grid_distance,
@@ -4306,6 +4335,22 @@ from gdal_common_python_spark.operators.layout import (  # noqa: E402
 
 _SQL_GRID_DISK = _gd_sql(f"(SELECT * FROM ({_ZCELLS_CTE}))", res=9, k=2)
 
+from gdal_common_python_spark.operators.layout import (  # noqa: E402
+    polyfill_oracle_sql as _pf_sql,
+)
+
+_SQL_POLYFILL = _pf_sql(_ZONES, _EDGES, res=9)
+
+_W9, _H9 = 360.0 / 512, 180.0 / 512
+_SQL_CELL_BOUNDS = f"""
+SELECT zone_id, cell,
+       -180.0 + ((cell // {1 << 29}) % {1 << 29}) * CAST({_W9!r} AS DOUBLE) AS cell_xmin,
+       -90.0 + (cell % {1 << 29}) * CAST({_H9!r} AS DOUBLE) AS cell_ymin,
+       -180.0 + (((cell // {1 << 29}) % {1 << 29}) + 1) * CAST({_W9!r} AS DOUBLE) AS cell_xmax,
+       -90.0 + ((cell % {1 << 29}) + 1) * CAST({_H9!r} AS DOUBLE) AS cell_ymax
+FROM ({_ZCELLS_CTE})
+"""
+
 _SQL_GRID_DISTANCE = f"""
 WITH zc AS ({_ZCELLS_CTE})
 SELECT a.zone_id AS zone_a, b.zone_id AS zone_b,
@@ -4469,6 +4514,8 @@ def oracle_sql() -> dict[str, str]:
         "line_interpolate": _SQL_LINE_INTERPOLATE,
         "bpe_train": _SQL_BPE_TRAIN,
         "bpe_segment": _SQL_BPE_SEGMENT,
+        "polyfill": _SQL_POLYFILL,
+        "cell_bounds": _SQL_CELL_BOUNDS,
         "join_partition_metrics": _SQL_JOIN_PARTITION_METRICS,
         "grid_disk": _SQL_GRID_DISK,
         "grid_distance": _SQL_GRID_DISTANCE,

@@ -436,3 +436,115 @@ FROM (
     FROM {cells_rel}
   )
 )"""
+
+
+def polyfill(
+    zones: DataFrame,
+    edges: DataFrame,
+    res: int,
+    id_col: str = "zone_id",
+) -> DataFrame:
+    """H3 ``polygonToCells`` (polyfill) analog: all cells at ``res`` whose
+    CENTER lies inside each polygon (H3's center-containment rule) ->
+    (zone_id, cell). ``zones`` needs ``bbox4326``; ``edges`` is the flat
+    4326 edge table (ex1..ey2).
+
+    Fully native: the bbox covering is :func:`cover_bbox_cells` (bounded
+    fan-out), centers refine by even-odd crossing parity — the SAME IEEE
+    expression tree as the distributed PIP join, aggregated with map-side
+    combine on (zone_id, cell). Shuffle ∝ covering cells × edges-per-zone,
+    never a corpus. Bit-exact vs the oracle."""
+    if not 0 <= res <= 29:
+        raise ValueError(f"res must be in [0, 29], got {res}")
+    n = 1 << res
+    w, h = 360.0 / n, 180.0 / n
+    cov = cover_bbox_cells(
+        zones.select(
+            F.col(id_col),
+            F.col("bbox4326.xmin").alias("xmin"),
+            F.col("bbox4326.ymin").alias("ymin"),
+            F.col("bbox4326.xmax").alias("xmax"),
+            F.col("bbox4326.ymax").alias("ymax"),
+        ),
+        res=res,
+    ).select(id_col, "cell")
+    m = F.lit(1 << _IX_SHIFT)
+    cx = F.lit(-180.0) + (F.shiftright("cell", _IX_SHIFT) % m + F.lit(0.5)) * F.lit(w)
+    cy = F.lit(-90.0) + (F.col("cell") % m + F.lit(0.5)) * F.lit(h)
+    cand = cov.select(id_col, "cell", cx.alias("__cx"), cy.alias("__cy"))
+    j = cand.join(edges, id_col)
+    crossing = (
+        (F.col("ey1") > F.col("__cy")) != (F.col("ey2") > F.col("__cy"))
+    ) & (
+        F.col("__cx")
+        < (F.col("ex2") - F.col("ex1"))
+        * (F.col("__cy") - F.col("ey1"))
+        / (F.col("ey2") - F.col("ey1"))
+        + F.col("ex1")
+    )
+    return (
+        j.groupBy(id_col, "cell")
+        .agg(F.sum(crossing.cast("long")).alias("__c"))
+        .filter(F.col("__c") % 2 == 1)
+        .select(id_col, "cell")
+    )
+
+
+def cell_bounds(df: DataFrame, res: int, cell_col: str = "cell") -> DataFrame:
+    """H3 ``cellToBoundary`` analog on the quadtree scheme: append the
+    cell rectangle (cell_xmin/ymin/xmax/ymax) — pure codegen, exact
+    power-of-two edge arithmetic, ports verbatim to SQL."""
+    if not 0 <= res <= 29:
+        raise ValueError(f"res must be in [0, 29], got {res}")
+    n = 1 << res
+    w, h = 360.0 / n, 180.0 / n
+    m = F.lit(1 << _IX_SHIFT)
+    ix = F.shiftright(F.col(cell_col), _IX_SHIFT) % m
+    iy = F.col(cell_col) % m
+    return (
+        df.withColumn("cell_xmin", F.lit(-180.0) + ix * F.lit(w))
+        .withColumn("cell_ymin", F.lit(-90.0) + iy * F.lit(h))
+        .withColumn("cell_xmax", F.lit(-180.0) + (ix + 1) * F.lit(w))
+        .withColumn("cell_ymax", F.lit(-90.0) + (iy + 1) * F.lit(h))
+    )
+
+
+def polyfill_oracle_sql(
+    zones_rel: str, edges_rel: str, res: int, id_col: str = "zone_id"
+) -> str:
+    """DuckDB oracle for :func:`polyfill`: per-zone bbox covering (verbatim
+    clamp arithmetic, zone id carried) + crossing-parity center test."""
+    n = 1 << res
+    w, h = 360.0 / n, 180.0 / n
+    m = 1 << _IX_SHIFT
+    return f"""
+WITH cov AS (
+  SELECT {id_col},
+         (CAST({res} AS BIGINT) * {1 << _RES_SHIFT})
+         + ix * {m}
+         + unnest(generate_series(iy0, iy1)) AS cell
+  FROM (
+    SELECT {id_col}, unnest(generate_series(ix0, ix1)) AS ix, iy0, iy1
+    FROM (
+      SELECT {id_col},
+        CAST(least(greatest(floor((bbox4326.xmin + 180.0) / {w!r}), 0), {n - 1}) AS BIGINT) AS ix0,
+        CAST(least(greatest(floor((bbox4326.xmax + 180.0) / {w!r}), 0), {n - 1}) AS BIGINT) AS ix1,
+        CAST(least(greatest(floor((bbox4326.ymin + 90.0) / {h!r}), 0), {n - 1}) AS BIGINT) AS iy0,
+        CAST(least(greatest(floor((bbox4326.ymax + 90.0) / {h!r}), 0), {n - 1}) AS BIGINT) AS iy1
+      FROM {zones_rel}
+    )
+  )
+),
+cand AS (
+  SELECT {id_col}, cell,
+         -180.0 + (((cell // {m}) % {m}) + 0.5) * {w!r} AS cx,
+         -90.0 + ((cell % {m}) + 0.5) * {h!r} AS cy
+  FROM cov
+)
+SELECT c.{id_col}, c.cell
+FROM cand c JOIN {edges_rel} e USING ({id_col})
+WHERE (e.ey1 > c.cy) != (e.ey2 > c.cy)
+  AND c.cx < (e.ex2 - e.ex1) * (c.cy - e.ey1) / (e.ey2 - e.ey1) + e.ex1
+GROUP BY 1, 2
+HAVING count(*) % 2 = 1
+"""

@@ -118,3 +118,51 @@ def test_skew_report_rejects_bad_params(spark, docs):
         sj.skew_report(spark, docs, top_k=0)
     with pytest.raises(ValueError):
         sj.skew_report(spark, docs, target_rows=0)
+
+
+def test_polyfill_center_containment(spark, zones, sf_dir):
+    import os
+
+    import numpy as np
+
+    from gdal_common_python_spark.kernels import cells as cellk, geom
+    from gdal_common_python_spark.operators import layout
+
+    edges = spark.read.parquet(os.path.join(sf_dir, "zone_edges.parquet"))
+    got = layout.polyfill(zones, edges, res=9).toPandas()
+    rings = {
+        r["zone_id"]: geom.rings_from_cell(r["rings4326"])
+        for r in zones.select("zone_id", "rings4326").collect()
+    }
+    # exhaustively recompute via the kernel: bbox cover + center PIP
+    expect = set()
+    n = 1 << 9
+    w, h = 360.0 / n, 180.0 / n
+    for r in zones.select("zone_id", "bbox4326").collect():
+        b = r["bbox4326"]
+        cover = cellk.cover_bbox(b["xmin"], b["ymin"], b["xmax"], b["ymax"], 9)
+        e = geom.rings_to_edges(rings[r["zone_id"]])
+        _, ix, iy = cellk.decode(cover)
+        cx = -180.0 + (ix + 0.5) * w
+        cy = -90.0 + (iy + 0.5) * h
+        inside = geom.points_in_rings(cx, cy, e)
+        for c in cover[inside]:
+            expect.add((r["zone_id"], int(c)))
+    assert set(zip(got.zone_id, got.cell)) == expect
+    assert len(expect) > 0
+
+
+def test_cell_bounds_contains_encoded_point(spark):
+    import pandas as pd
+
+    from gdal_common_python_spark.kernels import cells as cellk
+    from gdal_common_python_spark.operators import layout
+
+    pts = [(-87.6, 41.8), (0.3, -0.2), (179.9, 89.9)]
+    cells = [int(cellk.encode(x, y, 9)) for x, y in pts]
+    df = spark.createDataFrame(pd.DataFrame({"cell": cells}))
+    got = {r["cell"]: r for r in layout.cell_bounds(df, res=9).collect()}
+    for (x, y), c in zip(pts, cells):
+        r = got[c]
+        assert r["cell_xmin"] <= x < r["cell_xmax"]
+        assert r["cell_ymin"] <= y < r["cell_ymax"]
