@@ -230,6 +230,17 @@ def q_spatial_join_pip_distributed(spark, sf_dir):
     )
 
 
+def q_spatial_anti_join(spark, sf_dir):
+    """Coverage-gap report: geo POINT spans in NO zone — the PIP join's
+    matched (doc_id, offset) keys distinct-reduced feed a LEFT ANTI join
+    against the point stream; shuffle carries keys + 2 doubles, never
+    span text. DuckDB mirror: NOT EXISTS over the same ray-cast PIP
+    subquery."""
+    return sj.spatial_anti_join(
+        spark, _synth(spark, sf_dir, "documents_spans"), _synth(spark, sf_dir, "zones")
+    )
+
+
 def q_spatial_join_polygons(spark, sf_dir):
     return sj.spatial_join_geoms(
         spark,
@@ -1925,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_extent": q_layer_extent,
         "spatial_join_pip_salted": q_spatial_join_pip_salted,
         "spatial_join_pip_distributed": q_spatial_join_pip_distributed,
+        "spatial_anti_join": q_spatial_anti_join,
         "spatial_join_polygons": q_spatial_join_polygons,
         "spatial_join_polygons_distributed": q_spatial_join_polygons_distributed,
         "tile_assignment": q_tile_assignment,
@@ -2080,6 +2092,22 @@ WHERE (e.ey1 > p.py) != (e.ey2 > p.py)
   AND p.px < (e.ex2 - e.ex1) * (p.py - e.ey1) / (e.ey2 - e.ey1) + e.ex1
 GROUP BY 1, 2, 3
 HAVING count(*) % 2 = 1
+"""
+
+_SQL_SPATIAL_ANTI_JOIN = f"""
+WITH pts AS (
+  SELECT doc_id, s."offset" AS off,
+         CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 1) AS DOUBLE) px,
+         CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 2) AS DOUBLE) py
+  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
+  WHERE s.kind='geo' AND s.text LIKE 'POINT%'
+),
+pip AS ({_SQL_SPATIAL_JOIN_PIP})
+SELECT p.doc_id, p.off AS "offset", p.px AS x, p.py AS y
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pip z WHERE z.doc_id = p.doc_id AND z."offset" = p.off
+)
 """
 
 # per-zone corpus rollup: PIP + media-geotag subqueries, integer aggregates
@@ -4381,6 +4409,7 @@ def oracle_sql() -> dict[str, str]:
         "layer_extent": _SQL_LAYER_EXTENT,
         "spatial_join_pip_salted": _SQL_SPATIAL_JOIN_PIP,
         "spatial_join_pip_distributed": _SQL_SPATIAL_JOIN_PIP,
+        "spatial_anti_join": _SQL_SPATIAL_ANTI_JOIN,
         "tile_assignment": _SQL_TILE_ASSIGNMENT,
         "knn": _SQL_KNN,
         "near_table": _SQL_NEAR,

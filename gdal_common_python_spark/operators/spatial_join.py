@@ -948,3 +948,31 @@ def join_partition_metrics(
         "input_points",
         F.coalesce("output_rows", F.lit(0).cast("long")).alias("output_rows"),
     )
+
+
+def spatial_anti_join(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    **join_kwargs,
+) -> DataFrame:
+    """Geo POINT spans covered by NO zone -> (doc_id, offset, x, y) — the
+    coverage-gap report (the complement of :func:`spatial_join_points`,
+    i.e. the rows ``join.intersect`` at lib/join.py:42-55 would NOT emit).
+    The typical consumer is geotag QA: documents whose coordinates fall in
+    open ocean / outside every admin polygon get routed to a review or
+    re-geocode stage instead of silently joining to nothing.
+
+    100 TB shape: the matched side of the LEFT ANTI join is the PIP join's
+    (doc_id, offset) key stream distinct-reduced — at most one row per geo
+    span, usually far fewer — and both sides hash-partition on the compound
+    key, so the anti join shuffles keys + 2 doubles per span, never span
+    text; AQE's skew split is the backstop on hot documents. Malformed
+    POINT spans (unparseable coordinates) are reported as uncovered: they
+    can never match any zone, and a QA report that silently dropped them
+    would hide exactly the rows most in need of review."""
+    pts = geo_points(docs)
+    matched = spatial_join_points(spark, docs, zones, **join_kwargs).select(
+        "doc_id", "offset"
+    )
+    return pts.join(matched, ["doc_id", "offset"], "left_anti")

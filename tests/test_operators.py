@@ -93,6 +93,21 @@ class TestSpatialJoin:
         }
         assert got == oracle
 
+    def test_anti_join_is_exact_complement(self, spark, docs, zones, zone_oracle_rings):
+        """spatial_anti_join returns exactly the geo points the PIP oracle
+        covers with NO zone, and together with the join's matched keys
+        partitions the point set."""
+        oracle = _pip_oracle(docs, zone_oracle_rings)
+        matched_keys = {(d, o) for d, o, _ in oracle}
+        pts = sj.geo_points(docs).toPandas()
+        all_keys = {(d, int(o)) for d, o in zip(pts.doc_id, pts.offset)}
+        got = {
+            (r.doc_id, int(r.offset))
+            for r in sj.spatial_anti_join(spark, docs, zones).collect()
+        }
+        assert got == all_keys - matched_keys
+        assert got and matched_keys  # both sides non-trivial on synth data
+
     def test_span_sequence_invariant(self, spark, docs, zones):
         """Span-sequence invariant: joining derived tables back onto the
         document spine leaves (kind, text, media_ref, order) untouched."""
