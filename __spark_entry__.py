@@ -166,6 +166,16 @@ def q_rewrite_dedup_media(spark, sf_dir):
     return rewrite_dedup_media(_synth(spark, sf_dir, "documents_spans"))
 
 
+def q_render_interleaved(spark, sf_dir):
+    """Serialize-for-the-trainer: each interleaved doc flattens to one
+    training string (text verbatim, media -> sentinel placeholder, geo
+    dropped) plus span/char counts — ZERO shuffle, one projection with
+    array HOF folds inside the scan."""
+    from gdal_common_python_spark.operators.multimodal import render_interleaved
+
+    return render_interleaved(_synth(spark, sf_dir, "documents_spans"))
+
+
 def q_strip_boilerplate(spark, sf_dir):
     """Corpus-frequency boilerplate strip on the interleaved spans shape:
     text spans repeated in >= 3 distinct docs struck everywhere, survivors
@@ -1927,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "caption_pairs": q_caption_pairs,
         "rewrite_dedup_media": q_rewrite_dedup_media,
+        "render_interleaved": q_render_interleaved,
         "strip_boilerplate": q_strip_boilerplate,
         "scrub_contaminated": q_scrub_contaminated,
         "pack_interleaved": q_pack_interleaved,
@@ -3669,6 +3680,7 @@ from gdal_common_python_spark.operators.multimodal import (
     media_dedup_oracle_sql as _md_sql,
     caption_pairs_oracle_sql as _cp_sql,
     rewrite_dedup_media_oracle_sql as _rdm_sql,
+    render_interleaved_oracle_sql as _ri_sql,
 )
 from gdal_common_python_spark.operators.curation import (
     strip_boilerplate_oracle_sql as _sb_sql,
@@ -3677,6 +3689,7 @@ from gdal_common_python_spark.operators.curation import (
 _SQL_MEDIA_DEDUP = _md_sql(_DOCS)
 _SQL_CAPTION_PAIRS = _cp_sql(_DOCS)
 _SQL_REWRITE_DEDUP_MEDIA = _rdm_sql(_DOCS)
+_SQL_RENDER_INTERLEAVED = _ri_sql(_DOCS)
 _SQL_STRIP_BOILERPLATE = _sb_sql(_DOCS, min_doc_freq=3)
 
 from gdal_common_python_spark.operators.curation import (  # noqa: E402
@@ -4506,6 +4519,7 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup": _SQL_MEDIA_DEDUP,
         "caption_pairs": _SQL_CAPTION_PAIRS,
         "rewrite_dedup_media": _SQL_REWRITE_DEDUP_MEDIA,
+        "render_interleaved": _SQL_RENDER_INTERLEAVED,
         "strip_boilerplate": _SQL_STRIP_BOILERPLATE,
         "scrub_contaminated": _SQL_SCRUB_CONTAMINATED,
         "pack_interleaved": _SQL_PACK_INTERLEAVED,

@@ -443,3 +443,72 @@ SELECT doc_id,
        kind, "text", media_ref
 FROM keep
 """
+
+
+def render_interleaved(
+    docs: DataFrame,
+    media_sentinel: str = "<|media|>",
+    sep: str = "\n",
+    geo: str = "drop",
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flatten each interleaved document into one training-ready string ->
+    (doc_id, text, n_text, n_media, n_chars): text spans render verbatim in
+    span order, media spans render as ``media_sentinel`` (the placeholder a
+    multimodal tokenizer later swaps for patch embeddings), geo spans are
+    dropped (``geo='drop'``) or rendered as their WKT text (``geo='wkt'``).
+    This is the final "serialize for the trainer" step after curation —
+    the inverse direction of every span-derived table in this package.
+
+    100 TB shape: ZERO shuffle — one projection over the document spine;
+    the span fold is array HOF expressions evaluated inside the scan (span
+    arrays are document-sized, so the interpreted-lambda tax is per-span
+    string CASEs, not a join or shuffle). Relies on the engine-wide
+    invariant that ``spans`` arrays are offset-ordered (synth writes them
+    so; ``rewrite_without`` re-binds dense offsets in order)."""
+    if geo not in ("drop", "wkt"):
+        raise ValueError("geo must be 'drop' or 'wkt'")
+    kinds = ("text", "media") if geo == "drop" else ("text", "media", "geo")
+    keep = F.filter(spans_col, lambda s: s["kind"].isin(*kinds))
+    parts = F.transform(
+        keep,
+        lambda s: F.when(
+            s["kind"] == "media", F.lit(media_sentinel)
+        ).otherwise(F.coalesce(s["text"], F.lit(""))),
+    )
+    txt = F.array_join(parts, sep)
+    n_of = lambda k: F.size(F.filter(spans_col, lambda s: s["kind"] == k))  # noqa: E731
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        txt.alias("text"),
+        n_of("text").alias("n_text"),
+        n_of("media").alias("n_media"),
+        F.length(txt).alias("n_chars"),
+    )
+
+
+def render_interleaved_oracle_sql(
+    rel: str, media_sentinel: str = "<|media|>", sep: str = "\n"
+) -> str:
+    """DuckDB mirror of :func:`render_interleaved` (geo='drop'): list
+    comprehensions over the spans array preserve span order exactly like
+    the engine's filter/transform HOFs — no unnest, so zero-renderable-span
+    documents stay present with text = ''."""
+    sent = media_sentinel.replace("'", "''")
+    s = sep.replace("'", "''").replace("\n", "\\n")
+    return f"""
+SELECT doc_id,
+       coalesce(array_to_string(
+         [CASE WHEN s.kind = 'media' THEN '{sent}'
+               ELSE coalesce(s."text", '') END
+          FOR s IN spans IF s.kind IN ('text', 'media')], e'{s}'), '') AS "text",
+       CAST(len([s FOR s IN spans IF s.kind = 'text']) AS INT) AS n_text,
+       CAST(len([s FOR s IN spans IF s.kind = 'media']) AS INT) AS n_media,
+       CAST(length(coalesce(array_to_string(
+         [CASE WHEN s.kind = 'media' THEN '{sent}'
+               ELSE coalesce(s."text", '') END
+          FOR s IN spans IF s.kind IN ('text', 'media')], e'{s}'), '')) AS INT)
+         AS n_chars
+FROM {rel}
+"""
