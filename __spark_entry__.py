@@ -1895,6 +1895,17 @@ def q_line_interpolate(spark, sf_dir):
     return tracks.line_interpolate(pts, frac_num=1, frac_den=2)
 
 
+def q_track_resample(spark, sf_dir):
+    """Fixed-size trajectory normalization: every document track
+    re-sampled at 5 equally spaced arc-length fractions (the sequence-
+    model input shape) — integer micro-unit cumsums + one double lerp
+    per output point, hash-exact."""
+    from gdal_common_python_spark.operators import tracks
+
+    pts = sj.geo_points(_synth(spark, sf_dir, "documents_spans"))
+    return tracks.track_resample(pts, n_points=5)
+
+
 def q_point_on_surface(spark, sf_dir):
     """ST_PointOnSurface analog: widest even-odd interval midpoint on the
     bbox-midline scanline — guaranteed interior, fully native windows over
@@ -1926,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_alloc": q_proximity_alloc,
         "point_on_surface": q_point_on_surface,
         "line_interpolate": q_line_interpolate,
+        "track_resample": q_track_resample,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "polyfill": q_polyfill,
@@ -3451,9 +3463,11 @@ _SQL_POINT_ON_SURFACE = _pos_sql(_ZONES, _EDGES)
 
 from gdal_common_python_spark.operators.tracks import (  # noqa: E402
     line_interpolate_oracle_sql as _li_sql,
+    track_resample_oracle_sql as _tr_sql,
 )
 
 _SQL_LINE_INTERPOLATE = _li_sql(_PTS_CTE, frac_num=1, frac_den=2)
+_SQL_TRACK_RESAMPLE = _tr_sql(_PTS_CTE, n_points=5)
 
 from gdal_common_python_spark.operators.text import (  # noqa: E402
     bpe_segment_oracle_sql as _bpeseg_sql,
@@ -4555,6 +4569,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_alloc": _SQL_PROXIMITY_ALLOC,
         "point_on_surface": _SQL_POINT_ON_SURFACE,
         "line_interpolate": _SQL_LINE_INTERPOLATE,
+        "track_resample": _SQL_TRACK_RESAMPLE,
         "bpe_train": _SQL_BPE_TRAIN,
         "bpe_segment": _SQL_BPE_SEGMENT,
         "polyfill": _SQL_POLYFILL,

@@ -214,3 +214,133 @@ FROM (SELECT *, (total * {int(frac_num)}) // {int(frac_den)} AS target FROM cum)
 WHERE seg_q > 0 AND cum >= target
 QUALIFY row_number() OVER (PARTITION BY track_id ORDER BY seq) = 1
 """
+
+
+def track_resample(
+    points: DataFrame,
+    n_points: int = 5,
+    id_col: str = "doc_id",
+    seq_col: str = "offset",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Arc-length track resampling -> (track_id, k, pos_x, pos_y): each
+    track re-sampled at ``n_points`` equally spaced arc-length fractions
+    k/(n_points-1), k = 0..n_points-1 — the fixed-size trajectory
+    normalization that feeds sequence models (every track becomes exactly
+    ``n_points`` ordered coordinates regardless of ping count). Generalizes
+    :func:`line_interpolate` from one fraction to the full grid, same
+    micro-unit discipline: quantized segment cumsums are exact integers,
+    target_k = (total * k) div (n_points-1) is integer, and the pick
+    (first segment with seg_q > 0, cum >= target, cum - seg_q <= target)
+    plus ONE double lerp is a fixed IEEE tree — hash-exact across engines.
+
+    Tracks with zero quantized length (single/coincident points) emit no
+    rows, like line_interpolate.
+
+    100 TB shape: the window pass shuffles once on the id hash; the
+    fraction grid joins per-track (hash equi-join on track_id; the grid
+    side is tracks x n_points rows, cheap next to the ping stream) and the
+    row_number pick shares the same partition. Intermediate size is
+    bounded by segments x n_points per track before the range filter —
+    n_points is a small constant by construction."""
+    if n_points < 2:
+        raise ValueError("n_points must be >= 2")
+    m = int(n_points) - 1
+    w = Window.partitionBy(id_col).orderBy(seq_col)
+    x2 = F.lead(x_col).over(w)
+    y2 = F.lead(y_col).over(w)
+    d = F.sqrt(
+        (x2 - F.col(x_col)) * (x2 - F.col(x_col))
+        + (y2 - F.col(y_col)) * (y2 - F.col(y_col))
+    )
+    segs = points.select(
+        F.col(id_col).alias("track_id"),
+        F.col(seq_col).alias("__seq"),
+        F.col(x_col).alias("__x1"),
+        F.col(y_col).alias("__y1"),
+        x2.alias("__x2"),
+        y2.alias("__y2"),
+        F.floor(d * 1e6).cast("long").alias("__seg_q"),
+    ).filter(F.col("__x2").isNotNull())
+    ws = Window.partitionBy("track_id").orderBy("__seq")
+    wall = Window.partitionBy("track_id")
+    segs = segs.withColumn(
+        "__cum", F.sum("__seg_q").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("__total", F.sum("__seg_q").over(wall))
+    targets = (
+        segs.groupBy("track_id")
+        .agg(F.max("__total").alias("__total"))
+        .filter(F.col("__total") > 0)
+        .select(
+            "track_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m))).alias("k"),
+            "__total",
+        )
+        .select(
+            "track_id",
+            "k",
+            F.expr(f"(__total * k) div {m}").alias("__target"),
+        )
+    )
+    hits = (
+        segs.join(targets, "track_id")
+        .filter(
+            (F.col("__seg_q") > 0)
+            & (F.col("__cum") >= F.col("__target"))
+            & (F.col("__cum") - F.col("__seg_q") <= F.col("__target"))
+        )
+    )
+    first = Window.partitionBy("track_id", "k").orderBy("__seq")
+    t = (F.col("__target") - (F.col("__cum") - F.col("__seg_q"))).cast(
+        "double"
+    ) / F.col("__seg_q").cast("double")
+    return (
+        hits.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "track_id",
+            "k",
+            (F.col("__x1") + t * (F.col("__x2") - F.col("__x1"))).alias("pos_x"),
+            (F.col("__y1") + t * (F.col("__y2") - F.col("__y1"))).alias("pos_y"),
+        )
+    )
+
+
+def track_resample_oracle_sql(pts_cte: str, n_points: int = 5) -> str:
+    """DuckDB oracle for :func:`track_resample`. ``pts_cte`` must yield
+    (doc_id, off, px, py); identical micro-unit windows + fraction grid."""
+    m = int(n_points) - 1
+    return f"""
+WITH pts AS ({pts_cte}),
+segs AS (
+  SELECT doc_id AS track_id, off AS seq, px AS x1, py AS y1,
+         lead(px) OVER w AS x2, lead(py) OVER w AS y2,
+         CAST(floor(sqrt((lead(px) OVER w - px) * (lead(px) OVER w - px)
+                       + (lead(py) OVER w - py) * (lead(py) OVER w - py))
+                    * 1e6) AS BIGINT) AS seg_q
+  FROM pts
+  WINDOW w AS (PARTITION BY doc_id ORDER BY off)
+),
+cum AS (
+  SELECT *,
+         sum(seg_q) OVER (PARTITION BY track_id ORDER BY seq
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(seg_q) OVER (PARTITION BY track_id) AS total
+  FROM segs WHERE x2 IS NOT NULL
+),
+targets AS (
+  SELECT track_id, k.k AS k, (max(total) * k.k) // {m} AS target
+  FROM cum, (SELECT unnest(range(0, {m + 1})) AS k) k
+  GROUP BY track_id, k.k
+  HAVING max(total) > 0
+)
+SELECT c.track_id, CAST(t.k AS INT) AS k,
+       x1 + (CAST(t.target - (c.cum - c.seg_q) AS DOUBLE)
+             / CAST(c.seg_q AS DOUBLE)) * (x2 - x1) AS pos_x,
+       y1 + (CAST(t.target - (c.cum - c.seg_q) AS DOUBLE)
+             / CAST(c.seg_q AS DOUBLE)) * (y2 - y1) AS pos_y
+FROM cum c JOIN targets t ON c.track_id = t.track_id
+WHERE c.seg_q > 0 AND c.cum >= t.target AND c.cum - c.seg_q <= t.target
+QUALIFY row_number() OVER (PARTITION BY c.track_id, t.k ORDER BY c.seq) = 1
+"""

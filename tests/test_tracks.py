@@ -109,3 +109,28 @@ def test_line_interpolate_midpoint_properties(spark, docs):
     # f=1 -> cumulative end: pos equals last vertex of the quantized walk
     e = tracks.line_interpolate(pts, 1, 1).toPandas()
     assert set(e.track_id) == set(z.track_id)
+
+
+def test_track_resample_straight_line(spark):
+    from gdal_common_python_spark.operators import tracks
+
+    # straight track 0..4 on the x axis: 5-point resample = unit spacing
+    pts = _pts(spark, [(1, i, float(i), 0.0) for i in range(5)])
+    out = sorted(
+        (r.k, r.pos_x, r.pos_y) for r in tracks.track_resample(pts, 5).collect()
+    )
+    assert [k for k, _, _ in out] == [0, 1, 2, 3, 4]
+    for k, x, y in out:
+        assert abs(x - float(k)) < 1e-9 and y == 0.0
+
+
+def test_track_resample_degenerate_and_validation(spark):
+    import pytest
+
+    from gdal_common_python_spark.operators import tracks
+
+    # single-point and coincident-point tracks emit no rows
+    pts = _pts(spark, [(1, 0, 1.0, 1.0), (2, 0, 3.0, 3.0), (2, 1, 3.0, 3.0)])
+    assert tracks.track_resample(pts, 4).count() == 0
+    with pytest.raises(ValueError):
+        tracks.track_resample(pts, 1)
