@@ -1510,6 +1510,17 @@ def q_raster_histogram(spark, sf_dir):
     return rasterinfo.raster_histogram(tiles, lo=0.0, hi=256.0, n_buckets=16, tile_size=32)
 
 
+def q_histogram_match(spark, sf_dir):
+    """Histogram matching remap table (r0/b1 normalized to r2/b1's
+    distribution): two value histograms + window cumsums + a cross-
+    multiplied INTEGER CDF pick — no float CDF forms, hash-exact; all
+    intermediates value-domain-sized, never pixel-sized."""
+    from gdal_common_python_spark.operators import rasterinfo
+
+    tiles = _synth(spark, sf_dir, "raster_tiles")
+    return rasterinfo.histogram_match(tiles, src=("r0", 1), ref=("r2", 1))
+
+
 def q_rgb2pct(spark, sf_dir):
     """rgb2pct analog (GDAL ComputeMedianCutPCT): level-synchronous balanced
     median cut over the distinct-(r,g,b) histogram — every per-level step is
@@ -2025,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sieve": q_sieve,
         "color_relief": q_color_relief,
         "raster_histogram": q_raster_histogram,
+        "histogram_match": q_histogram_match,
         "rgb2pct": q_rgb2pct,
         "pct2rgb": q_pct2rgb,
         "centroids": q_centroids,
@@ -3948,8 +3960,11 @@ del _grid_sql, _gidw_sql, _gnear_sql, _gmet_sql
 from gdal_common_python_spark.operators.rasterinfo import (
     color_relief_oracle_sql as _cr_sql,
     histogram_oracle_sql as _hist_sql,
+    histogram_match_oracle_sql as _hm_sql,
     raster_calc_oracle_sql as _calc_sql,
 )
+
+_SQL_HISTOGRAM_MATCH = _hm_sql(_TILES, src=("r0", 1), ref=("r2", 1))
 
 _SQL_COLOR_RELIEF = _cr_sql(_TILES, _RELIEF_RAMP)
 
@@ -4495,6 +4510,7 @@ def oracle_sql() -> dict[str, str]:
         "sieve": _SQL_SIEVE,
         "color_relief": _SQL_COLOR_RELIEF,
         "raster_histogram": _SQL_RASTER_HISTOGRAM,
+        "histogram_match": _SQL_HISTOGRAM_MATCH,
         "rgb2pct": _SQL_RGB2PCT,
         "pct2rgb": _SQL_PCT2RGB,
         "centroids": _SQL_CENTROIDS,

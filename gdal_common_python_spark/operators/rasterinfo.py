@@ -831,3 +831,93 @@ FROM agg a
 LEFT JOIN pairs p ON p.raster_id = a.raster_id AND p.band = a.band
 LEFT JOIN interior i ON i.raster_id = a.raster_id AND i.band = a.band
 """
+
+
+def histogram_match(
+    tiles: DataFrame,
+    src: tuple[str, int],
+    ref: tuple[str, int],
+    tile_size: int = 32,
+) -> DataFrame:
+    """Histogram matching (imagery normalization): map each distinct SOURCE
+    band value to the smallest REFERENCE band value whose CDF reaches the
+    source value's CDF -> the remap table (value, matched_value, n_pixels).
+    Applying the match is then a broadcast map join / `reclass`-style
+    lookup over the source tiles; the remap table IS the operator output
+    (value-domain-sized, never pixel-sized).
+
+    Exactness: the pick ``min{ r : cum_ref(r) * N_src >= cum_src(v) * N_ref }``
+    is a cross-multiplied INTEGER comparison — no float CDF ever forms, so
+    the result is hash-exact across engines. Exact while
+    ``max(cum) * N < 2^63`` (both sides under ~3e9 pixels); past that,
+    quantize the cumulative counts to parts-per-1e9 first (same pick to
+    1 ppb — the remap is a monotone step function either way).
+
+    100 TB shape: two map-side-combined groupBy(v) histograms (shuffle ∝
+    distinct values, never pixels), value-domain-sized window cumsums, and
+    one theta-join + min over the two value dimensions. Nodata pixels are
+    excluded on both sides (explode_pixels)."""
+    from pyspark.sql.window import Window
+
+    def hist(rid: str, band: int, tag: str) -> DataFrame:
+        h = (
+            explode_pixels(
+                tiles.where(
+                    (F.col("raster_id") == rid) & (F.col("band") == int(band))
+                ),
+                tile_size,
+            )
+            .groupBy(F.col("v").alias(f"{tag}_v"))
+            .agg(F.count("*").alias(f"{tag}_n"))
+        )
+        w = Window.partitionBy(F.lit(tag)).orderBy(f"{tag}_v")
+        return h.select(
+            f"{tag}_v",
+            f"{tag}_n",
+            F.sum(f"{tag}_n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(f"{tag}_cum"),
+            F.sum(f"{tag}_n").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias(f"{tag}_total"),
+        )
+
+    s, r = hist(*src, "s"), hist(*ref, "r")
+    return (
+        s.join(
+            F.broadcast(r),
+            F.col("r_cum") * F.col("s_total") >= F.col("s_cum") * F.col("r_total"),
+        )
+        .groupBy("s_v", "s_n")
+        .agg(F.min("r_v").alias("matched_value"))
+        .select(
+            F.col("s_v").alias("value"),
+            "matched_value",
+            F.col("s_n").alias("n_pixels"),
+        )
+    )
+
+
+def histogram_match_oracle_sql(
+    tiles_rel: str, src: tuple[str, int], ref: tuple[str, int]
+) -> str:
+    """DuckDB mirror of :func:`histogram_match` — identical histograms,
+    window cumsums, and cross-multiplied integer pick."""
+
+    def hist(rid: str, band: int) -> str:
+        return f"""
+  SELECT v, count(*) AS n,
+         sum(count(*)) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(count(*)) OVER () AS total
+  FROM (SELECT unnest(pixels) AS v, nodata FROM {tiles_rel}
+        WHERE raster_id = '{rid}' AND band = {int(band)})
+  WHERE v != nodata
+  GROUP BY v
+"""
+
+    return f"""
+WITH s AS ({hist(*src)}),
+r AS ({hist(*ref)})
+SELECT s.v AS value, min(r.v) AS matched_value,
+       CAST(s.n AS BIGINT) AS n_pixels
+FROM s JOIN r ON r.cum * s.total >= s.cum * r.total
+GROUP BY s.v, s.n
+"""

@@ -118,3 +118,48 @@ class TestTileIndex:
         )
         plan = rasterinfo.tile_index(cat)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestHistogramMatch:
+    def _two(self, spark, a: np.ndarray, b: np.ndarray):
+        import pandas as pd
+
+        rows = []
+        for rid, arr in (("a", a), ("b", b)):
+            rows.append(
+                dict(
+                    raster_id=rid, band=1, nodata=NODATA,
+                    tile_x=0, tile_y=0, tile_w=arr.shape[1], tile_h=arr.shape[0],
+                    pixels=arr.ravel().tolist(),
+                )
+            )
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    def test_identity_and_monotone(self, spark):
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 16, (8, 8)).astype(float)
+        tiles = self._two(spark, a, a)
+        out = rasterinfo.histogram_match(tiles, ("a", 1), ("a", 1), tile_size=8).toPandas()
+        # matching a raster to itself is the identity remap
+        assert (out.value == out.matched_value).all()
+        # remap of a to a different raster is monotone non-decreasing
+        b = rng.integers(50, 60, (8, 8)).astype(float)
+        out2 = (
+            rasterinfo.histogram_match(self._two(spark, a, b), ("a", 1), ("b", 1), tile_size=8)
+            .toPandas()
+            .sort_values("value")
+        )
+        assert (np.diff(out2.matched_value.to_numpy()) >= 0).all()
+        assert set(out2.matched_value) <= set(np.unique(b))
+
+    def test_planted_quartiles(self, spark):
+        # src: 4 values x 16 pixels each; ref: 4 other values x 16 each
+        a = np.repeat([0.0, 1.0, 2.0, 3.0], 16).reshape(8, 8)
+        b = np.repeat([10.0, 20.0, 30.0, 40.0], 16).reshape(8, 8)
+        out = {
+            r.value: r.matched_value
+            for r in rasterinfo.histogram_match(
+                self._two(spark, a, b), ("a", 1), ("b", 1), tile_size=8
+            ).collect()
+        }
+        assert out == {0.0: 10.0, 1.0: 20.0, 2.0: 30.0, 3.0: 40.0}
