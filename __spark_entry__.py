@@ -251,6 +251,14 @@ def q_spatial_anti_join(spark, sf_dir):
     )
 
 
+def q_edge_intersections(spark, sf_dir):
+    """Topology QA: proper crossings between boundary edges of different
+    zones via a cell-bucketed edge join (shuffle ∝ edges x covered cells,
+    never all-pairs) + one 2x2-determinant IEEE refine — hash-exact vs
+    the oracle's O(n^2) cross join."""
+    return sj.edge_intersections(spark, _synth(spark, sf_dir, "zone_edges"))
+
+
 def q_spatial_join_polygons(spark, sf_dir):
     return sj.spatial_join_geoms(
         spark,
@@ -1971,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_pip_salted": q_spatial_join_pip_salted,
         "spatial_join_pip_distributed": q_spatial_join_pip_distributed,
         "spatial_anti_join": q_spatial_anti_join,
+        "edge_intersections": q_edge_intersections,
         "spatial_join_polygons": q_spatial_join_polygons,
         "spatial_join_polygons_distributed": q_spatial_join_polygons_distributed,
         "tile_assignment": q_tile_assignment,
@@ -2128,6 +2137,12 @@ WHERE (e.ey1 > p.py) != (e.ey2 > p.py)
 GROUP BY 1, 2, 3
 HAVING count(*) % 2 = 1
 """
+
+from gdal_common_python_spark.operators.spatial_join import (  # noqa: E402
+    edge_intersections_oracle_sql as _ei_sql,
+)
+
+_SQL_EDGE_INTERSECTIONS = _ei_sql(_EDGES)
 
 _SQL_SPATIAL_ANTI_JOIN = f"""
 WITH pts AS (
@@ -4452,6 +4467,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_pip_salted": _SQL_SPATIAL_JOIN_PIP,
         "spatial_join_pip_distributed": _SQL_SPATIAL_JOIN_PIP,
         "spatial_anti_join": _SQL_SPATIAL_ANTI_JOIN,
+        "edge_intersections": _SQL_EDGE_INTERSECTIONS,
         "tile_assignment": _SQL_TILE_ASSIGNMENT,
         "knn": _SQL_KNN,
         "near_table": _SQL_NEAR,

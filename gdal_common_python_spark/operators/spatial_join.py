@@ -976,3 +976,115 @@ def spatial_anti_join(
         "doc_id", "offset"
     )
     return pts.join(matched, ["doc_id", "offset"], "left_anti")
+
+
+def edge_intersections(
+    spark: SparkSession,
+    edges: DataFrame,
+    res: int = 7,
+) -> DataFrame:
+    """Line-layer intersection points: every PROPER crossing between
+    boundary edges of two DIFFERENT zones -> (zone_a, zone_b, ix, iy),
+    zone_a < zone_b. Proper means the segments cross strictly in their
+    interiors (0 < t < 1 and 0 < u < 1 in the parametric solve); endpoint
+    touches and collinear overlaps are excluded by the strict tests. The
+    classic consumer is topology QA: admin boundaries that should only
+    share vertices but actually cross.
+
+    100 TB shape: each edge explodes to the grid cells its bbox covers at
+    ``res`` (native sequence x sequence, no UDF), candidate pairs form by
+    cell equi-join + zone_a < zone_b, duplicates from multi-cell overlap
+    drop on the full edge-pair identity BEFORE the refine — shuffle ∝
+    edges x covered cells, never the all-pairs square. The refine is one
+    fixed IEEE expression tree (2x2 determinant solve), identical in the
+    DuckDB oracle, so results are hash-exact."""
+    n = 1 << res
+    cw, chh = 360.0 / n, 180.0 / n
+
+    def cells_of(p: str) -> DataFrame:
+        lo_x = F.floor((F.least(f"{p}ex1", f"{p}ex2") + F.lit(180.0)) / F.lit(cw)).cast("long")
+        hi_x = F.floor((F.greatest(f"{p}ex1", f"{p}ex2") + F.lit(180.0)) / F.lit(cw)).cast("long")
+        lo_y = F.floor((F.least(f"{p}ey1", f"{p}ey2") + F.lit(90.0)) / F.lit(chh)).cast("long")
+        hi_y = F.floor((F.greatest(f"{p}ey1", f"{p}ey2") + F.lit(90.0)) / F.lit(chh)).cast("long")
+        clamp = lambda c: F.least(F.greatest(c, F.lit(0)), F.lit(n - 1))  # noqa: E731
+        return (
+            F.explode(F.sequence(clamp(lo_x), clamp(hi_x))).alias("cx"),
+            F.sequence(clamp(lo_y), clamp(hi_y)).alias("__cys"),
+        )
+
+    def side(tag: str) -> DataFrame:
+        e = edges.select(
+            F.col("zone_id").alias(f"{tag}zone"),
+            F.col("ex1").alias(f"{tag}ex1"), F.col("ey1").alias(f"{tag}ey1"),
+            F.col("ex2").alias(f"{tag}ex2"), F.col("ey2").alias(f"{tag}ey2"),
+        )
+        cx, cys = cells_of(tag)
+        return (
+            e.select("*", cx, cys)
+            .select("*", F.explode("__cys").alias("cy"))
+            .drop("__cys")
+        )
+
+    a, b = side("a"), side("b")
+    cand = (
+        a.join(b, ["cx", "cy"])
+        .where(F.col("azone") < F.col("bzone"))
+        .dropDuplicates(
+            ["azone", "aex1", "aey1", "aex2", "aey2",
+             "bzone", "bex1", "bey1", "bex2", "bey2"]
+        )
+    )
+    rx = F.col("aex2") - F.col("aex1")
+    ry = F.col("aey2") - F.col("aey1")
+    sx = F.col("bex2") - F.col("bex1")
+    sy = F.col("bey2") - F.col("bey1")
+    qx = F.col("bex1") - F.col("aex1")
+    qy = F.col("bey1") - F.col("aey1")
+    den = rx * sy - ry * sx
+    t = (qx * sy - qy * sx) / den
+    u = (qx * ry - qy * rx) / den
+    return (
+        cand.withColumn("__t", t)
+        .withColumn("__u", u)
+        .where(
+            (den != 0)
+            & (F.col("__t") > 0) & (F.col("__t") < 1)
+            & (F.col("__u") > 0) & (F.col("__u") < 1)
+        )
+        .select(
+            F.col("azone").alias("zone_a"),
+            F.col("bzone").alias("zone_b"),
+            (F.col("aex1") + F.col("__t") * rx).alias("ix"),
+            (F.col("aey1") + F.col("__t") * ry).alias("iy"),
+        )
+    )
+
+
+def edge_intersections_oracle_sql(edges_rel: str) -> str:
+    """DuckDB mirror of :func:`edge_intersections`: plain distinct-pair
+    cross join (the oracle side is allowed the O(n^2) plan), identical
+    strict parametric refine."""
+    return f"""
+WITH e AS (SELECT zone_id, ex1, ey1, ex2, ey2 FROM {edges_rel}),
+cand AS (
+  SELECT a.zone_id AS zone_a, a.ex1 aex1, a.ey1 aey1, a.ex2 aex2, a.ey2 aey2,
+         b.zone_id AS zone_b, b.ex1 bex1, b.ey1 bey1, b.ex2 bex2, b.ey2 bey2
+  FROM e a JOIN e b ON a.zone_id < b.zone_id
+),
+s AS (
+  SELECT *,
+         (aex2 - aex1) AS rx, (aey2 - aey1) AS ry,
+         (bex2 - bex1) AS sx, (bey2 - bey1) AS sy,
+         (bex1 - aex1) AS qx, (bey1 - aey1) AS qy
+  FROM cand
+),
+d AS (
+  SELECT *, rx * sy - ry * sx AS den,
+         (qx * sy - qy * sx) / (rx * sy - ry * sx) AS t,
+         (qx * ry - qy * rx) / (rx * sy - ry * sx) AS u
+  FROM s
+)
+SELECT zone_a, zone_b, aex1 + t * rx AS ix, aey1 + t * ry AS iy
+FROM d
+WHERE den != 0 AND t > 0 AND t < 1 AND u > 0 AND u < 1
+"""
