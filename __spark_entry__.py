@@ -1348,6 +1348,17 @@ def q_cell_rollup(spark, sf_dir):
     return layout.cell_rollup(pts, "x", "y", res_fine=12, res_coarse=7)
 
 
+def q_cell_smooth(spark, sf_dir):
+    """Hex-bin heatmap blur: per-cell point census + fixed (2k+1)^2
+    grid_disk dilation + a second cell-keyed agg — focal mean over the
+    implicit dense grid (absent cells are zero, window clipped at the
+    domain edge); one exact-integer division makes it hash-exact."""
+    from gdal_common_python_spark.operators import layout
+
+    pts = sj.geo_points(_synth(spark, sf_dir, "documents_spans"))
+    return layout.cell_smooth(pts, res=9, k=1)
+
+
 def q_vocabulary(spark, sf_dir):
     """Corpus vocabulary, top-200 by (count desc, token asc): the table
     behind tokenizer training / frequency filters. One partial-aggregated
@@ -2032,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_segment": q_orders_by_segment,
         "zorder_layout": q_zorder_layout,
         "cell_rollup": q_cell_rollup,
+        "cell_smooth": q_cell_smooth,
         "focal_mean": q_focal_mean,
         "hillshade": q_hillshade,
         "ruggedness": q_ruggedness,
@@ -3360,6 +3372,12 @@ WITH pts AS ({_PTS_CTE})
 )}
 """
 
+from gdal_common_python_spark.operators.layout import (  # noqa: E402
+    cell_smooth_oracle_sql as _cs_sql,
+)
+
+_SQL_CELL_SMOOTH = _cs_sql(_PTS_CTE, res=9, k=1)
+
 _SQL_VOCABULARY = """
 SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
 FROM (
@@ -4513,6 +4531,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_segment": _SQL_ORDERS_SEGMENT,
         "zorder_layout": _SQL_ZORDER_LAYOUT,
         "cell_rollup": _SQL_CELL_ROLLUP,
+        "cell_smooth": _SQL_CELL_SMOOTH,
         "focal_mean": _SQL_FOCAL_MEAN,
         "hillshade": _SQL_HILLSHADE,
         "slope": _SQL_SLOPE,

@@ -548,3 +548,88 @@ WHERE (e.ey1 > c.cy) != (e.ey2 > c.cy)
 GROUP BY 1, 2
 HAVING count(*) % 2 = 1
 """
+
+
+def cell_smooth(
+    points: DataFrame,
+    res: int = 9,
+    k: int = 1,
+    lon_col: str = "x",
+    lat_col: str = "y",
+) -> DataFrame:
+    """Focal (k-ring) smoothing of the per-cell point density — the
+    hex-bin heatmap blur: every cell within Chebyshev distance ``k`` of a
+    data cell gets (cell, total, area, smooth) where ``total`` sums the
+    point counts of its populated ring-``k`` neighbors, ``area`` is the
+    cell's FULL clipped window size ((2k+1)^2 away from the domain edge —
+    absent cells count as zero, a true focal mean over the implicit dense
+    grid), and ``smooth = total / area`` (one double division of exact
+    integers — hash-exact).
+
+    100 TB shape: one groupBy(cell) census (map-side combine; shuffle ∝
+    distinct cells), a fixed (2k+1)^2 dilation via :func:`grid_disk`
+    (never data-dependent fan-out), and a second cell-keyed aggregation
+    over the dilated stream. Points never move twice; the smoothing
+    operates entirely in cell space."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    n = 1 << res
+    counts = (
+        points.select(cell_expr(F.col(lon_col), F.col(lat_col), res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    dil = grid_disk(counts, res, k, cell_col="cell", out_col="neighbor")
+    m = F.lit(1 << _IX_SHIFT)
+    ix = F.shiftright(F.col("cell"), _IX_SHIFT) % m
+    iy = F.col("cell") % m
+    area = (
+        (F.least(ix + k, F.lit(n - 1)) - F.greatest(ix - k, F.lit(0)) + 1)
+        * (F.least(iy + k, F.lit(n - 1)) - F.greatest(iy - k, F.lit(0)) + 1)
+    ).cast("long")
+    return (
+        dil.groupBy(F.col("neighbor").alias("cell"))
+        .agg(F.sum("n").cast("long").alias("total"))
+        .select(
+            "cell",
+            "total",
+            area.alias("area"),
+            (F.col("total").cast("double") / area.cast("double")).alias("smooth"),
+        )
+    )
+
+
+def cell_smooth_oracle_sql(pts_cte: str, res: int = 9, k: int = 1) -> str:
+    """DuckDB mirror of :func:`cell_smooth` — same census, the
+    :func:`grid_disk_oracle_sql` dilation, and the clipped-window area."""
+    n = 1 << res
+    m = 1 << _IX_SHIFT
+    w, h = 360.0 / n, 180.0 / n
+    counts = f"""
+  SELECT (CAST({res} AS BIGINT) * {1 << _RES_SHIFT}) + ix * {m} + iy AS cell,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT
+      CAST(least(greatest(floor((px + 180.0) / {w!r}), 0), {n - 1}) AS BIGINT) AS ix,
+      CAST(least(greatest(floor((py + 90.0) / {h!r}), 0), {n - 1}) AS BIGINT) AS iy
+    FROM pts
+  ) GROUP BY 1
+"""
+    disk = grid_disk_oracle_sql(f"({counts})", res, k)
+    return f"""
+WITH pts AS ({pts_cte}),
+dil AS ({disk})
+SELECT neighbor AS cell,
+       CAST(sum(n) AS BIGINT) AS total,
+       CAST((least((neighbor // {m}) % {m} + {k}, {n - 1})
+             - greatest((neighbor // {m}) % {m} - {k}, 0) + 1)
+          * (least(neighbor % {m} + {k}, {n - 1})
+             - greatest(neighbor % {m} - {k}, 0) + 1) AS BIGINT) AS area,
+       CAST(sum(n) AS DOUBLE)
+       / CAST((least((neighbor // {m}) % {m} + {k}, {n - 1})
+               - greatest((neighbor // {m}) % {m} - {k}, 0) + 1)
+            * (least(neighbor % {m} + {k}, {n - 1})
+               - greatest(neighbor % {m} - {k}, 0) + 1) AS DOUBLE) AS smooth
+FROM dil
+GROUP BY neighbor
+"""

@@ -166,3 +166,42 @@ def test_cell_bounds_contains_encoded_point(spark):
         r = got[c]
         assert r["cell_xmin"] <= x < r["cell_xmax"]
         assert r["cell_ymin"] <= y < r["cell_ymax"]
+
+
+def test_cell_smooth_planted(spark):
+    """3 points in one res-2 cell, 1 in an adjacent cell: the dilated map
+    holds exact window sums and clipped areas."""
+    import pandas as pd
+
+    from gdal_common_python_spark.operators import layout
+
+    # res=2 -> 4x4 grid of 90x45-degree cells; pick interior cells (1,1)=(x
+    # in [-90,0), y in [-45,0)) and (2,1)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"x": [-45.0, -44.0, -43.0, 45.0], "y": [-22.0, -22.0, -22.0, -22.0]}
+        )
+    )
+    out = {
+        (int(r.cell) >> 29 & ((1 << 29) - 1), int(r.cell) & ((1 << 29) - 1)):
+            (r.total, r.area, r.smooth)
+        for r in layout.cell_smooth(pts, res=2, k=1).collect()
+    }
+    # cell (1,1) holds 3 points, (2,1) holds 1; k=1 windows are 3x3=9 inside
+    assert out[(1, 1)] == (4, 9, 4 / 9)      # sees both data cells
+    assert out[(2, 1)] == (4, 9, 4 / 9)
+    assert out[(0, 1)] == (3, 6, 0.5)        # edge column: 2x3 window
+    assert out[(3, 1)] == (1, 6, 1 / 6)
+    # dilation support: union of the two 3x3 disks = x in 0..3, y in 0..2
+    assert len(out) == 12
+
+
+def test_cell_smooth_validation(spark):
+    import pandas as pd
+    import pytest
+
+    from gdal_common_python_spark.operators import layout
+
+    pts = spark.createDataFrame(pd.DataFrame({"x": [0.0], "y": [0.0]}))
+    with pytest.raises(ValueError):
+        layout.cell_smooth(pts, res=2, k=-1)
