@@ -580,3 +580,45 @@ class TestSkewGridPlans:
         # the final n_buckets-row join must not shuffle the corpus again:
         # only hash/aggregate exchanges, no global sort
         assert "Sort [" not in p.split("== Physical Plan ==")[-1][:200]
+
+
+class TestNewOpsPlanShape:
+    def test_edge_intersections_no_cartesian(self, spark, sf_dir):
+        import os
+
+        edges = spark.read.parquet(os.path.join(sf_dir, "zone_edges.parquet"))
+        p = plan(sj.edge_intersections(spark, edges))
+        # the candidate join must be the cell equi-join, never all-pairs
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p[:2000]
+
+    def test_spatial_anti_join_is_left_anti(self, spark, docs, zones):
+        p = plan(sj.spatial_anti_join(spark, docs, zones))
+        assert "LeftAnti" in p, p[:2000]
+        assert "CartesianProduct" not in p
+
+    def test_render_interleaved_no_shuffle(self, spark, docs):
+        from gdal_common_python_spark.operators.multimodal import render_interleaved
+
+        p = plan(render_interleaved(docs))
+        assert "Exchange" not in p, p[:2000]
+
+    def test_cell_smooth_two_aggs_no_explode_of_points(self, spark, docs):
+        from gdal_common_python_spark.operators.layout import cell_smooth
+
+        pts = sj.geo_points(docs)
+        p = plan(cell_smooth(pts, res=9, k=1))
+        # census agg + dilated agg -> exactly two shuffles, both partial-agged
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p[:3000]
+        assert "partial_count" in p or "partial_sum" in p
+
+    def test_histogram_match_ref_side_broadcast(self, spark, sf_dir):
+        import os
+
+        from gdal_common_python_spark.operators.rasterinfo import histogram_match
+
+        tiles = spark.read.parquet(os.path.join(sf_dir, "raster_tiles.parquet"))
+        p = plan(histogram_match(tiles, ("r0", 1), ("r2", 1)))
+        # the value-domain theta-join must broadcast the reference histogram,
+        # not fall into a shuffled nested loop over pixel streams
+        assert "BroadcastNestedLoopJoin" in p, p[:2000]
+        assert "PushedFilters" in p
