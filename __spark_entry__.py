@@ -251,6 +251,16 @@ def q_spatial_anti_join(spark, sf_dir):
     )
 
 
+def q_zone_mean_center(spark, sf_dir):
+    """Per-zone mean center + max-radius dispersion of the corpus geo
+    points: micro-unit integer sums (order-free exact), one fixed double
+    division per coordinate, order-free integer max — hash-exact; centers
+    are zone-dimension-sized and broadcast back for the dispersion pass."""
+    return sj.zone_mean_center(
+        spark, _synth(spark, sf_dir, "documents_spans"), _synth(spark, sf_dir, "zones")
+    )
+
+
 def q_edge_intersections(spark, sf_dir):
     """Topology QA: proper crossings between boundary edges of different
     zones via a cell-bucketed edge join (shuffle ∝ edges x covered cells,
@@ -1991,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_pip_distributed": q_spatial_join_pip_distributed,
         "spatial_anti_join": q_spatial_anti_join,
         "edge_intersections": q_edge_intersections,
+        "zone_mean_center": q_zone_mean_center,
         "spatial_join_polygons": q_spatial_join_polygons,
         "spatial_join_polygons_distributed": q_spatial_join_polygons_distributed,
         "tile_assignment": q_tile_assignment,
@@ -3340,6 +3351,13 @@ _PTS_CTE = f"""
 """
 
 
+from gdal_common_python_spark.operators.spatial_join import (  # noqa: E402
+    zone_mean_center_oracle_sql as _zmc_sql,
+)
+
+_SQL_ZONE_MEAN_CENTER = _zmc_sql(_SQL_SPATIAL_JOIN_PIP, _PTS_CTE)
+
+
 def _sql_grid_ixy(res: int) -> str:
     n = 1 << res
     return (
@@ -4486,6 +4504,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_pip_distributed": _SQL_SPATIAL_JOIN_PIP,
         "spatial_anti_join": _SQL_SPATIAL_ANTI_JOIN,
         "edge_intersections": _SQL_EDGE_INTERSECTIONS,
+        "zone_mean_center": _SQL_ZONE_MEAN_CENTER,
         "tile_assignment": _SQL_TILE_ASSIGNMENT,
         "knn": _SQL_KNN,
         "near_table": _SQL_NEAR,

@@ -1088,3 +1088,83 @@ SELECT zone_a, zone_b, aex1 + t * rx AS ix, aey1 + t * ry AS iy
 FROM d
 WHERE den != 0 AND t > 0 AND t < 1 AND u > 0 AND u < 1
 """
+
+
+def zone_mean_center(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    **join_kwargs,
+) -> DataFrame:
+    """Per-zone spatial central tendency + dispersion of the corpus's geo
+    points -> (zone_id, n_points, cx, cy, max_r_micro): the mean center of
+    every point the PIP join puts in the zone, and the max point distance
+    from that center in floor-quantized integer micro-degrees — the
+    "where is this zone's data, and how spread" report (mean center / max
+    radius are the first two spatial statistics of any point-pattern
+    toolkit).
+
+    Exactness: coordinates floor-quantize to int64 micro-degrees BEFORE
+    the sums (order-independent exact integers; |x|<=180e6 so 2^63 admits
+    ~5e10 points per zone), cx = sum_micro / (n * 1e6) is one fixed double
+    division, and max over per-point floor(dist * 1e6) ints is order-free
+    — hash-exact in both engines.
+
+    100 TB shape: the PIP join's shuffles plus one map-side-combined
+    groupBy(zone_id); the centers table is zone-dimension-sized and joins
+    back broadcast for the dispersion max — points shuffle once into the
+    zone partition and never again."""
+    pts = geo_points(docs)
+    pip = spatial_join_points(spark, docs, zones, **join_kwargs)
+    zp = pip.join(pts, ["doc_id", "offset"]).select("zone_id", "x", "y")
+    centers = zp.groupBy("zone_id").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum(F.floor(F.col("x") * 1e6).cast("long")).alias("__sx"),
+        F.sum(F.floor(F.col("y") * 1e6).cast("long")).alias("__sy"),
+    ).select(
+        "zone_id",
+        "n_points",
+        (F.col("__sx").cast("double") / (F.col("n_points").cast("double") * 1e6)).alias("cx"),
+        (F.col("__sy").cast("double") / (F.col("n_points").cast("double") * 1e6)).alias("cy"),
+    )
+    dx = F.col("x") - F.col("cx")
+    dy = F.col("y") - F.col("cy")
+    disp = (
+        zp.join(F.broadcast(centers), "zone_id")
+        .groupBy("zone_id")
+        .agg(
+            F.max(F.floor(F.sqrt(dx * dx + dy * dy) * 1e6).cast("long")).alias(
+                "max_r_micro"
+            )
+        )
+    )
+    return centers.join(F.broadcast(disp), "zone_id").select(
+        "zone_id", "n_points", "cx", "cy", "max_r_micro"
+    )
+
+
+def zone_mean_center_oracle_sql(pip_sql: str, pts_cte: str) -> str:
+    """DuckDB mirror of :func:`zone_mean_center` over the shared ray-cast
+    PIP subquery — identical micro-unit sums, division tree, and max."""
+    return f"""
+WITH pts AS ({pts_cte}),
+pip AS ({pip_sql}),
+zp AS (
+  SELECT z.zone_id, p.px AS x, p.py AS y
+  FROM pip z JOIN pts p ON z.doc_id = p.doc_id AND z."offset" = p.off
+),
+centers AS (
+  SELECT zone_id, CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
+           / (CAST(count(*) AS DOUBLE) * 1e6) AS cx,
+         CAST(sum(CAST(floor(y * 1e6) AS BIGINT)) AS DOUBLE)
+           / (CAST(count(*) AS DOUBLE) * 1e6) AS cy
+  FROM zp GROUP BY zone_id
+)
+SELECT c.zone_id, c.n_points, c.cx, c.cy,
+       max(CAST(floor(sqrt((z.x - c.cx) * (z.x - c.cx)
+                         + (z.y - c.cy) * (z.y - c.cy)) * 1e6) AS BIGINT))
+         AS max_r_micro
+FROM zp z JOIN centers c ON z.zone_id = c.zone_id
+GROUP BY c.zone_id, c.n_points, c.cx, c.cy
+"""

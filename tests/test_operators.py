@@ -718,3 +718,28 @@ def test_zone_corpus_profile_counts(spark, docs, zones):
         assert row.n_points == agg["pts"]
         assert row.text_chars == sum(chars[d] for d in agg["docs"])
         assert row.n_media == media_ct.get(z, 0)
+
+
+class TestZoneMeanCenter:
+    def test_matches_numpy(self, spark, docs, zones, zone_oracle_rings):
+        import numpy as np
+
+        oracle = _pip_oracle(docs, zone_oracle_rings)
+        pts = sj.geo_points(docs).toPandas().set_index(["doc_id", "offset"])
+        by_zone = {}
+        for d, o, z in oracle:
+            by_zone.setdefault(z, []).append(tuple(pts.loc[(d, o)][["x", "y"]]))
+        got = {r.zone_id: r for r in sj.zone_mean_center(spark, docs, zones).collect()}
+        assert set(got) == set(by_zone)
+        for z, pp in by_zone.items():
+            p = np.asarray(pp)
+            n = len(p)
+            cx = np.floor(p[:, 0] * 1e6).astype(np.int64).sum() / (n * 1e6)
+            cy = np.floor(p[:, 1] * 1e6).astype(np.int64).sum() / (n * 1e6)
+            r = got[z]
+            assert r.n_points == n
+            assert abs(r.cx - cx) < 1e-12 and abs(r.cy - cy) < 1e-12
+            mr = int(
+                np.floor(np.sqrt(((p - [cx, cy]) ** 2).sum(axis=1)).max() * 1e6)
+            )
+            assert r.max_r_micro == mr
