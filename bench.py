@@ -644,6 +644,15 @@ def _emit(result):
             compact["queries_shown"] = len(shown)
             break
     print(json.dumps(compact, separators=(",", ":")))
+    # the record is on disk and on stdout — exit unconditionally. Without
+    # this the process lingers forever after the last line: the py4j
+    # gateway JVM (and its non-daemon threads) survives spark.stop(), and a
+    # driver that waits on process exit instead of parsing the tail would
+    # read that as a hang (observed: every bench run this session needed an
+    # external kill minutes after printing its record).
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
