@@ -251,6 +251,19 @@ def q_spatial_anti_join(spark, sf_dir):
     )
 
 
+def q_zone_keywords(spark, sf_dir):
+    """Regional vocabulary (geo x text composition): top-5 tokens per zone
+    over PIP-geotagged docs — doc->zone memberships distinct-reduce before
+    text is touched, (zone, token) counts map-side combine, the ranking
+    window runs over the aggregated table only."""
+    return sj.zone_keywords(
+        spark,
+        _synth(spark, sf_dir, "documents_spans"),
+        _synth(spark, sf_dir, "zones"),
+        top_k=5,
+    )
+
+
 def q_zone_mean_center(spark, sf_dir):
     """Per-zone mean center + max-radius dispersion of the corpus geo
     points: micro-unit integer sums (order-free exact), one fixed double
@@ -2002,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_anti_join": q_spatial_anti_join,
         "edge_intersections": q_edge_intersections,
         "zone_mean_center": q_zone_mean_center,
+        "zone_keywords": q_zone_keywords,
         "spatial_join_polygons": q_spatial_join_polygons,
         "spatial_join_polygons_distributed": q_spatial_join_polygons_distributed,
         "tile_assignment": q_tile_assignment,
@@ -3352,10 +3366,12 @@ _PTS_CTE = f"""
 
 
 from gdal_common_python_spark.operators.spatial_join import (  # noqa: E402
+    zone_keywords_oracle_sql as _zk_sql,
     zone_mean_center_oracle_sql as _zmc_sql,
 )
 
 _SQL_ZONE_MEAN_CENTER = _zmc_sql(_SQL_SPATIAL_JOIN_PIP, _PTS_CTE)
+_SQL_ZONE_KEYWORDS = _zk_sql(_SQL_SPATIAL_JOIN_PIP, _DOCS, top_k=5)
 
 
 def _sql_grid_ixy(res: int) -> str:
@@ -4505,6 +4521,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_anti_join": _SQL_SPATIAL_ANTI_JOIN,
         "edge_intersections": _SQL_EDGE_INTERSECTIONS,
         "zone_mean_center": _SQL_ZONE_MEAN_CENTER,
+        "zone_keywords": _SQL_ZONE_KEYWORDS,
         "tile_assignment": _SQL_TILE_ASSIGNMENT,
         "knn": _SQL_KNN,
         "near_table": _SQL_NEAR,

@@ -1168,3 +1168,81 @@ SELECT c.zone_id, c.n_points, c.cx, c.cy,
 FROM zp z JOIN centers c ON z.zone_id = c.zone_id
 GROUP BY c.zone_id, c.n_points, c.cx, c.cy
 """
+
+
+def zone_keywords(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    top_k: int = 5,
+    **join_kwargs,
+) -> DataFrame:
+    """Regional vocabulary: the ``top_k`` most frequent text tokens among
+    the documents the PIP join geotags to each zone ->
+    (zone_id, rank, token, n) with the engine-wide deterministic tie order
+    (count desc, token asc). The geo x text composition query: "what is
+    the corpus about, by region" — a training-data curation report no
+    single-domain operator covers.
+
+    100 TB shape: doc->zone memberships distinct-reduce to one row per
+    (doc, zone) BEFORE touching text; the token stream (exploded from text
+    spans with the shared ``text.tokens`` split) joins them on doc_id —
+    one hash shuffle each side — and the (zone, token) count aggregation
+    is map-side combined, so the big shuffle carries ~distinct (zone,
+    token) pairs per partition, not the raw token stream. The final
+    ``top_k`` window runs per zone over the aggregated table only. A doc
+    inside several overlapping zones counts toward each (join semantics,
+    mirrored by the oracle)."""
+    from pyspark.sql.window import Window
+
+    from .text import tokens
+
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    dz = (
+        spatial_join_points(spark, docs, zones, **join_kwargs)
+        .select("doc_id", "zone_id")
+        .distinct()
+    )
+    toks = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "text")
+        .where(F.length(F.trim(F.col("s.text"))) > 0)
+        .select("doc_id", F.explode(tokens(F.col("s.text"))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    zt = (
+        toks.join(dz, "doc_id")
+        .groupBy("zone_id", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("zone_id").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        zt.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(top_k))
+        .select("zone_id", "rank", "token", "n")
+    )
+
+
+def zone_keywords_oracle_sql(pip_sql: str, docs_rel: str, top_k: int = 5) -> str:
+    """DuckDB mirror of :func:`zone_keywords` over the shared ray-cast PIP
+    subquery — identical tokenization, counts, and QUALIFY tie order."""
+    return f"""
+WITH pip AS ({pip_sql}),
+dz AS (SELECT DISTINCT doc_id, zone_id FROM pip),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(s.text)), '\\s+')) AS token
+  FROM (SELECT doc_id, unnest(spans) s FROM {docs_rel})
+  WHERE s.kind = 'text' AND length(trim(s.text)) > 0
+),
+zt AS (
+  SELECT dz.zone_id, t.token, CAST(count(*) AS BIGINT) AS n
+  FROM toks t JOIN dz ON t.doc_id = dz.doc_id
+  WHERE t.token != ''
+  GROUP BY 1, 2
+)
+SELECT zone_id, CAST(row_number() OVER w AS INT) AS rank, token, n
+FROM zt
+WINDOW w AS (PARTITION BY zone_id ORDER BY n DESC, token ASC)
+QUALIFY rank <= {int(top_k)}
+"""

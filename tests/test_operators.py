@@ -743,3 +743,42 @@ class TestZoneMeanCenter:
                 np.floor(np.sqrt(((p - [cx, cy]) ** 2).sum(axis=1)).max() * 1e6)
             )
             assert r.max_r_micro == mr
+
+
+class TestZoneKeywords:
+    def test_matches_python_oracle(self, spark, docs, zones, zone_oracle_rings):
+        from collections import Counter
+
+        oracle = _pip_oracle(docs, zone_oracle_rings)
+        doc_zones = {}
+        for d, _, z in oracle:
+            doc_zones.setdefault(d, set()).add(z)
+        spans = docs.select("doc_id", F.explode("spans").alias("s")).where(
+            F.col("s.kind") == "text"
+        ).select("doc_id", F.col("s.text").alias("t")).toPandas()
+        counts = {}
+        for r in spans.itertuples():
+            if r.t is None or not r.t.strip():
+                continue
+            import re as _re
+
+            toks = _re.split(r"\s+", r.t.strip().lower())
+            for z in doc_zones.get(r.doc_id, ()):
+                c = counts.setdefault(z, Counter())
+                c.update(t for t in toks if t)
+        exp = set()
+        for z, c in counts.items():
+            ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+            for i, (tok, n) in enumerate(ranked, 1):
+                exp.add((z, i, tok, n))
+        got = {
+            (r.zone_id, r.rank, r.token, r.n)
+            for r in sj.zone_keywords(spark, docs, zones, top_k=5).collect()
+        }
+        assert got == exp and got
+
+    def test_top_k_validation(self, spark, docs, zones):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            sj.zone_keywords(spark, docs, zones, top_k=0)
