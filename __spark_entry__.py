@@ -251,6 +251,29 @@ def q_spatial_anti_join(spark, sf_dir):
     )
 
 
+def q_track_profile(spark, sf_dir):
+    """Terrain-under-trajectory report: every geo point sampled against
+    every raster band (shared R1 trunc rule + tile-key equi-join), then
+    per-(track, band) gain/loss in floor-quantized micro-units (order-free
+    integer sums) with order-free min/max — hash-exact."""
+    from gdal_common_python_spark.operators.sample import track_profile
+
+    return track_profile(
+        _synth(spark, sf_dir, "documents_spans"),
+        _synth(spark, sf_dir, "raster_tiles"),
+        tile_size=32,
+    )
+
+
+def q_route_zone_sequence(spark, sf_dir):
+    """Itinerary extraction: ordered zone sequence per document track
+    (consecutive repeats collapsed, dense re-rank) — after the PIP join
+    everything is three window passes in ONE doc_id hash partition."""
+    return sj.route_zone_sequence(
+        spark, _synth(spark, sf_dir, "documents_spans"), _synth(spark, sf_dir, "zones")
+    )
+
+
 def q_zone_keywords(spark, sf_dir):
     """Regional vocabulary (geo x text composition): top-5 tokens per zone
     over PIP-geotagged docs — doc->zone memberships distinct-reduce before
@@ -2016,6 +2039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_intersections": q_edge_intersections,
         "zone_mean_center": q_zone_mean_center,
         "zone_keywords": q_zone_keywords,
+        "route_zone_sequence": q_route_zone_sequence,
+        "track_profile": q_track_profile,
         "spatial_join_polygons": q_spatial_join_polygons,
         "spatial_join_polygons_distributed": q_spatial_join_polygons_distributed,
         "tile_assignment": q_tile_assignment,
@@ -3366,9 +3391,18 @@ _PTS_CTE = f"""
 
 
 from gdal_common_python_spark.operators.spatial_join import (  # noqa: E402
+    route_zone_sequence_oracle_sql as _rzs_sql,
     zone_keywords_oracle_sql as _zk_sql,
     zone_mean_center_oracle_sql as _zmc_sql,
 )
+
+_SQL_ROUTE_ZONE_SEQUENCE = _rzs_sql(_SQL_SPATIAL_JOIN_PIP)
+
+from gdal_common_python_spark.operators.sample import (  # noqa: E402
+    track_profile_oracle_sql as _tpf_sql,
+)
+
+_SQL_TRACK_PROFILE = _tpf_sql(_PTS_CTE, _TILES)
 
 _SQL_ZONE_MEAN_CENTER = _zmc_sql(_SQL_SPATIAL_JOIN_PIP, _PTS_CTE)
 _SQL_ZONE_KEYWORDS = _zk_sql(_SQL_SPATIAL_JOIN_PIP, _DOCS, top_k=5)
@@ -4522,6 +4556,8 @@ def oracle_sql() -> dict[str, str]:
         "edge_intersections": _SQL_EDGE_INTERSECTIONS,
         "zone_mean_center": _SQL_ZONE_MEAN_CENTER,
         "zone_keywords": _SQL_ZONE_KEYWORDS,
+        "route_zone_sequence": _SQL_ROUTE_ZONE_SEQUENCE,
+        "track_profile": _SQL_TRACK_PROFILE,
         "tile_assignment": _SQL_TILE_ASSIGNMENT,
         "knn": _SQL_KNN,
         "near_table": _SQL_NEAR,

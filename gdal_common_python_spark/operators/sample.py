@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def sample_raster_at_points(
-    points: DataFrame, tiles: DataFrame, tile_size: int = 32
+    points: DataFrame,
+    tiles: DataFrame,
+    tile_size: int = 32,
+    id_cols: tuple[str, ...] = ("point_id",),
 ) -> DataFrame:
     """Value of every raster band at every point ->
     (point_id, raster_id, band, px, py, value, value_masked).
@@ -46,7 +49,8 @@ def sample_raster_at_points(
         )
         .dropDuplicates(["raster_id", "band"])
     )
-    p = points.select("point_id", "x", "y").crossJoin(F.broadcast(meta))
+    ids = list(id_cols)
+    p = points.select(*ids, "x", "y").crossJoin(F.broadcast(meta))
     gx = ((F.col("x") - F.col("origin_x")) / F.col("px_x")).cast("long")
     gy = ((F.col("y") - F.col("origin_y")) / F.col("px_y")).cast("long")
     located = (
@@ -59,7 +63,7 @@ def sample_raster_at_points(
             & (F.col("py") < F.col("height"))
         )
         .select(
-            "point_id", "raster_id", "band", "px", "py",
+            *ids, "raster_id", "band", "px", "py",
             F.floor(F.col("px") / tile_size).cast("int").alias("tile_x"),
             F.floor(F.col("py") / tile_size).cast("int").alias("tile_y"),
         )
@@ -77,7 +81,7 @@ def sample_raster_at_points(
         ).cast("int"),
     )
     return joined.select(
-        "point_id", "raster_id", "band", "px", "py",
+        *ids, "raster_id", "band", "px", "py",
         value.alias("value"),
         F.when(value == F.col("nodata"), F.lit(None).cast("double"))
         .otherwise(value)
@@ -112,7 +116,8 @@ def sample_raster_bilinear(
         )
         .dropDuplicates(["raster_id", "band"])
     )
-    p = points.select("point_id", "x", "y").crossJoin(F.broadcast(meta))
+    ids = list(id_cols)
+    p = points.select(*ids, "x", "y").crossJoin(F.broadcast(meta))
     fx = (F.col("x") - F.col("origin_x")) / F.col("px_x") - F.lit(0.5)
     fy = (F.col("y") - F.col("origin_y")) / F.col("px_y") - F.lit(0.5)
     p = (
@@ -263,4 +268,105 @@ v AS (
 SELECT point_id, raster_id, band, px, py, value,
        CASE WHEN value = nodata THEN NULL ELSE value END AS value_masked
 FROM v
+"""
+
+
+def track_profile(
+    docs: DataFrame, tiles: DataFrame, tile_size: int = 32
+) -> DataFrame:
+    """Raster profile along each document track -> (doc_id, raster_id,
+    band, n_samples, vmin, vmax, gain_micro, loss_micro): every geo POINT
+    span sampled against every raster band (the R1 trunc rule shared with
+    :func:`sample_raster_at_points`), nodata/off-raster points dropped,
+    and the surviving values walked in span-offset order — the "terrain
+    under the trajectory" report (elevation gain/loss, range).
+
+    Exactness: consecutive-sample deltas floor-quantize to int64
+    micro-units BEFORE the gain/loss sums (the tracks-module discipline —
+    order-independent exact integers); vmin/vmax are order-free doubles.
+
+    100 TB shape: the sampling is the proven broadcast-meta + tile-key
+    equi-join (shuffle ∝ in-bounds samples); the profile is one window
+    pass + one groupBy sharing the same (doc, raster, band) hash
+    partition."""
+    from pyspark.sql.window import Window
+
+    from .spatial_join import geo_points  # local import: avoid cycle at module load
+
+    pts = geo_points(docs)
+    s = sample_raster_at_points(
+        pts, tiles, tile_size=tile_size, id_cols=("doc_id", "offset")
+    ).where(F.col("value_masked").isNotNull())
+    w = Window.partitionBy("doc_id", "raster_id", "band").orderBy("offset")
+    prev = F.lag("value_masked").over(w)
+    dq = F.floor((F.col("value_masked") - prev) * 1e6).cast("long")
+    seg = s.select(
+        "doc_id", "raster_id", "band", "value_masked",
+        F.when(prev.isNull(), F.lit(0)).otherwise(F.greatest(dq, F.lit(0))).alias("__gain"),
+        F.when(prev.isNull(), F.lit(0)).otherwise(F.greatest(-dq, F.lit(0))).alias("__loss"),
+    )
+    return seg.groupBy("doc_id", "raster_id", "band").agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.min("value_masked").alias("vmin"),
+        F.max("value_masked").alias("vmax"),
+        F.sum("__gain").cast("long").alias("gain_micro"),
+        F.sum("__loss").cast("long").alias("loss_micro"),
+    )
+
+
+def track_profile_oracle_sql(
+    pts_cte: str, tiles_rel: str, tile_size: int = 32
+) -> str:
+    """DuckDB mirror of :func:`track_profile`; ``pts_cte`` must yield
+    (doc_id, off, px, py) coordinate columns (the shared PIP point CTE)."""
+    return f"""
+WITH pts AS ({pts_cte}),
+meta AS (
+  SELECT raster_id, band,
+         any_value(origin_x) AS ox, any_value(origin_y) AS oy,
+         any_value(px_x) AS rx, any_value(px_y) AS ry,
+         any_value(width) AS w, any_value(height) AS h
+  FROM {tiles_rel}
+  GROUP BY 1, 2
+),
+loc AS (
+  SELECT p.doc_id, p.off, m.raster_id, m.band,
+         CAST(trunc((p.px - m.ox) / m.rx) AS BIGINT) AS gx,
+         CAST(trunc((p.py - m.oy) / m.ry) AS BIGINT) AS gy,
+         m.w, m.h
+  FROM pts p CROSS JOIN meta m
+),
+ok AS (
+  SELECT * FROM loc WHERE gx >= 0 AND gx < w AND gy >= 0 AND gy < h
+),
+v AS (
+  SELECT o.doc_id, o.off, o.raster_id, o.band,
+         t.pixels[CAST((o.gy - CAST(t.tile_y AS BIGINT) * {tile_size}) * t.tile_w
+                       + (o.gx - CAST(t.tile_x AS BIGINT) * {tile_size}) + 1 AS INT)]
+           AS value,
+         t.nodata
+  FROM ok o
+  JOIN {tiles_rel} t
+    ON t.raster_id = o.raster_id AND t.band = o.band
+   AND t.tile_x = o.gx // {tile_size} AND t.tile_y = o.gy // {tile_size}
+),
+kept AS (
+  SELECT doc_id, off, raster_id, band, value
+  FROM v WHERE value != nodata
+),
+seg AS (
+  SELECT doc_id, raster_id, band, value,
+         CAST(floor((value - lag(value) OVER w) * 1e6) AS BIGINT) AS dq
+  FROM kept
+  WINDOW w AS (PARTITION BY doc_id, raster_id, band ORDER BY off)
+)
+SELECT doc_id, raster_id, band,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       min(value) AS vmin, max(value) AS vmax,
+       CAST(sum(CASE WHEN dq IS NULL THEN 0 ELSE greatest(dq, 0) END) AS BIGINT)
+         AS gain_micro,
+       CAST(sum(CASE WHEN dq IS NULL THEN 0 ELSE greatest(-dq, 0) END) AS BIGINT)
+         AS loss_micro
+FROM seg
+GROUP BY doc_id, raster_id, band
 """

@@ -1246,3 +1246,57 @@ FROM zt
 WINDOW w AS (PARTITION BY zone_id ORDER BY n DESC, token ASC)
 QUALIFY rank <= {int(top_k)}
 """
+
+
+def route_zone_sequence(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    **join_kwargs,
+) -> DataFrame:
+    """The ordered sequence of zones each document's track traverses ->
+    (doc_id, seq, zone_id): geo points in span-offset order, each point
+    resolved to its zone (smallest zone_id wins on overlap — the
+    media_geotag convention), unmatched points dropped, CONSECUTIVE
+    repeats collapsed (a track dwelling in one zone contributes one step),
+    ``seq`` re-numbered dense from 1. The "which regions does this
+    trajectory visit, in order" query — itinerary extraction over the
+    interleaved corpus.
+
+    100 TB shape: the PIP join's shuffles, then everything stays in ONE
+    doc_id hash partition — per-point zone min, the lag compare, and the
+    dense re-rank are three window passes over the same partition spec, no
+    further shuffle. DuckDB mirror: identical windows + QUALIFY."""
+    from pyspark.sql.window import Window
+
+    pip = spatial_join_points(spark, docs, zones, **join_kwargs)
+    pz = pip.groupBy("doc_id", "offset").agg(F.min("zone_id").alias("zone_id"))
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return (
+        pz.withColumn("__prev", F.lag("zone_id").over(w))
+        .where(F.col("__prev").isNull() | (F.col("__prev") != F.col("zone_id")))
+        .withColumn("seq", F.row_number().over(w))
+        .select("doc_id", "seq", "zone_id")
+    )
+
+
+def route_zone_sequence_oracle_sql(pip_sql: str) -> str:
+    """DuckDB mirror of :func:`route_zone_sequence`."""
+    return f"""
+WITH pip AS ({pip_sql}),
+pz AS (
+  SELECT doc_id, "offset", min(zone_id) AS zone_id
+  FROM pip GROUP BY 1, 2
+),
+steps AS (
+  SELECT doc_id, "offset", zone_id,
+         lag(zone_id) OVER (PARTITION BY doc_id ORDER BY "offset") AS prev
+  FROM pz
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY "offset") AS INT)
+         AS seq,
+       zone_id
+FROM steps
+WHERE prev IS NULL OR prev != zone_id
+"""

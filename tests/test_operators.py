@@ -782,3 +782,29 @@ class TestZoneKeywords:
 
         with _pytest.raises(ValueError):
             sj.zone_keywords(spark, docs, zones, top_k=0)
+
+
+class TestRouteZoneSequence:
+    def test_collapses_consecutive_repeats(self, spark, docs, zones, zone_oracle_rings):
+        oracle = _pip_oracle(docs, zone_oracle_rings)
+        best = {}
+        for d, o, z in oracle:
+            k = (d, o)
+            best[k] = min(best.get(k, z), z)
+        walks = {}
+        for (d, o), z in sorted(best.items()):
+            walks.setdefault(d, []).append(z)
+        exp = set()
+        for d, zs in walks.items():
+            seq = 0
+            prev = None
+            for z in zs:
+                if z != prev:
+                    seq += 1
+                    exp.add((d, seq, z))
+                prev = z
+        got = {
+            (r.doc_id, r.seq, r.zone_id)
+            for r in sj.route_zone_sequence(spark, docs, zones).collect()
+        }
+        assert got == exp and got

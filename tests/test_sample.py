@@ -72,3 +72,29 @@ class TestSample:
         ).collect()
         got = {r.point_id: (r.px, r.py, r.value) for r in rows}
         assert got == {0: (0, 0, 0.0), 2: (3, 3, 15.0)}  # point 1 truly outside
+
+
+class TestTrackProfile:
+    def test_planted_track_gain_loss(self, spark):
+        # raster: one row of increasing-then-dipping values; px=0.5, origin
+        # (10, 20), py negative -> y just below 20 samples row 0
+        arr = np.array([[5.0, 8.0, 3.0, 3.0, NODATA, 11.0]])
+        tiles = _raster_df(spark, arr, tile=4)
+        # track visits columns 0,1,2,3,4(nodata),5 left to right
+        spans = [
+            ("geo", f"POINT({10.0 + 0.25 + 0.5 * i} {20.0 - 0.1})", None, i)
+            for i in range(6)
+        ]
+        docs = spark.createDataFrame(
+            [("d0", spans)],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        out = sample.track_profile(docs, tiles, tile_size=4).collect()
+        assert len(out) == 1
+        r = out[0]
+        # kept values in order: 5, 8, 3, 3, 11 (nodata dropped)
+        assert r.n_samples == 5
+        assert (r.vmin, r.vmax) == (3.0, 11.0)
+        assert r.gain_micro == int(3e6) + int(8e6)   # 5->8, 3->11
+        assert r.loss_micro == int(5e6)              # 8->3
