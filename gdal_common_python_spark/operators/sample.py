@@ -116,8 +116,7 @@ def sample_raster_bilinear(
         )
         .dropDuplicates(["raster_id", "band"])
     )
-    ids = list(id_cols)
-    p = points.select(*ids, "x", "y").crossJoin(F.broadcast(meta))
+    p = points.select("point_id", "x", "y").crossJoin(F.broadcast(meta))
     fx = (F.col("x") - F.col("origin_x")) / F.col("px_x") - F.lit(0.5)
     fy = (F.col("y") - F.col("origin_y")) / F.col("px_y") - F.lit(0.5)
     p = (
