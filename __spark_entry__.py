@@ -297,6 +297,19 @@ def q_zone_mean_center(spark, sf_dir):
     )
 
 
+def q_nearest_zone_distance(spark, sf_dir):
+    """Re-geocode helper: every uncovered geo point snapped to its nearest
+    zone boundary (clamped-projection segment distance, floor-quantized;
+    (dist, zone) struct-min ties to the smallest zone) — the uncovered
+    residue is small by construction and the edge table broadcasts."""
+    return sj.nearest_zone_distance(
+        spark,
+        _synth(spark, sf_dir, "documents_spans"),
+        _synth(spark, sf_dir, "zones"),
+        _synth(spark, sf_dir, "zone_edges"),
+    )
+
+
 def q_edge_intersections(spark, sf_dir):
     """Topology QA: proper crossings between boundary edges of different
     zones via a cell-bucketed edge join (shuffle ∝ edges x covered cells,
@@ -2037,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_pip_distributed": q_spatial_join_pip_distributed,
         "spatial_anti_join": q_spatial_anti_join,
         "edge_intersections": q_edge_intersections,
+        "nearest_zone_distance": q_nearest_zone_distance,
         "zone_mean_center": q_zone_mean_center,
         "zone_keywords": q_zone_keywords,
         "route_zone_sequence": q_route_zone_sequence,
@@ -2186,8 +2200,8 @@ _RECT_EDGES = f"""
 _SQL_SPATIAL_JOIN_PIP = f"""
 WITH pts AS (
   SELECT doc_id, s."offset" AS off,
-         CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 1) AS DOUBLE) px,
-         CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 2) AS DOUBLE) py
+         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 1) AS DOUBLE) px,
+         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 2) AS DOUBLE) py
   FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
   WHERE s.kind='geo' AND s.text LIKE 'POINT%'
 ),
@@ -2209,8 +2223,8 @@ _SQL_EDGE_INTERSECTIONS = _ei_sql(_EDGES)
 _SQL_SPATIAL_ANTI_JOIN = f"""
 WITH pts AS (
   SELECT doc_id, s."offset" AS off,
-         CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 1) AS DOUBLE) px,
-         CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 2) AS DOUBLE) py
+         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 1) AS DOUBLE) px,
+         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 2) AS DOUBLE) py
   FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
   WHERE s.kind='geo' AND s.text LIKE 'POINT%'
 ),
@@ -2221,6 +2235,12 @@ WHERE NOT EXISTS (
   SELECT 1 FROM pip z WHERE z.doc_id = p.doc_id AND z."offset" = p.off
 )
 """
+
+from gdal_common_python_spark.operators.spatial_join import (  # noqa: E402
+    nearest_zone_distance_oracle_sql as _nzd_sql,
+)
+
+_SQL_NEAREST_ZONE_DISTANCE = _nzd_sql(_SQL_SPATIAL_ANTI_JOIN, _EDGES)
 
 # per-zone corpus rollup: PIP + media-geotag subqueries, integer aggregates
 _SQL_ZONE_CORPUS_PROFILE = f"""
@@ -3383,8 +3403,8 @@ SELECT DISTINCT doc_id, off AS "offset", zone_id FROM (
 # shared pts CTE body: POINT geo spans parsed to doubles (same as the PIP gate)
 _PTS_CTE = f"""
   SELECT doc_id, s."offset" AS off,
-         CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 1) AS DOUBLE) px,
-         CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 2) AS DOUBLE) py
+         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 1) AS DOUBLE) px,
+         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 2) AS DOUBLE) py
   FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
   WHERE s.kind='geo' AND s.text LIKE 'POINT%'
 """
@@ -4554,6 +4574,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_join_pip_distributed": _SQL_SPATIAL_JOIN_PIP,
         "spatial_anti_join": _SQL_SPATIAL_ANTI_JOIN,
         "edge_intersections": _SQL_EDGE_INTERSECTIONS,
+        "nearest_zone_distance": _SQL_NEAREST_ZONE_DISTANCE,
         "zone_mean_center": _SQL_ZONE_MEAN_CENTER,
         "zone_keywords": _SQL_ZONE_KEYWORDS,
         "route_zone_sequence": _SQL_ROUTE_ZONE_SEQUENCE,

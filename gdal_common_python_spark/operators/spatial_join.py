@@ -1300,3 +1300,97 @@ SELECT doc_id,
 FROM steps
 WHERE prev IS NULL OR prev != zone_id
 """
+
+
+def nearest_zone_distance(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    edges: DataFrame | None = None,
+    **join_kwargs,
+) -> DataFrame:
+    """Re-geocode helper, the companion of :func:`spatial_anti_join`: for
+    every geo POINT span covered by NO zone, the nearest zone boundary ->
+    (doc_id, offset, nearest_zone, dist_micro) where dist_micro is the
+    floor-quantized planar distance to the closest boundary segment and
+    ties break to the smallest zone_id (one deterministic struct-min).
+    A QA stage snaps out-of-coverage points to their most plausible region
+    or routes them for review with a confidence radius.
+
+    Exactness: point-to-segment distance is the classic clamped-projection
+    formula — one fixed IEEE expression tree per (point, edge), identical
+    in the oracle; the min over edges is an order-free integer/struct min
+    after floor(d * 1e6) quantization.
+
+    100 TB shape: the uncovered set (anti-join output) is the small
+    residue of the corpus by construction; the boundary-edge table is
+    zone-dimension-sized and BROADCASTS, so the distance scan is one
+    map-side nested loop + a map-side-combined groupBy(point) struct-min —
+    no shuffle ever carries the corpus. (For a pathological zone side too
+    large to broadcast, band the edges by cell like near_table — the
+    uncovered residue stays the small side either way.)"""
+    uncov = spatial_anti_join(spark, docs, zones, **join_kwargs).where(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    )
+    e = (edges if edges is not None else zone_edges_df(zones)).select(
+        "zone_id", "ex1", "ey1", "ex2", "ey2"
+    )
+    ax = F.col("ex1")
+    ay = F.col("ey1")
+    bx = F.col("ex2")
+    by = F.col("ey2")
+    px_, py_ = F.col("x"), F.col("y")
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    t_raw = ((px_ - ax) * dx + (py_ - ay) * dy) / len2
+    t = F.when(len2 == 0, F.lit(0.0)).otherwise(
+        F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    )
+    cx_, cy_ = ax + t * dx, ay + t * dy
+    d = F.sqrt((px_ - cx_) * (px_ - cx_) + (py_ - cy_) * (py_ - cy_))
+    pair = uncov.join(F.broadcast(e))
+    per_edge = pair.select(
+        "doc_id", "offset",
+        F.struct(
+            F.floor(d * 1e6).cast("long").alias("dist_micro"),
+            F.col("zone_id").alias("nearest_zone"),
+        ).alias("__dz"),
+    )
+    best = per_edge.groupBy("doc_id", "offset").agg(F.min("__dz").alias("__dz"))
+    return best.select(
+        "doc_id", "offset",
+        F.col("__dz.nearest_zone").alias("nearest_zone"),
+        F.col("__dz.dist_micro").alias("dist_micro"),
+    )
+
+
+def nearest_zone_distance_oracle_sql(anti_sql: str, edges_rel: str) -> str:
+    """DuckDB mirror of :func:`nearest_zone_distance` over the shared
+    anti-join subquery — identical clamped-projection distance; the
+    (dist, zone) lexicographic struct-min maps to a QUALIFY row_number
+    ordered by (dist_micro, zone_id)."""
+    t = ("CASE WHEN (e.ex2 - e.ex1) * (e.ex2 - e.ex1)"
+         " + (e.ey2 - e.ey1) * (e.ey2 - e.ey1) = 0 THEN 0.0"
+         " ELSE least(greatest("
+         "((u.x - e.ex1) * (e.ex2 - e.ex1) + (u.y - e.ey1) * (e.ey2 - e.ey1))"
+         " / ((e.ex2 - e.ex1) * (e.ex2 - e.ex1)"
+         " + (e.ey2 - e.ey1) * (e.ey2 - e.ey1)), 0.0), 1.0) END")
+    return f"""
+WITH uncov AS ({anti_sql}),
+e AS (SELECT zone_id, ex1, ey1, ex2, ey2 FROM {edges_rel}),
+pe AS (
+  SELECT u.doc_id, u."offset", e.zone_id,
+         CAST(floor(sqrt(
+           (u.x - (e.ex1 + ({t}) * (e.ex2 - e.ex1)))
+         * (u.x - (e.ex1 + ({t}) * (e.ex2 - e.ex1)))
+         + (u.y - (e.ey1 + ({t}) * (e.ey2 - e.ey1)))
+         * (u.y - (e.ey1 + ({t}) * (e.ey2 - e.ey1)))
+         ) * 1e6) AS BIGINT) AS dist_micro
+  FROM uncov u CROSS JOIN e
+  WHERE u.x IS NOT NULL AND u.y IS NOT NULL
+)
+SELECT doc_id, "offset", zone_id AS nearest_zone, dist_micro
+FROM pe
+QUALIFY row_number() OVER (PARTITION BY doc_id, "offset"
+                           ORDER BY dist_micro, zone_id) = 1
+"""

@@ -808,3 +808,47 @@ class TestRouteZoneSequence:
             for r in sj.route_zone_sequence(spark, docs, zones).collect()
         }
         assert got == exp and got
+
+
+class TestNearestZoneDistance:
+    def test_planted_square(self, spark):
+        import pandas as pd
+
+        # one doc, one geo point at (5, 0); square zone x,y in [0,2] -> the
+        # nearest boundary point is (2, 0), distance 3
+        docs = spark.createDataFrame(
+            [("d0", [("geo", "POINT(5 0)", None, 0)])],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        zones = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "zone_id": [7],
+                    "srid": [4326],
+                    "rings": [[[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]]],
+                    "rings4326": [[[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]]],
+                }
+            )
+        ).withColumn(
+            "bbox4326",
+            F.expr(
+                "named_struct('xmin', 0.0d, 'ymin', 0.0d, 'xmax', 2.0d, 'ymax', 2.0d)"
+            ),
+        )
+        edges = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (7, 0.0, 0.0, 2.0, 0.0),
+                    (7, 2.0, 0.0, 2.0, 2.0),
+                    (7, 2.0, 2.0, 0.0, 2.0),
+                    (7, 0.0, 2.0, 0.0, 0.0),
+                ],
+                columns=["zone_id", "ex1", "ey1", "ex2", "ey2"],
+            )
+        )
+        out = sj.nearest_zone_distance(spark, docs, zones, edges).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.doc_id, r.offset, r.nearest_zone) == ("d0", 0, 7)
+        assert r.dist_micro == 3_000_000
