@@ -118,3 +118,13 @@ class TestCacheHygiene:
         signed = dedup.simhash_docs(docs.limit(2), bits=32)
         with pytest.raises(ValueError, match="max_hamming"):
             dedup.simhash_candidate_pairs(signed, bits=32, bands=4, max_hamming=4)
+
+
+def test_nearest_zone_distance_releases(spark, docs, zones):
+    from gdal_common_python_spark.operators import spatial_join as sj
+
+    before = persistent_ids(spark)
+    out = sj.nearest_zone_distance(spark, docs, zones)
+    assert out.count() > 0
+    release(out)
+    assert_no_new_persistent(spark, before)
