@@ -205,3 +205,41 @@ def test_cell_smooth_validation(spark):
     pts = spark.createDataFrame(pd.DataFrame({"x": [0.0], "y": [0.0]}))
     with pytest.raises(ValueError):
         layout.cell_smooth(pts, res=2, k=-1)
+
+
+def test_cell_smooth_mass_conservation(spark):
+    """Invariant: sum over output cells of `total` equals sum over data
+    cells of n x |clipped disk(c)| — every data cell contributes its count
+    to exactly the cells of its own (clipped) k-disk."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_common_python_spark.operators import layout
+
+    rng = np.random.default_rng(11)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "x": rng.uniform(-179, 179, 200),
+                "y": rng.uniform(-89, 89, 200),
+            }
+        )
+    )
+    res, k = 3, 2
+    n = 1 << res
+    out = layout.cell_smooth(pts, res=res, k=k).toPandas()
+    # recompute the data census in numpy
+    ix = np.clip(np.floor((pts.toPandas().x + 180) / (360 / n)), 0, n - 1).astype(int)
+    iy = np.clip(np.floor((pts.toPandas().y + 90) / (180 / n)), 0, n - 1).astype(int)
+    census = {}
+    for a, b in zip(ix, iy):
+        census[(a, b)] = census.get((a, b), 0) + 1
+    expected_mass = sum(
+        c
+        * (min(a + k, n - 1) - max(a - k, 0) + 1)
+        * (min(b + k, n - 1) - max(b - k, 0) + 1)
+        for (a, b), c in census.items()
+    )
+    assert int(out.total.sum()) == expected_mass
+    # and every smooth value is total/area exactly
+    assert (out.smooth == out.total / out.area).all()

@@ -134,3 +134,35 @@ def test_track_resample_degenerate_and_validation(spark):
     assert tracks.track_resample(pts, 4).count() == 0
     with pytest.raises(ValueError):
         tracks.track_resample(pts, 1)
+
+
+def test_track_resample_points_on_polyline(spark):
+    """Property: every resampled point lies on some segment of its track
+    (within float tolerance) and k covers the full 0..n-1 grid for tracks
+    with nonzero quantized length."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for tid in range(12):
+        m = rng.integers(2, 8)
+        xs = rng.uniform(-50, 50, m)
+        ys = rng.uniform(-50, 50, m)
+        rows += [(tid, i, float(xs[i]), float(ys[i])) for i in range(m)]
+    pts = _pts(spark, rows)
+    out = tracks.track_resample(pts, 6).toPandas()
+    pdf = pts.toPandas().sort_values(["doc_id", "offset"])
+    by = {k: g[["x", "y"]].to_numpy() for k, g in pdf.groupby("doc_id")}
+    for tid, g in out.groupby("track_id"):
+        assert sorted(g.k) == list(range(6))
+        p = by[tid]
+        for r in g.itertuples():
+            a, b = p[:-1], p[1:]
+            ab = b - a
+            L2 = (ab ** 2).sum(axis=1)
+            L2[L2 == 0] = 1.0
+            t = (((r.pos_x - a[:, 0]) * ab[:, 0] + (r.pos_y - a[:, 1]) * ab[:, 1]) / L2)
+            t = np.clip(t, 0, 1)
+            c = a + t[:, None] * ab
+            d = np.sqrt(((c - [r.pos_x, r.pos_y]) ** 2).sum(axis=1)).min()
+            assert d < 1e-6, (tid, r.k, d)
