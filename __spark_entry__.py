@@ -166,6 +166,15 @@ def q_rewrite_dedup_media(spark, sf_dir):
     return rewrite_dedup_media(_synth(spark, sf_dir, "documents_spans"))
 
 
+def q_span_kind_transitions(spark, sf_dir):
+    """Interleaving-structure Markov profile: adjacent span-kind pair
+    counts (+ BOS row per doc) — zip-shifted HOF pairs inside the scan,
+    ZERO shuffle before one tiny map-side-combined groupBy."""
+    from gdal_common_python_spark.operators.multimodal import span_kind_transitions
+
+    return span_kind_transitions(_synth(spark, sf_dir, "documents_spans"))
+
+
 def q_render_interleaved(spark, sf_dir):
     """Serialize-for-the-trainer: each interleaved doc flattens to one
     training string (text verbatim, media -> sentinel placeholder, geo
@@ -2039,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": q_caption_pairs,
         "rewrite_dedup_media": q_rewrite_dedup_media,
         "render_interleaved": q_render_interleaved,
+        "span_kind_transitions": q_span_kind_transitions,
         "strip_boilerplate": q_strip_boilerplate,
         "scrub_contaminated": q_scrub_contaminated,
         "pack_interleaved": q_pack_interleaved,
@@ -3828,7 +3838,10 @@ from gdal_common_python_spark.operators.multimodal import (
     caption_pairs_oracle_sql as _cp_sql,
     rewrite_dedup_media_oracle_sql as _rdm_sql,
     render_interleaved_oracle_sql as _ri_sql,
+    span_kind_transitions_oracle_sql as _skt_sql,
 )
+
+_SQL_SPAN_KIND_TRANSITIONS = _skt_sql(_DOCS)
 from gdal_common_python_spark.operators.curation import (
     strip_boilerplate_oracle_sql as _sb_sql,
 )
@@ -4678,6 +4691,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_pairs": _SQL_CAPTION_PAIRS,
         "rewrite_dedup_media": _SQL_REWRITE_DEDUP_MEDIA,
         "render_interleaved": _SQL_RENDER_INTERLEAVED,
+        "span_kind_transitions": _SQL_SPAN_KIND_TRANSITIONS,
         "strip_boilerplate": _SQL_STRIP_BOILERPLATE,
         "scrub_contaminated": _SQL_SCRUB_CONTAMINATED,
         "pack_interleaved": _SQL_PACK_INTERLEAVED,

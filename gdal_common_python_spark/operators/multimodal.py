@@ -512,3 +512,60 @@ SELECT doc_id,
          AS n_chars
 FROM {rel}
 """
+
+
+def span_kind_transitions(
+    docs: DataFrame,
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Interleaving-structure profile: corpus-wide counts of adjacent span
+    kind pairs -> (from_kind, to_kind, n) plus one BOS row per document
+    (from_kind = '^' into the first span's kind) — the Markov view of how
+    text / media / geo alternate, the statistic a multimodal data mix is
+    tuned against (e.g. "how often does an image follow text?").
+
+    100 TB shape: the pair stream derives from each doc's own spans array
+    with zip-shifted HOF expressions inside the scan — ZERO shuffle before
+    one map-side-combined groupBy over at most (kinds+1) x kinds keys."""
+    s = F.col(spans_col)
+    kinds = F.transform(s, lambda x: x["kind"])
+    pairs = F.when(
+        F.size(s) > 0,
+        F.concat(
+            F.array(F.struct(F.lit("^").alias("a"), F.element_at(kinds, 1).alias("b"))),
+            F.zip_with(
+                F.slice(kinds, 1, F.greatest(F.size(s) - 1, F.lit(0))),
+                F.slice(kinds, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("from_kind"),
+            F.col("p.b").alias("to_kind"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def span_kind_transitions_oracle_sql(rel: str) -> str:
+    """DuckDB mirror of :func:`span_kind_transitions`: list comprehension
+    pairs + a '^' BOS row per non-empty document."""
+    return f"""
+WITH pairs AS (
+  SELECT unnest(
+    CASE WHEN len(spans) > 0
+    THEN list_append(
+      [{{'a': spans[i].kind, 'b': spans[i + 1].kind}}
+       FOR i IN range(1, len(spans))],
+      {{'a': '^', 'b': spans[1].kind}})
+    ELSE []
+    END) AS p
+  FROM {rel}
+)
+SELECT p.a AS from_kind, p.b AS to_kind, CAST(count(*) AS BIGINT) AS n
+FROM pairs
+GROUP BY 1, 2
+"""

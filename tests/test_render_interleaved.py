@@ -45,3 +45,26 @@ def test_wkt_mode_and_custom_sentinel(spark):
 def test_bad_geo_mode_raises(spark):
     with pytest.raises(ValueError):
         render_interleaved(_docs(spark), geo="nope")
+
+
+def test_span_kind_transitions_planted(spark):
+    from gdal_common_python_spark.operators.multimodal import span_kind_transitions
+
+    docs = spark.createDataFrame(
+        [
+            ("d0", [("text", "a", None, 0), ("media", None, "m", 1),
+                    ("text", "b", None, 2)]),
+            ("d1", [("text", "c", None, 0)]),
+            ("d2", []),
+        ],
+        _SCHEMA,
+    )
+    got = {
+        (r.from_kind, r.to_kind): r.n
+        for r in span_kind_transitions(docs).collect()
+    }
+    assert got == {
+        ("^", "text"): 2,
+        ("text", "media"): 1,
+        ("media", "text"): 1,
+    }
