@@ -1184,18 +1184,29 @@ def zone_keywords(
     the corpus about, by region" — a training-data curation report no
     single-domain operator covers.
 
-    100 TB shape: doc->zone memberships distinct-reduce to one row per
-    (doc, zone) BEFORE touching text; the token stream (exploded from text
-    spans with the shared ``text.tokens`` split) joins them on doc_id —
-    one hash shuffle each side — and the (zone, token) count aggregation
-    is map-side combined, so the big shuffle carries ~distinct (zone,
-    token) pairs per partition, not the raw token stream. The final
-    ``top_k`` window runs per zone over the aggregated table only. A doc
-    inside several overlapping zones counts toward each (join semantics,
-    mirrored by the oracle)."""
+    100 TB shape (text never shuffles): doc->zone memberships
+    distinct-reduce to one row per (doc, zone) BEFORE touching text.
+    When the matched-doc spine is small enough to broadcast (byte-aware
+    ``broadcastable`` probe), docs OUTSIDE every zone are pruned with a
+    broadcast LEFT SEMI join *before* tokenization — on corpora where
+    geotagged docs are a minority (the synth: ~19%) this cuts the whole
+    tokenize+count pipeline by the coverage factor, and the semi join
+    moves only doc_id keys. The exploded token stream (shared
+    ``text.tokens`` split) is then reduced MAP-SIDE to per-document
+    counts — ``groupBy(doc_id, token).count()`` with partial aggregation
+    — so the only shuffle carrying token strings moves one
+    (doc_id, token, n) row per DISTINCT token per doc, never the raw
+    occurrence stream (volume drops by the within-doc duplication
+    factor; 1.9x on the synth). The doc->zone join runs on that reduced
+    spine and the (zone, token) total is a map-side-combined SUM of the
+    pre-counts. The final ``top_k`` window runs per zone over the
+    aggregated table only. A doc inside several overlapping zones counts
+    toward each (join semantics, mirrored by the oracle)."""
     from pyspark.sql.window import Window
 
     from .text import tokens
+
+    from .util import broadcastable, track_persisted
 
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
@@ -1203,25 +1214,35 @@ def zone_keywords(
         spatial_join_points(spark, docs, zones, **join_kwargs)
         .select("doc_id", "zone_id")
         .distinct()
+        .persist()
     )
-    toks = (
-        docs.select("doc_id", F.explode("spans").alias("s"))
+    spine = dz.select("doc_id").distinct()
+    src = docs
+    if broadcastable(spine, row_limit=2_000_000):
+        # prune un-geotagged docs before any text work; broadcast semi
+        # join on slim doc_id keys only — no shuffle of span text
+        src = docs.join(F.broadcast(spine), "doc_id", "leftsemi")
+    doc_tok = (
+        src.select("doc_id", F.explode("spans").alias("s"))
         .where(F.col("s.kind") == "text")
         .where(F.length(F.trim(F.col("s.text"))) > 0)
         .select("doc_id", F.explode(tokens(F.col("s.text"))).alias("token"))
         .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("__dn"))
     )
     zt = (
-        toks.join(dz, "doc_id")
+        doc_tok.join(dz, "doc_id")
         .groupBy("zone_id", "token")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("__dn").alias("n"))
     )
     w = Window.partitionBy("zone_id").orderBy(F.desc("n"), F.asc("token"))
-    return (
+    out = (
         zt.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(top_k))
         .select("zone_id", "rank", "token", "n")
     )
+    return track_persisted(out, dz)
 
 
 def zone_keywords_oracle_sql(pip_sql: str, docs_rel: str, top_k: int = 5) -> str:
