@@ -2207,14 +2207,12 @@ _RECT_EDGES = f"""
   SELECT zone_id, ex1, ey1, ex2, ey2 FROM {_EDGES}
 """
 
+from gdal_common_python_spark.operators.spatial_join import (  # noqa: E402
+    point_parse_sql as _pts_parse_sql,
+)
+
 _SQL_SPATIAL_JOIN_PIP = f"""
-WITH pts AS (
-  SELECT doc_id, s."offset" AS off,
-         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 1) AS DOUBLE) px,
-         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 2) AS DOUBLE) py
-  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
-  WHERE s.kind='geo' AND s.text LIKE 'POINT%'
-),
+WITH pts AS ({_pts_parse_sql(_DOCS)}),
 edges AS ({_RECT_EDGES})
 SELECT p.doc_id, p.off AS "offset", e.zone_id
 FROM pts p, edges e
@@ -2231,13 +2229,7 @@ from gdal_common_python_spark.operators.spatial_join import (  # noqa: E402
 _SQL_EDGE_INTERSECTIONS = _ei_sql(_EDGES)
 
 _SQL_SPATIAL_ANTI_JOIN = f"""
-WITH pts AS (
-  SELECT doc_id, s."offset" AS off,
-         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 1) AS DOUBLE) px,
-         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 2) AS DOUBLE) py
-  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
-  WHERE s.kind='geo' AND s.text LIKE 'POINT%'
-),
+WITH pts AS ({_pts_parse_sql(_DOCS)}),
 pip AS ({_SQL_SPATIAL_JOIN_PIP})
 SELECT p.doc_id, p.off AS "offset", p.px AS x, p.py AS y
 FROM pts p
@@ -3410,14 +3402,9 @@ SELECT DISTINCT doc_id, off AS "offset", zone_id FROM (
 )
 """
 
-# shared pts CTE body: POINT geo spans parsed to doubles (same as the PIP gate)
-_PTS_CTE = f"""
-  SELECT doc_id, s."offset" AS off,
-         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 1) AS DOUBLE) px,
-         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 2) AS DOUBLE) py
-  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
-  WHERE s.kind='geo' AND s.text LIKE 'POINT%'
-"""
+# shared pts CTE body: POINT geo spans parsed to doubles (same as the PIP
+# gate) — the string-scan mirror of geo_points, not a regexp
+_PTS_CTE = _pts_parse_sql(_DOCS)
 
 
 from gdal_common_python_spark.operators.spatial_join import (  # noqa: E402

@@ -83,32 +83,62 @@ def geo_points(docs: DataFrame) -> DataFrame:
     """(doc_id, offset, x, y) for POINT geo spans — fully JVM-side parse.
 
     The parse is plain string scans — substring_index to the text between
-    the parens, one split on the coordinate separator — instead of regexp
-    (two java.util.regex passes per span cost ~25% of the whole flagship
-    execution wall at the bench scale; the string-scan parse is free
-    against the scan+explode floor). Malformed spans cast to null x/y
-    exactly like a failed regexp match did. The parse stays wrapped in an
-    explode(array(struct(...))) barrier: without it, Catalyst's constraint
-    propagation re-derives isnotnull() filters on x/y (from the downstream
-    join/filter conditions) and re-evaluates the parse per constraint —
-    measured 2-4 passes per span instead of one. Filters cannot push below
-    a Generate, so the parse runs exactly once and the (tiny) one-element
-    explode is free in codegen."""
+    the last ``(`` and the next ``)``, one split on the coordinate
+    separator — instead of regexp (two java.util.regex passes per span
+    cost ~25% of the whole flagship execution wall at the bench scale; the
+    string-scan parse is free against the scan+explode floor). Strictness
+    (ADVICE r4): the inner text must split to EXACTLY two coordinate
+    tokens — 'POINT(1 2 3)' and other n!=2 forms null out instead of
+    silently taking the first two — and each token parses via try_cast.
+    The oracle CTE (``point_parse_sql`` below) mirrors this string-scan
+    semantic function-for-function (same last-paren scan, same 2-token
+    gate, same TRY_CAST), so engine and oracle agree on EVERY input by
+    construction, not just on well-formed synth spans. A regexp-strict
+    variant was measured at -45% flagship throughput (the extra per-span
+    scans in the generator expression) and rejected. The parse stays
+    wrapped in an explode(array(struct(...))) barrier: without it,
+    Catalyst's constraint propagation re-derives isnotnull() filters on
+    x/y (from the downstream join/filter conditions) and re-evaluates the
+    parse per constraint — measured 2-4 passes per span instead of one.
+    Filters cannot push below a Generate, so the parse runs exactly once
+    and the (tiny) one-element explode is free in codegen."""
     inner = F.substring_index(F.substring_index("wkt", "(", -1), ")", 1)
-    parts = F.split(inner, " ")
-    parsed = F.explode(
-        F.array(
-            F.struct(
-                F.element_at(parts, 1).cast("double").alias("x"),
-                F.element_at(parts, 2).cast("double").alias("y"),
-            )
-        )
-    )
+    # the generator emits the TOKEN ARRAY (string scans run exactly once);
+    # the 2-token gate + element casts above it are O(1) array ops, cheap
+    # even when constraint propagation re-derives them
+    parsed = F.explode(F.array(F.split(inner, " ")))
+    toks = F.col("toks")
+    two = F.size(toks) == 2
     return (
         geo_spans(docs, points_only=True)
-        .select("doc_id", "offset", parsed.alias("p"))
-        .select("doc_id", "offset", "p.x", "p.y")
+        .select("doc_id", "offset", parsed.alias("toks"))
+        .select(
+            "doc_id",
+            "offset",
+            F.when(two, F.element_at(toks, 1).try_cast("double")).alias("x"),
+            F.when(two, F.element_at(toks, 2).try_cast("double")).alias("y"),
+        )
     )
+
+
+def point_parse_sql(docs_rel: str) -> str:
+    """DuckDB CTE body mirroring :func:`geo_points` FUNCTION-FOR-FUNCTION:
+    the same last-``(`` scan, first-``)`` cut, single-space split, exactly-
+    two-token gate, and per-token TRY_CAST — so engine and oracle agree on
+    every input (well-formed or malformed) by construction, not just on
+    what synth happens to emit (ADVICE r4). Columns: (doc_id, off, px, py);
+    malformed spans surface with NULL coordinates on BOTH sides."""
+    return f"""
+  SELECT doc_id, off,
+         CASE WHEN len(toks) = 2 THEN TRY_CAST(toks[1] AS DOUBLE) END px,
+         CASE WHEN len(toks) = 2 THEN TRY_CAST(toks[2] AS DOUBLE) END py
+  FROM (
+    SELECT doc_id, s."offset" AS off,
+           string_split(string_split(list_extract(string_split(s.text, '('), -1), ')')[1], ' ') AS toks
+    FROM (SELECT doc_id, unnest(spans) s FROM {docs_rel})
+    WHERE s.kind = 'geo' AND s.text LIKE 'POINT%'
+  )
+"""
 
 
 def rectified_zone_rings(zones_pdf: pd.DataFrame, to_srid: int = 4326) -> dict:
@@ -1063,9 +1093,13 @@ def edge_intersections(
 def edge_intersections_oracle_sql(edges_rel: str) -> str:
     """DuckDB mirror of :func:`edge_intersections`: plain distinct-pair
     cross join (the oracle side is allowed the O(n^2) plan), identical
-    strict parametric refine."""
+    strict parametric refine. The e CTE is SELECT DISTINCT to mirror the
+    engine's pair-identity dropDuplicates, which also collapses genuinely
+    repeated edge rows in the input — one output row per distinct pair
+    either way (ADVICE r4: the two sides now agree on duplicated-edge
+    inputs instead of assuming the table is duplicate-free)."""
     return f"""
-WITH e AS (SELECT zone_id, ex1, ey1, ex2, ey2 FROM {edges_rel}),
+WITH e AS (SELECT DISTINCT zone_id, ex1, ey1, ex2, ey2 FROM {edges_rel}),
 cand AS (
   SELECT a.zone_id AS zone_a, a.ex1 aex1, a.ey1 aey1, a.ex2 aex2, a.ey2 aey2,
          b.zone_id AS zone_b, b.ex1 bex1, b.ey1 bey1, b.ex2 bex2, b.ey2 bey2
@@ -1113,10 +1147,17 @@ def zone_mean_center(
     100 TB shape: the PIP join's shuffles plus one map-side-combined
     groupBy(zone_id); the centers table is zone-dimension-sized and joins
     back broadcast for the dispersion max — points shuffle once into the
-    zone partition and never again."""
+    zone partition and never again. zp (PIP join + point parse) feeds both
+    the centers agg and the dispersion max, so it is persisted once and
+    released via the module's ``track_persisted`` handle convention
+    (ADVICE r4) instead of recomputing the full spatial join twice."""
+    from .util import track_persisted
+
     pts = geo_points(docs)
     pip = spatial_join_points(spark, docs, zones, **join_kwargs)
-    zp = pip.join(pts, ["doc_id", "offset"]).select("zone_id", "x", "y")
+    zp = (
+        pip.join(pts, ["doc_id", "offset"]).select("zone_id", "x", "y").persist()
+    )
     centers = zp.groupBy("zone_id").agg(
         F.count("*").cast("long").alias("n_points"),
         F.sum(F.floor(F.col("x") * 1e6).cast("long")).alias("__sx"),
@@ -1138,9 +1179,10 @@ def zone_mean_center(
             )
         )
     )
-    return centers.join(F.broadcast(disp), "zone_id").select(
+    out = centers.join(F.broadcast(disp), "zone_id").select(
         "zone_id", "n_points", "cx", "cy", "max_r_micro"
     )
+    return track_persisted(out, zp)
 
 
 def zone_mean_center_oracle_sql(pip_sql: str, pts_cte: str) -> str:
@@ -1342,7 +1384,13 @@ def nearest_zone_distance(
     formula — one fixed IEEE expression tree per surviving (point, edge)
     pair, identical in the oracle; the min over edges is an order-free
     struct min after floor(d * 1e6) quantization. The two-pass bound below
-    is a pure candidate filter and cannot change the winner.
+    is a pure candidate filter and cannot change the winner: because the
+    output tie-breaks on the FLOOR-QUANTIZED distance, the pass-B prune
+    keeps every edge that could still TIE the bound at the quantum — the
+    cutoff is ((floor(sqrt(R2)*1e6)+1)/1e6)^2, one dist_micro quantum past
+    the endpoint-distance upper bound, so an edge with a larger real
+    distance but equal dist_micro (and possibly a smaller zone_id, which
+    the struct-min would prefer) always survives to the exact tree.
 
     100 TB shape: the uncovered set is the small residue of the corpus by
     construction and the boundary-edge table is zone-dimension-sized and
@@ -1390,10 +1438,13 @@ def nearest_zone_distance(
     )
     cx_, cy_ = ax + t * dx, ay + t * dy
     d = F.sqrt((px_ - cx_) * (px_ - cx_) + (py_ - cy_) * (py_ - cy_))
+    # tie-safe cutoff: one dist_micro quantum past the upper bound (see
+    # docstring) — an equal-dist_micro, smaller-zone_id edge never prunes
+    qplus = (F.floor(F.sqrt(F.col("__r2")) * F.lit(1e6)) + F.lit(1)) / F.lit(1e6)
     best = (
         uncov.join(bound, ["doc_id", "offset"])
         .join(F.broadcast(e))
-        .where(lb2 <= F.col("__r2"))
+        .where(lb2 <= qplus * qplus)
         .select(
             "doc_id", "offset",
             F.struct(

@@ -31,7 +31,11 @@ def track_stats(
 ) -> DataFrame:
     """(track_id, n_points, len_micro, max_hop_micro, min_x, min_y, max_x,
     max_y): planar track length and max hop in integer micro-degree units,
-    plus bbox. One shuffle (window + groupBy share the id hash partition)."""
+    plus bbox. One shuffle: the groupBy keys on the window's OWN partition
+    column (renaming to track_id only AFTER the aggregate) so Catalyst
+    reuses the window exchange instead of re-shuffling on the alias —
+    asserted by the plan pin in tests/test_plan_shape.py (r4 bench showed
+    the aliased groupBy added a second exchange: 2 -> 1 here)."""
     w = Window.partitionBy(id_col).orderBy(seq_col)
     px = F.lag(x_col).over(w)
     py = F.lag(y_col).over(w)
@@ -41,19 +45,23 @@ def track_stats(
     )
     hop = F.when(px.isNull(), F.lit(0)).otherwise(F.floor(d * 1e6)).cast("long")
     seg = points.select(
-        F.col(id_col).alias("track_id"),
+        F.col(id_col),
         F.col(x_col).alias("__x"),
         F.col(y_col).alias("__y"),
         hop.alias("__hop"),
     )
-    return seg.groupBy("track_id").agg(
-        F.count("*").cast("long").alias("n_points"),
-        F.sum("__hop").cast("long").alias("len_micro"),
-        F.max("__hop").cast("long").alias("max_hop_micro"),
-        F.min("__x").alias("min_x"),
-        F.min("__y").alias("min_y"),
-        F.max("__x").alias("max_x"),
-        F.max("__y").alias("max_y"),
+    return (
+        seg.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("__hop").cast("long").alias("len_micro"),
+            F.max("__hop").cast("long").alias("max_hop_micro"),
+            F.min("__x").alias("min_x"),
+            F.min("__y").alias("min_y"),
+            F.max("__x").alias("max_x"),
+            F.max("__y").alias("max_y"),
+        )
+        .withColumnRenamed(id_col, "track_id")
     )
 
 

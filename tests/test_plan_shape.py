@@ -41,18 +41,18 @@ class TestFlagshipPlan:
         assert not exchanges, exchanges
 
     def test_parse_once_and_bbox_residual(self, spark, docs, zones):
-        # (a) the WKT regexp parse must be evaluated exactly once per
-        # coordinate: Catalyst constraint propagation loves to clone it into
-        # derived isnotnull filters (measured 45% flagship slowdown) — the
-        # explode barrier in geo_points pins it to 2 occurrences (x, y)
-        # — the parse is now substring_index+split (one string-scan pass
-        # per coordinate), so count split( occurrences;
+        # (a) the WKT string-scan parse must run exactly ONCE per span:
+        # Catalyst constraint propagation loves to clone it into derived
+        # isnotnull filters (measured 45% flagship slowdown) — the explode
+        # barrier in geo_points now emits the TOKEN ARRAY, so split( must
+        # appear exactly once (in the generator); everything above it is
+        # O(1) array indexing;
         # (b) the exact zone bbox must appear as the broadcast join's
         # residual condition so out-of-bbox candidates die JVM-side and
         # never reach the Arrow exchange
         out = sj.spatial_join_points(spark, docs, zones, res=9, strategy="broadcast")
         p = plan(out)
-        assert p.count("split(") == 2, p.count("split(")
+        assert p.count("split(") == 1, p.count("split(")
         cond = [ln for ln in p.splitlines() if "Join condition:" in ln]
         assert cond and "xmin" in cond[0] and "ymax" in cond[0], cond
 
@@ -296,7 +296,7 @@ class TestNewOperatorPlans:
         p = plan(out)
         assert "Exchange" not in p, p[:1500]
         assert "Python" not in p and "ArrowEval" not in p, p[:1500]
-        assert p.count("split(") == 2  # the parse barrier held
+        assert p.count("split(") == 1  # the token-array parse barrier held
 
     def test_cell_rollup_scans_raw_once(self, spark, docs):
         """The pyramid must be ONE linear plan: a single scan of the raw
@@ -312,6 +312,18 @@ class TestNewOperatorPlans:
         assert len(shuffles) == 2, shuffles
         # both aggregations keep their map-side partial step (4 nodes x 2)
         assert p.count("HashAggregate") == 8, p.count("HashAggregate")
+
+    def test_track_stats_single_shuffle(self, spark, docs):
+        """track_stats' window and groupBy must share ONE exchange: the
+        groupBy keys on the window's partition column, so the r4 regression
+        (aliased groupBy adding a second hashpartitioning) cannot return."""
+        from gdal_common_python_spark.operators import tracks
+
+        out = tracks.track_stats(sj.geo_points(docs))
+        p = plan(out)
+        shuffles = [ln for ln in p.splitlines() if "Arguments: hashpartitioning" in ln]
+        assert len(shuffles) == 1, shuffles
+        assert "doc_id" in shuffles[0], shuffles[0]
 
     def test_zone_keywords_preagg_before_doc_join(self, spark, docs, zones):
         """The round-4 judge's last 'weak' component: zone_keywords must NOT
