@@ -83,14 +83,20 @@ def min_label_components(
     labels = nodes.select(
         F.col(id_col).alias("__nid"), F.col(id_col).alias("component")
     )
-    # size the loop to the graph, not to the session default: the edge
-    # count materializes the cache (paid anyway by round 1), and the label
-    # table is repartitioned once so every round's map side — and the
-    # checkpoint file count — is proportional to the data. A 30-node border
-    # graph runs 1-partition rounds; a 10^9-edge graph gets ~1 partition
-    # per 200k rows. Without this, every round schedules
-    # spark.sql.shuffle.partitions tasks regardless of size.
-    n_edges = sym.count()
+    # size the loop to the graph, not to the session default: ONE bounded
+    # limit-collect probe both decides the regime AND (in the common
+    # perimeter-scale case) delivers the edges the driver union-find needs
+    # — the r4 shape ran a full sym.count() job and then a second collect
+    # of the same subplan, two jobs of pure fixed cost on small graphs
+    # (~3 s of the sieve cold wall at sf0.01). CollectLimit short-circuits,
+    # so on a 10^9-edge graph the probe stops after driver_threshold+1
+    # rows instead of scanning everything the count used to. The label
+    # table is repartitioned once (below) so every round's map side — and
+    # the checkpoint file count — is proportional to the data; a 30-node
+    # border graph runs 1-partition rounds, a 10^9-edge graph gets ~1
+    # partition per 200k rows.
+    probe = sym.limit(driver_threshold + 1).collect()
+    n_edges = len(probe)
     if n_edges == 0:
         # no adjacency at all: every node is its own component; skip the
         # loop (lineage is one narrow select — no checkpoint needed)
@@ -118,7 +124,7 @@ def min_label_components(
                 parent[a], a = root, parent[a]
             return root
 
-        for row in sym.collect():
+        for row in probe:  # the regime probe already collected every edge
             ra, rb = find(row[0]), find(row[1])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
@@ -145,6 +151,10 @@ def min_label_components(
         out._gcp_cc_rounds = 1
         out._gcp_cc_driver = True
         return out
+    # distributed regime: the probe only lower-bounds the edge count
+    # (CollectLimit stopped at threshold+1) — take the real count here,
+    # against the cache the probe started materializing
+    n_edges = sym.count()
     n_nodes = labels.count()
     parts = int(max(1, max(n_nodes, 2 * n_edges) // 200_000 + 1))
     labels = labels.repartition(parts, "__nid")
