@@ -1118,6 +1118,19 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), min_count=1)
 
 
+def q_stream_dedup_replay(spark, sf_dir):
+    """Deterministic replay of the STATEFUL streaming first-seen dedup
+    (applyInPandasWithState over a real file-source stream, one file per
+    micro-batch): docs split into 4 md5-bucket batches with pinned order;
+    the survivor per span-fingerprint is argmin (batch_ix, doc_id), which
+    the oracle reproduces with a QUALIFY over the same md5 bucket draw."""
+    from gdal_common_python_spark.streaming.dedup import replay_first_seen
+
+    return replay_first_seen(
+        spark, _synth(spark, sf_dir, "documents_spans"), n_batches=4
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     signed = dedup.minhash_docs(_t(spark, sf_dir, "documents"), k=16, n=3)
     return dedup.lsh_candidate_pairs(signed, bands=4, rows=4)
@@ -2093,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "span_invariant": q_span_invariant,
         "dedup_exact": q_dedup_exact,
+        "stream_dedup_replay": q_stream_dedup_replay,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -2791,6 +2805,27 @@ GROUP BY doc_id
 _SQL_DEDUP_EXACT = """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
+"""
+
+# streaming first-seen dedup, replayed deterministically: the survivor per
+# span fingerprint is argmin (batch_ix, doc_id) where batch_ix is the same
+# md5-bucket draw replay_first_seen uses to split the stream into files
+_SQL_STREAM_DEDUP_REPLAY = f"""
+WITH f AS (
+  SELECT doc_id,
+         md5(string_agg(
+               concat_ws(chr(30), s.kind, coalesce(s.text, ''), coalesce(s.media_ref, ''), CAST(s."offset" AS VARCHAR)),
+               chr(31) ORDER BY s."offset")) AS fp
+  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
+  GROUP BY doc_id
+),
+b AS (
+  SELECT fp, doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS bix
+  FROM f
+)
+SELECT fp, doc_id FROM b
+QUALIFY row_number() OVER (PARTITION BY fp ORDER BY bix, doc_id) = 1
 """
 
 _SQL_SHINGLES = """
@@ -4602,6 +4637,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": _SQL_MEDIA_FRAMES,
         "span_invariant": _SQL_SPAN_INVARIANT,
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "stream_dedup_replay": _SQL_STREAM_DEDUP_REPLAY,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,

@@ -74,6 +74,58 @@ class TestStreamDedup:
         finally:
             q.stop()
 
+    def test_replay_first_seen_beats_global_min(self, spark):
+        """The replay harness must keep the EARLIEST-batch winner even when
+        a later batch carries a smaller doc_id for the same fingerprint —
+        exactly the property separating first-seen streaming semantics from
+        a naive global md5-min, and the argmin (batch_ix, doc_id) contract
+        the oracle SQL encodes."""
+        from pyspark.sql import functions as F
+
+        from gdal_common_python_spark.streaming.dedup import replay_first_seen
+
+        # find doc_ids landing in different md5 buckets (mirrors the
+        # operator's own bucket draw) so we can place a smaller id later
+        def bucket(doc_id, n=4):
+            row = (
+                spark.range(1)
+                .select(
+                    (
+                        F.conv(F.substring(F.md5(F.lit(doc_id)), 1, 8), 16, 10)
+                        .cast("long")
+                        % n
+                    ).alias("b")
+                )
+                .collect()[0]
+            )
+            return row.b
+
+        # pick an earliest-batch doc with a LARGER id, plus a smaller id in
+        # a strictly later batch
+        pool = {f"doc{i:03d}": bucket(f"doc{i:03d}") for i in range(64)}
+        pick = None
+        for hi, hb in pool.items():
+            for lo, lb in pool.items():
+                if lo < hi and lb > hb:  # smaller id arrives in LATER batch
+                    pick = (hi, hb, lo, lb)
+                    break
+            if pick:
+                break
+        assert pick, "no bucket-ordered pair found in the pool"
+        hi, hb, lo, lb = pick
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [(hi, SPANS_A), (lo, SPANS_A), ("other", SPANS_B)],
+                columns=["doc_id", "spans"],
+            ),
+            schema=DOCUMENTS,
+        )
+        got = {(r.fp, r.doc_id) for r in replay_first_seen(spark, docs).collect()}
+        winners = {d for _, d in got}
+        # first-seen keeps hi (earlier batch) — global min would keep lo
+        assert hi in winners and lo not in winners
+        assert len(got) == 2  # two distinct fingerprints survive
+
     def test_fingerprint_distinguishes_order_and_media(self, spark):
         df = spark.createDataFrame(
             pd.DataFrame(
