@@ -44,26 +44,60 @@ SCALES = {
     "sf0.1": dict(docs=200_000, zones=400, points=2_000, shards=32),
     # bench-only scales: enough rows that the flagship join is compute-bound,
     # so the N-vs-4N scaling measurement reflects the engine, not job setup
-    "sf1": dict(docs=2_000_000, zones=400, points=2_000, shards=64),
+    # sf1 = the 10x-of-sf0.1 superlinearity leg: 10x docs AND ~10x raster
+    # pixels (same geographic window, finer pixels) + 10x near points
+    "sf1": dict(docs=2_000_000, zones=400, points=20_000, shards=64),
     "sfbench": dict(docs=40_000_000, zones=400, points=2_000, shards=64),
+    # skew-stress bench scale (round-4 judge ask #5): identical to sfbench
+    # except ~20% of ALL geo coordinates land inside ONE res-9 join cell
+    # (a tight box strictly inside cell ix=96/iy=371) — the adversarial
+    # input for the salted sort-merge path
+    "sfskew": dict(docs=40_000_000, zones=400, points=2_000, shards=64, skew="cell"),
 }
 
 EXTENT = (-120.0, -80.0, 30.0, 45.0)  # xmin, xmax, ymin, ymax (WGS84)
 HOT_CENTERS = [(-112.3, 40.7), (-95.4, 33.1), (-87.9, 41.9)]  # skew clusters
+# one-cell hot box for the sfskew scale: strictly inside res-9 cell
+# ix=96 (x in [-112.5, -111.796875)) / iy=371 (y in [40.4296875, 40.78125))
+HOT_CELL_BOX = (-112.4, -111.9, 40.45, 40.75)
 NODATA = -9999.0
 
 # shared grid (rasters r0,r1,r2) + shifted grid (r3)
 SHARED_GRID = dict(origin_x=-120.0, origin_y=45.0, px_x=0.25, px_y=-0.25, width=128, height=128)
 SHIFTED_GRID = dict(origin_x=-119.87, origin_y=44.63, px_x=0.2, px_y=-0.2, width=96, height=96)
 TILE = 32
-# (raster_id, band, input_rank, grid)
-RASTER_DEFS = [
-    ("r0", 1, 0, SHARED_GRID),
-    ("r1", 1, 1, SHARED_GRID),
-    ("r1", 2, 1, SHARED_GRID),
-    ("r2", 1, 2, SHARED_GRID),
-    ("r3", 1, 3, SHIFTED_GRID),
-]
+# sf1's superlinearity leg grows rasters to ~10x the PIXELS over the SAME
+# geographic window (finer pixel size, tile-multiple dims): 128->416,
+# 96->320 — so halo/zonal semantics keep their overlap structure while the
+# data volume scales
+_RASTER_SIZES = {"sf1": {"shared": 416, "shifted": 320}}
+
+
+def _raster_defs(sf: str):
+    sz = _RASTER_SIZES.get(sf)
+    if sz is None:
+        shared, shifted = SHARED_GRID, SHIFTED_GRID
+    else:
+        sw, st = sz["shared"], sz["shifted"]
+        shared = dict(
+            origin_x=-120.0, origin_y=45.0,
+            px_x=0.25 * 128 / sw, px_y=-0.25 * 128 / sw, width=sw, height=sw,
+        )
+        shifted = dict(
+            origin_x=-119.87, origin_y=44.63,
+            px_x=0.2 * 96 / st, px_y=-0.2 * 96 / st, width=st, height=st,
+        )
+    return [
+        ("r0", 1, 0, shared),
+        ("r1", 1, 1, shared),
+        ("r1", 2, 1, shared),
+        ("r2", 1, 2, shared),
+        ("r3", 1, 3, shifted),
+    ]
+
+
+# (raster_id, band, input_rank, grid) — the default-scale defs
+RASTER_DEFS = _raster_defs("default")
 
 _LOREM = (
     "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor "
@@ -87,7 +121,7 @@ def ensure(sf: str) -> str:
         return d
     os.makedirs(d, exist_ok=True)
     cfg = SCALES[sf]
-    _gen_documents(sf, cfg["docs"], cfg["shards"])
+    _gen_documents(sf, cfg["docs"], cfg["shards"], skew=cfg.get("skew"))
     _gen_zones(sf, cfg["zones"])
     _gen_rasters(sf)
     _gen_near_points(sf, cfg["points"])
@@ -100,7 +134,7 @@ def _fmt(v: float) -> str:
     return repr(float(v))
 
 
-def _gen_documents(sf: str, n_docs: int, shards: int = 4) -> None:
+def _gen_documents(sf: str, n_docs: int, shards: int = 4, skew: str | None = None) -> None:
     out_dir = table_path(sf, "documents_spans")
     if os.path.isfile(out_dir):
         os.remove(out_dir)
@@ -114,7 +148,7 @@ def _gen_documents(sf: str, n_docs: int, shards: int = 4) -> None:
         cnt = min(per, n_docs - start)
         if cnt <= 0:
             break
-        jobs.append((out_dir, i, start, cnt))
+        jobs.append((out_dir, i, start, cnt, skew))
         start += cnt
     if len(jobs) > 4:
         import multiprocessing as mp
@@ -129,7 +163,7 @@ def _gen_documents(sf: str, n_docs: int, shards: int = 4) -> None:
 def _gen_doc_shard(job) -> None:
     """One deterministic shard: seeded by shard index (stable regardless of
     worker scheduling)."""
-    out_dir, shard, start_doc, n_docs = job
+    out_dir, shard, start_doc, n_docs, skew = job
     rng = np.random.default_rng(42 + 7919 * shard)
     n_spans = rng.integers(1, 13, size=n_docs)
     total = int(n_spans.sum())
@@ -141,9 +175,15 @@ def _gen_doc_shard(job) -> None:
     gx = rng.uniform(xmin, xmax, total)
     gy = rng.uniform(ymin, ymax, total)
     hot = rng.random(total) < 0.20
-    hidx = rng.integers(0, len(HOT_CENTERS), total)
-    hx = np.array([c[0] for c in HOT_CENTERS])[hidx] + rng.normal(0, 0.05, total)
-    hy = np.array([c[1] for c in HOT_CENTERS])[hidx] + rng.normal(0, 0.05, total)
+    if skew == "cell":
+        # skew-stress form: ALL hot draws collapse into one res-9 cell
+        bx0, bx1, by0, by1 = HOT_CELL_BOX
+        hx = rng.uniform(bx0, bx1, total)
+        hy = rng.uniform(by0, by1, total)
+    else:
+        hidx = rng.integers(0, len(HOT_CENTERS), total)
+        hx = np.array([c[0] for c in HOT_CENTERS])[hidx] + rng.normal(0, 0.05, total)
+        hy = np.array([c[1] for c in HOT_CENTERS])[hidx] + rng.normal(0, 0.05, total)
     gx = np.where(hot, hx, gx)
     gy = np.where(hot, hy, gy)
     gshape = rng.random(total)  # <0.85 point, <0.97 polygon, else multipolygon
@@ -355,7 +395,7 @@ def _gen_rasters(sf: str) -> None:
     rng = np.random.default_rng(424242)
     meta_rows = []
     tile_rows = []
-    for raster_id, band, rank, grid in RASTER_DEFS:
+    for raster_id, band, rank, grid in _raster_defs(sf):
         meta_rows.append(
             dict(raster_id=raster_id, band=band, input_rank=rank, nodata=NODATA, **grid)
         )
