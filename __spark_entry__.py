@@ -1118,6 +1118,21 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), min_count=1)
 
 
+def q_csv_wkt_roundtrip(spark, sf_dir):
+    """CSV+WKT source gate: near_points serialized to an on-disk CSV with
+    repr-double POINT WKT, re-opened through the distributed CSV scan +
+    codegen POINT parse — the oracle reads the ORIGINAL parquet, so a
+    hash match proves the source is lossless end-to-end."""
+    from gdal_common_python_spark.sources.csv_wkt import round_trip_points_csv
+
+    label = _sf_label(sf_dir)
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "data", "tmp", f"csv_wkt_gate_{label}.csv",
+    )
+    return round_trip_points_csv(spark, _synth(spark, sf_dir, "near_points"), path)
+
+
 def q_stream_dedup_replay(spark, sf_dir):
     """Deterministic replay of the STATEFUL streaming first-seen dedup
     (applyInPandasWithState over a real file-source stream, one file per
@@ -2107,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_invariant": q_span_invariant,
         "dedup_exact": q_dedup_exact,
         "stream_dedup_replay": q_stream_dedup_replay,
+        "csv_wkt_roundtrip": q_csv_wkt_roundtrip,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -2214,6 +2230,10 @@ _EDGES = f"read_parquet('{S01}/zone_edges.parquet')"
 _RASTERS = f"read_parquet('{S01}/rasters.parquet')"
 _TILES = f"read_parquet('{S01}/raster_tiles.parquet')"
 _POINTS = f"read_parquet('{S01}/near_points.parquet')"
+
+# CSV+WKT round trip: the oracle reads the ORIGINAL parquet — repr doubles
+# round-trip IEEE754 exactly, so the CSV path must reproduce it bit-for-bit
+_SQL_CSV_WKT_ROUNDTRIP = f"SELECT point_id, tag, x, y FROM {_POINTS}"
 
 # rectify native-srid edge coords to 4326 (closed-form mercator inverse)
 # zone_edges carries ingest-time rectified 4326 coords (ex1..ey2)
@@ -4638,6 +4658,7 @@ def oracle_sql() -> dict[str, str]:
         "span_invariant": _SQL_SPAN_INVARIANT,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "stream_dedup_replay": _SQL_STREAM_DEDUP_REPLAY,
+        "csv_wkt_roundtrip": _SQL_CSV_WKT_ROUNDTRIP,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,

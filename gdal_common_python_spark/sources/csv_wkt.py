@@ -96,6 +96,34 @@ def parse_wkt_polygons(
     return df.mapInPandas(kernel, out_schema)
 
 
+def round_trip_points_csv(spark: SparkSession, pts: DataFrame, path: str) -> DataFrame:
+    """Verification bridge for the CSV+WKT source (round-5: promotes the
+    pytest-only source to an oracle gate): serialize a point table
+    (point_id, tag, x, y) to an on-disk CSV whose geometry column is
+    ``POINT(x y)`` WKT with ``repr`` doubles (repr round-trips IEEE754
+    exactly, so cast-back equals the original bit-for-bit), then open it
+    with the REAL distributed reader (`read_csv_wkt` -> spark.read.csv +
+    the codegen POINT parse) and return (point_id, tag, x, y). An oracle
+    reading the ORIGINAL parquet must hash-match — proving the source's
+    scan + parse is lossless end-to-end.
+
+    The serialize side is driver-side pandas and therefore DIMENSION-
+    bounded by design (it exists to produce the fixture); the read side —
+    the thing under test — is the production distributed path."""
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pdf = pts.select("point_id", "tag", "x", "y").toPandas().sort_values("point_id")
+    with open(path, "w") as f:
+        f.write("point_id,tag,wkt\n")
+        for r in pdf.itertuples(index=False):
+            f.write(f'{r.point_id},{r.tag},"POINT({r.x!r} {r.y!r})"\n')
+    out = read_csv_wkt(spark, path, geometry_type="point")
+    return out.select(
+        F.col("point_id").cast("long").alias("point_id"), "tag", "x", "y"
+    )
+
+
 def read_csv_wkt(
     spark: SparkSession,
     path: str,
