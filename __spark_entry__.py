@@ -1118,6 +1118,33 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), min_count=1)
 
 
+def q_stream_cell_counts_replay(spark, sf_dir):
+    """Watermarked windowed-aggregation stream made oracle-checkable:
+    deterministic md5-derived event time (3 one-minute windows),
+    deterministic micro-batch replay through the REAL file-source stream,
+    outputMode complete — final (win_start, cell, n_spans) table equals a
+    batch groupBy the oracle reproduces with the same md5 arithmetic."""
+    from gdal_common_python_spark.streaming.ingest import replay_cell_counts
+
+    return replay_cell_counts(
+        spark, _synth(spark, sf_dir, "documents_spans"), n_batches=3
+    )
+
+
+def q_stream_spatial_join_replay(spark, sf_dir):
+    """The CONTINUOUS flagship: the batch spatial-join operator applied
+    verbatim to a micro-batched stream; the appended union across
+    triggers must hash-match the batch PIP oracle on the same docs."""
+    from gdal_common_python_spark.streaming.ingest import replay_stream_spatial_join
+
+    return replay_stream_spatial_join(
+        spark,
+        _synth(spark, sf_dir, "documents_spans"),
+        _synth(spark, sf_dir, "zones"),
+        n_batches=3,
+    )
+
+
 def q_csv_wkt_roundtrip(spark, sf_dir):
     """CSV+WKT source gate: near_points serialized to an on-disk CSV with
     repr-double POINT WKT, re-opened through the distributed CSV scan +
@@ -2123,6 +2150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "stream_dedup_replay": q_stream_dedup_replay,
         "csv_wkt_roundtrip": q_csv_wkt_roundtrip,
+        "stream_cell_counts_replay": q_stream_cell_counts_replay,
+        "stream_spatial_join_replay": q_stream_spatial_join_replay,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -2234,6 +2263,40 @@ _POINTS = f"read_parquet('{S01}/near_points.parquet')"
 # CSV+WKT round trip: the oracle reads the ORIGINAL parquet — repr doubles
 # round-trip IEEE754 exactly, so the CSV path must reproduce it bit-for-bit
 _SQL_CSV_WKT_ROUNDTRIP = f"SELECT point_id, tag, x, y FROM {_POINTS}"
+
+
+def _sql_grid_ixy_named(res: int) -> str:
+    n = 1 << res
+    return (
+        f"CAST(least(greatest(floor((px + 180.0) / {360.0 / n!r}), 0), {n - 1}) AS BIGINT) AS ix,"
+        f" CAST(least(greatest(floor((py + 90.0) / {180.0 / n!r}), 0), {n - 1}) AS BIGINT) AS iy"
+    )
+
+
+# windowed streaming ingest, replayed deterministically: event time =
+# 1_600_000_000 + (md5 hex 9..16 of doc_id % 180) seconds per DOC, tumbling
+# 1-minute windows aligned to the epoch, cell at res 7 — the POINT_RX
+# regexp parse is the streaming path's own (mirrored verbatim), and the
+# final complete-mode table is exactly this batch groupBy
+_SQL_STREAM_CELL_COUNTS = f"""
+WITH pts AS (
+  SELECT doc_id,
+         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 1) AS DOUBLE) px,
+         TRY_CAST(regexp_extract(s.text, 'POINT\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)', 2) AS DOUBLE) py
+  FROM (SELECT doc_id, unnest(spans) s FROM {_DOCS})
+  WHERE s.kind = 'geo' AND s.text LIKE 'POINT%'
+),
+t AS (
+  SELECT (1600000000 + (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS BIGINT) % 180)) AS epoch,
+         {_sql_grid_ixy_named(7)}
+  FROM pts
+)
+SELECT CAST((epoch // 60) * 60 AS BIGINT) AS win_start,
+       CAST({7 * (1 << 58)} + ix * {1 << 29} + iy AS BIGINT) AS cell,
+       count(*) AS n_spans
+FROM t
+GROUP BY 1, 2
+"""
 
 # rectify native-srid edge coords to 4326 (closed-form mercator inverse)
 # zone_edges carries ingest-time rectified 4326 coords (ex1..ey2)
@@ -4659,6 +4722,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "stream_dedup_replay": _SQL_STREAM_DEDUP_REPLAY,
         "csv_wkt_roundtrip": _SQL_CSV_WKT_ROUNDTRIP,
+        "stream_cell_counts_replay": _SQL_STREAM_CELL_COUNTS,
+        "stream_spatial_join_replay": _SQL_SPATIAL_JOIN_PIP,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,

@@ -130,34 +130,18 @@ def replay_first_seen(
     import tempfile
     import uuid
 
+    from .replay import stage_micro_batches
+
     if n_batches < 1:
         raise ValueError("n_batches must be >= 1")
     work = tempfile.mkdtemp(prefix="gcp-stream-replay-")
     qname = f"stream_dedup_replay_{uuid.uuid4().hex[:12]}"
     try:
         stream_dir = os.path.join(work, "in")
-        os.makedirs(stream_dir)
-        bix = (
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-            .cast("long")
-            % n_batches
-        ).cast("int")
-        staged = docs.select(F.col(id_col).alias("doc_id"), "spans").withColumn(
-            "__b", bix
-        )
-        base = 1_600_000_000  # fixed epoch base: mtime order == batch order
-        for b in range(n_batches):
-            part_dir = os.path.join(work, f"part-{b}")
-            staged.where(F.col("__b") == b).drop("__b").coalesce(1).write.parquet(
-                part_dir
-            )
-            src = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            dst = os.path.join(stream_dir, f"batch-{b:05d}.parquet")
-            if src:
-                shutil.move(os.path.join(part_dir, src[0]), dst)
-                os.utime(dst, (base + b, base + b))
+        staged = docs.select(F.col(id_col).alias("doc_id"), "spans")
+        stage_micro_batches(staged, stream_dir, n_batches)
         stream = (
-            spark.readStream.schema(staged.drop("__b").schema)
+            spark.readStream.schema(staged.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stream_dir)
         )
