@@ -296,6 +296,16 @@ def q_zone_keywords(spark, sf_dir):
     )
 
 
+def q_zone_dedup_profile(spark, sf_dir):
+    """Regional duplication report (dedup x geo composition): per zone,
+    the geotagged docs whose span fingerprint repeats anywhere in the
+    corpus, as integer counts + ppm — fingerprints fold inside the scan
+    (32 bytes/doc, never text), groups map-side combine."""
+    return sj.zone_dedup_profile(
+        spark, _synth(spark, sf_dir, "documents_spans"), _synth(spark, sf_dir, "zones")
+    )
+
+
 def q_zone_mean_center(spark, sf_dir):
     """Per-zone mean center + max-radius dispersion of the corpus geo
     points: micro-unit integer sums (order-free exact), one fixed double
@@ -2117,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_intersections": q_edge_intersections,
         "nearest_zone_distance": q_nearest_zone_distance,
         "zone_mean_center": q_zone_mean_center,
+        "zone_dedup_profile": q_zone_dedup_profile,
         "zone_keywords": q_zone_keywords,
         "route_zone_sequence": q_route_zone_sequence,
         "track_profile": q_track_profile,
@@ -3540,6 +3551,12 @@ from gdal_common_python_spark.operators.sample import (  # noqa: E402
 _SQL_TRACK_PROFILE = _tpf_sql(_PTS_CTE, _TILES)
 
 _SQL_ZONE_MEAN_CENTER = _zmc_sql(_SQL_SPATIAL_JOIN_PIP, _PTS_CTE)
+
+from gdal_common_python_spark.operators.spatial_join import (  # noqa: E402
+    zone_dedup_profile_oracle_sql as _zdp_sql,
+)
+
+_SQL_ZONE_DEDUP_PROFILE = _zdp_sql(_SQL_SPATIAL_JOIN_PIP, _DOCS)
 _SQL_ZONE_KEYWORDS = _zk_sql(_SQL_SPATIAL_JOIN_PIP, _DOCS, top_k=5)
 
 
@@ -4694,6 +4711,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_intersections": _SQL_EDGE_INTERSECTIONS,
         "nearest_zone_distance": _SQL_NEAREST_ZONE_DISTANCE,
         "zone_mean_center": _SQL_ZONE_MEAN_CENTER,
+        "zone_dedup_profile": _SQL_ZONE_DEDUP_PROFILE,
         "zone_keywords": _SQL_ZONE_KEYWORDS,
         "route_zone_sequence": _SQL_ROUTE_ZONE_SEQUENCE,
         "track_profile": _SQL_TRACK_PROFILE,

@@ -1311,6 +1311,85 @@ QUALIFY rank <= {int(top_k)}
 """
 
 
+def zone_dedup_profile(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    **join_kwargs,
+) -> DataFrame:
+    """Regional duplication report — the dedup x geo composition ->
+    (zone_id, n_docs, n_dup_docs, dup_ppm): of the documents the PIP join
+    geotags to each zone, how many are EXACT duplicates (span-sequence
+    fingerprint shared with any other doc in the whole corpus — groups
+    are corpus-wide, counts are zone-local), and the integer parts-per-
+    million rate. The curation question this answers: "which regions of
+    my corpus are polluted with copies" — the report that decides where a
+    dedup pass pays for itself.
+
+    100 TB shape (text never shuffles): the fingerprint is the md5 fold
+    of the span sequence computed INSIDE the scan (32 bytes/doc leaves
+    the scan, never span text); duplicate-group sizes are one map-side-
+    combined groupBy(fp); doc->zone memberships distinct-reduce before
+    the join; the final per-zone aggregate is integer-only with
+    ``dup_ppm = (n_dup * 1e6) div n_docs`` (exact integer division, no
+    float accumulation — hash-exact vs the oracle)."""
+    from ..streaming.dedup import doc_fingerprint_expr
+
+    dz = (
+        spatial_join_points(spark, docs, zones, **join_kwargs)
+        .select("doc_id", "zone_id")
+        .distinct()
+    )
+    fps = docs.select("doc_id", doc_fingerprint_expr().alias("fp"))
+    gs = fps.groupBy("fp").agg(F.count("*").alias("__n"))
+    dup = fps.join(gs, "fp").select(
+        "doc_id", (F.col("__n") > 1).cast("int").alias("__isdup")
+    )
+    return (
+        dz.join(dup, "doc_id")
+        .groupBy("zone_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__isdup").cast("long").alias("n_dup_docs"),
+        )
+        .select(
+            "zone_id",
+            "n_docs",
+            "n_dup_docs",
+            F.expr("(n_dup_docs * 1000000) div n_docs").alias("dup_ppm"),
+        )
+    )
+
+
+def zone_dedup_profile_oracle_sql(pip_sql: str, docs_rel: str) -> str:
+    """DuckDB mirror of :func:`zone_dedup_profile` — identical span
+    fingerprint (the span-invariant serialization), corpus-wide group
+    sizes, zone-local integer counts and ppm division."""
+    return f"""
+WITH pip AS ({pip_sql}),
+dz AS (SELECT DISTINCT doc_id, zone_id FROM pip),
+f AS (
+  SELECT doc_id,
+         md5(string_agg(
+               concat_ws(chr(30), s.kind, coalesce(s.text, ''), coalesce(s.media_ref, ''), CAST(s."offset" AS VARCHAR)),
+               chr(31) ORDER BY s."offset")) AS fp
+  FROM (SELECT doc_id, unnest(spans) s FROM {docs_rel})
+  GROUP BY doc_id
+),
+g AS (SELECT fp, count(*) AS n FROM f GROUP BY fp),
+d AS (
+  SELECT f.doc_id, CASE WHEN g.n > 1 THEN 1 ELSE 0 END AS isdup
+  FROM f JOIN g USING (fp)
+)
+SELECT dz.zone_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(isdup) AS BIGINT) AS n_dup_docs,
+       CAST((sum(isdup) * 1000000) // count(*) AS BIGINT) AS dup_ppm
+FROM dz JOIN d USING (doc_id)
+GROUP BY 1
+"""
+
+
 def route_zone_sequence(
     spark: SparkSession,
     docs: DataFrame,

@@ -784,6 +784,53 @@ class TestZoneKeywords:
             sj.zone_keywords(spark, docs, zones, top_k=0)
 
 
+class TestZoneDedupProfile:
+    def test_duplicate_pair_counts_and_ppm(self, spark):
+        """Two byte-identical docs (same span sequence -> same fingerprint,
+        which necessarily co-locates them) plus one unique doc in the same
+        zone: n_docs 3, n_dup_docs 2, dup_ppm = exact integer division.
+        (A 'twin outside the zone' cannot exist under span-sequence
+        fingerprints — identical spans imply identical geo text.)"""
+        import pandas as pd
+
+        sp = lambda x, y: [  # noqa: E731
+            {"kind": "geo", "text": f"POINT({x} {y})", "media_ref": None, "offset": 0},
+            {"kind": "text", "text": "same body", "media_ref": None, "offset": 1},
+        ]
+        docs = spark.createDataFrame(
+            [
+                ("in_dup", sp(1.0, 1.0)),
+                ("out_twin", sp(1.0, 1.0)),
+                ("in_uniq", [
+                    {"kind": "geo", "text": "POINT(1.2 1.2)", "media_ref": None, "offset": 0},
+                    {"kind": "text", "text": "unique body", "media_ref": None, "offset": 1},
+                ]),
+            ],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        zones = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "zone_id": [3],
+                    "srid": [4326],
+                    "rings": [[[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]]],
+                    "rings4326": [[[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]]],
+                }
+            )
+        ).withColumn(
+            "bbox4326",
+            F.expr(
+                "named_struct('xmin', 0.0d, 'ymin', 0.0d, 'xmax', 2.0d, 'ymax', 2.0d)"
+            ),
+        )
+        out = {r.zone_id: r for r in sj.zone_dedup_profile(spark, docs, zones).collect()}
+        # both twins are at (1,1) -> both in zone 3, plus the unique doc
+        r = out[3]
+        assert r.n_docs == 3 and r.n_dup_docs == 2
+        assert r.dup_ppm == (2 * 1_000_000) // 3
+
+
 class TestRouteZoneSequence:
     def test_collapses_consecutive_repeats(self, spark, docs, zones, zone_oracle_rings):
         oracle = _pip_oracle(docs, zone_oracle_rings)
