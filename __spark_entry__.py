@@ -296,6 +296,19 @@ def q_zone_keywords(spark, sf_dir):
     )
 
 
+def q_zone_stratified_sample(spark, sf_dir):
+    """Geo-stratified sampling: the 25 docs per zone with the smallest
+    deterministic md5 draw (resume-stable pure row function) — regionally
+    balanced subset selection; per-zone top-N runs as a WindowGroupLimit
+    over slim (doc_id, zone_id) rows."""
+    return sj.zone_stratified_sample(
+        spark,
+        _synth(spark, sf_dir, "documents_spans"),
+        _synth(spark, sf_dir, "zones"),
+        per_zone=25,
+    )
+
+
 def q_zone_dedup_profile(spark, sf_dir):
     """Regional duplication report (dedup x geo composition): per zone,
     the geotagged docs whose span fingerprint repeats anywhere in the
@@ -2128,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_zone_distance": q_nearest_zone_distance,
         "zone_mean_center": q_zone_mean_center,
         "zone_dedup_profile": q_zone_dedup_profile,
+        "zone_stratified_sample": q_zone_stratified_sample,
         "zone_keywords": q_zone_keywords,
         "route_zone_sequence": q_route_zone_sequence,
         "track_profile": q_track_profile,
@@ -3557,6 +3571,12 @@ from gdal_common_python_spark.operators.spatial_join import (  # noqa: E402
 )
 
 _SQL_ZONE_DEDUP_PROFILE = _zdp_sql(_SQL_SPATIAL_JOIN_PIP, _DOCS)
+
+from gdal_common_python_spark.operators.spatial_join import (  # noqa: E402
+    zone_stratified_sample_oracle_sql as _zss_sql,
+)
+
+_SQL_ZONE_STRATIFIED_SAMPLE = _zss_sql(_SQL_SPATIAL_JOIN_PIP, per_zone=25)
 _SQL_ZONE_KEYWORDS = _zk_sql(_SQL_SPATIAL_JOIN_PIP, _DOCS, top_k=5)
 
 
@@ -4712,6 +4732,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_zone_distance": _SQL_NEAREST_ZONE_DISTANCE,
         "zone_mean_center": _SQL_ZONE_MEAN_CENTER,
         "zone_dedup_profile": _SQL_ZONE_DEDUP_PROFILE,
+        "zone_stratified_sample": _SQL_ZONE_STRATIFIED_SAMPLE,
         "zone_keywords": _SQL_ZONE_KEYWORDS,
         "route_zone_sequence": _SQL_ROUTE_ZONE_SEQUENCE,
         "track_profile": _SQL_TRACK_PROFILE,

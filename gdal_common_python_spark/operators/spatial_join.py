@@ -1390,6 +1390,65 @@ GROUP BY 1
 """
 
 
+def zone_stratified_sample(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: DataFrame,
+    per_zone: int = 50,
+    salt: str = "zsamp1",
+    **join_kwargs,
+) -> DataFrame:
+    """Geo-stratified document sampling -> (zone_id, rank, doc_id): the
+    ``per_zone`` documents per zone with the smallest deterministic md5
+    draw — the "build a regionally balanced training subset" op, the geo
+    analog of the curation module's language-stratified ``quota_sample``.
+    A doc inside several zones is eligible in each (stratification is per
+    region, mirrored by the oracle).
+
+    Determinism (the curation md5-draw discipline): the draw is
+    ``md5(salt ':' doc_id)`` — a pure row function, stable under
+    repartitioning, retries and resume — and ties (impossible for md5 in
+    practice, but pinned anyway) break on doc_id. 100 TB shape: doc->zone
+    memberships distinct-reduce to slim (doc_id, zone_id) rows BEFORE the
+    ranking; the per-zone top-N is a WindowGroupLimit (rank <= N pushes
+    the limit into the sort — each partition keeps at most N rows per
+    zone before the final selection), shuffle carries ids only."""
+    from pyspark.sql.window import Window
+
+    if per_zone < 1:
+        raise ValueError("per_zone must be >= 1")
+    dz = (
+        spatial_join_points(spark, docs, zones, **join_kwargs)
+        .select("doc_id", "zone_id")
+        .distinct()
+    )
+    draw = F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("zone_id").orderBy(draw.asc(), F.col("doc_id").asc())
+    return (
+        dz.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(per_zone))
+        .select("zone_id", "rank", "doc_id")
+    )
+
+
+def zone_stratified_sample_oracle_sql(
+    pip_sql: str, per_zone: int = 50, salt: str = "zsamp1"
+) -> str:
+    """DuckDB mirror of :func:`zone_stratified_sample` — identical md5
+    draw, tie order, and QUALIFY cutoff."""
+    return f"""
+WITH pip AS ({pip_sql}),
+dz AS (SELECT DISTINCT doc_id, zone_id FROM pip)
+SELECT zone_id, CAST(row_number() OVER w AS INT) AS rank, doc_id
+FROM dz
+WINDOW w AS (
+  PARTITION BY zone_id
+  ORDER BY md5('{salt}:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+)
+QUALIFY rank <= {int(per_zone)}
+"""
+
+
 def route_zone_sequence(
     spark: SparkSession,
     docs: DataFrame,

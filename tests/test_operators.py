@@ -831,6 +831,41 @@ class TestZoneDedupProfile:
         assert r.dup_ppm == (2 * 1_000_000) // 3
 
 
+class TestZoneStratifiedSample:
+    def test_cap_determinism_membership(self, spark, docs, zones):
+        out = sj.zone_stratified_sample(spark, docs, zones, per_zone=3)
+        rows = out.collect()
+        by_zone = {}
+        for r in rows:
+            by_zone.setdefault(r.zone_id, []).append((r.rank, r.doc_id))
+        for z, picks in by_zone.items():
+            assert len(picks) <= 3
+            assert sorted(rank for rank, _ in picks) == list(range(1, len(picks) + 1))
+        # deterministic: a repartitioned input picks the SAME sample
+        again = {
+            (r.zone_id, r.rank, r.doc_id)
+            for r in sj.zone_stratified_sample(
+                spark, docs.repartition(7), zones, per_zone=3
+            ).collect()
+        }
+        assert {(r.zone_id, r.rank, r.doc_id) for r in rows} == again
+
+    def test_per_zone_validation(self, spark, docs, zones):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="per_zone"):
+            sj.zone_stratified_sample(spark, docs, zones, per_zone=0)
+
+    def test_plan_uses_window_group_limit(self, spark, docs, zones):
+        """rank <= N must push into the sort as a WindowGroupLimit so each
+        partition keeps at most N rows per zone before the final pass."""
+        out = sj.zone_stratified_sample(spark, docs, zones, per_zone=5)
+        p = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "WindowGroupLimit" in p, p[:1500]
+
+
 class TestRouteZoneSequence:
     def test_collapses_consecutive_repeats(self, spark, docs, zones, zone_oracle_rings):
         oracle = _pip_oracle(docs, zone_oracle_rings)

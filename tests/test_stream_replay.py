@@ -48,6 +48,24 @@ def test_cell_counts_accumulate_across_batches(spark):
     assert len(out) == 1 and out[0].n_spans == 2
 
 
+def test_replay_empty_input_yields_empty_with_schema(spark):
+    """Zero docs -> zero staged files -> the stream drains immediately and
+    the replay returns an EMPTY DataFrame with the right schema instead of
+    crashing on a fileless source dir."""
+    docs = spark.createDataFrame([], DOCUMENTS)
+    out = replay_cell_counts(spark, docs, n_batches=3)
+    assert out.count() == 0
+    assert out.columns == ["win_start", "cell", "n_spans"]
+
+
+def test_replay_sparse_buckets_single_doc(spark):
+    """One doc -> two of three md5 buckets stage NO file; the replay must
+    still process the one real micro-batch."""
+    docs = spark.createDataFrame([_doc("only", 1.5, 2.5)], DOCUMENTS)
+    out = replay_cell_counts(spark, docs, n_batches=3).collect()
+    assert len(out) == 1 and out[0].n_spans == 1
+
+
 def test_stream_flagship_union_equals_batch(spark, docs, zones):
     """The appended union across micro-batches == the batch flagship on
     the same docs (stateless stream-static join, exactly-once source)."""
