@@ -42,7 +42,7 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_block: int = 1024,
+    query_block: int = 2560,
     corpus_block: int = 4096,
 ) -> DataFrame:
     """(vec_id, rank, neighbor_id) — EXACT brute-force cosine top-k as a
@@ -86,17 +86,32 @@ def cosine_topk(
         )
     nqb = max(1, math.ceil(n / query_block))
     ncb = max(1, math.ceil(n / corpus_block))
-    qb = (
-        v.withColumn("qb", F.pmod(F.xxhash64("vec_id"), F.lit(nqb)))
-        .groupBy("qb")
-        .agg(F.collect_list(F.struct("vec_id", "v")).alias("qs"))
-    )
-    cb = (
-        v.withColumn("cb", F.pmod(F.xxhash64("vec_id"), F.lit(ncb)))
-        .groupBy("cb")
-        .agg(F.collect_list(F.struct("vec_id", "v")).alias("cs"))
-    )
-    pairs = qb.crossJoin(cb).select("qs", "cs")
+    # pack each block as (ids array, flattened vector array): the Arrow
+    # boundary then moves two contiguous buffers per block instead of an
+    # array<struct> whose elements materialize as one Python dict per
+    # vector inside the kernel (the profiled conversion hot spot — each
+    # block crosses nqb/ncb times via the crossJoin). collect_list(struct)
+    # keeps id<->vector pairing; the unzip transforms run once per BLOCK
+    # row (dimension-sized, interpreted cost is nil).
+    def _pack(nb, id_alias, flat_alias):
+        return (
+            v.withColumn("b", F.pmod(F.xxhash64("vec_id"), F.lit(nb)))
+            .groupBy("b")
+            .agg(F.collect_list(F.struct("vec_id", "v")).alias("ps"))
+            .select(
+                F.transform("ps", lambda s: s["vec_id"]).alias(id_alias),
+                F.flatten(F.transform("ps", lambda s: s["v"])).alias(flat_alias),
+            )
+        )
+
+    qb = _pack(nqb, "qids", "qv")
+    cb = _pack(ncb, "cids", "cv")
+    # one pair row per task: the block tables are tiny (a few MB), so AQE
+    # coalesces their exchanges down to a handful of partitions and the
+    # whole O(n^2) GEMM would run nearly serial; an explicit round-robin
+    # repartition (not AQE-coalescible) spreads the nqb x ncb kernel calls
+    # across the cluster — the shuffle moves only the packed blocks once
+    pairs = qb.crossJoin(cb).repartition(nqb * ncb)
     part_schema = T.StructType(
         [
             T.StructField("vec_id", id_type),
@@ -108,12 +123,20 @@ def cosine_topk(
 
     def kernel(batches):
         for pdf in batches:
-            out_q, out_n, out_c = [], [], []
-            for qs, cs in zip(pdf["qs"], pdf["cs"]):
-                qids = np.asarray([r["vec_id"] for r in qs])
-                A = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qs])
-                cids = np.asarray([r["vec_id"] for r in cs])
-                B = np.stack([np.asarray(r["v"], dtype=np.float64) for r in cs])
+            frames = []
+            for qids_a, qv, cids_a, cv in zip(pdf["qids"], pdf["qv"], pdf["cids"], pdf["cv"]):
+                qids = np.asarray(qids_a)
+                cids = np.asarray(cids_a)
+                A = np.asarray(qv, dtype=np.float64).reshape(len(qids), -1)
+                B = np.asarray(cv, dtype=np.float64).reshape(len(cids), -1)
+                # pre-sort the corpus block by id: a STABLE argsort on -cos
+                # then tie-breaks by position == by neighbor_id, replacing
+                # the former per-query np.lexsort Python loop (the profiled
+                # hot spot) with one vectorized argsort per block pair —
+                # the same scheme ivf_topk.rerank uses
+                mo = np.argsort(cids, kind="stable")
+                cids = cids[mo]
+                B = B[mo]
                 # sequential-order sums == the fold order (see docstring)
                 na = np.sqrt(np.einsum("ij,ij->i", A, A, optimize=False))
                 nb = np.sqrt(np.einsum("ij,ij->i", B, B, optimize=False))
@@ -127,14 +150,42 @@ def cosine_topk(
                 self_m = qids[:, None] == cids[None, :]
                 cos[self_m] = -np.inf
                 kr = min(kk, cos.shape[1])
-                for i in range(len(qids)):
-                    row = cos[i]
-                    order = np.lexsort((cids, -row))[:kr]
-                    order = order[row[order] > -np.inf]
-                    out_q.extend([qids[i]] * len(order))
-                    out_n.extend(cids[order].tolist())
-                    out_c.extend(row[order].tolist())
-            yield pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "cos": out_c})
+                nq, nc = cos.shape
+                # top-k per row WITHOUT a full row sort (argpartition is
+                # O(nc), the former per-row lexsort / full stable argsort
+                # was the kernel's hot spot): candidates first, then a
+                # vectorized (cos desc, neighbor_id asc) lexsort of just
+                # the kr candidates per row. Rows with VALUE TIES crossing
+                # the partition boundary (cnt > kr — duplicate vectors,
+                # +-inf rows) fall back to the exact full-row lexsort, so
+                # the selected set is always identical to the full sort.
+                if kr < nc:
+                    part = np.argpartition(-cos, kr - 1, axis=1)[:, :kr]
+                else:
+                    part = np.broadcast_to(np.arange(nc), (nq, nc)).copy()
+                cand_vals = np.take_along_axis(cos, part, axis=1)
+                thr = cand_vals.min(axis=1)
+                cnt = (cos >= thr[:, None]).sum(axis=1)
+                ord2 = np.lexsort((cids[part], -cand_vals), axis=1)
+                sel = np.take_along_axis(part, ord2, axis=1)
+                for i in np.nonzero(cnt > kr)[0]:
+                    sel[i] = np.lexsort((cids, -cos[i]))[:kr]
+                vals = np.take_along_axis(cos, sel, axis=1)
+                keep = vals > -np.inf
+                qi, _ = np.nonzero(keep)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": qids[qi].tolist(),
+                            "neighbor_id": cids[sel[keep]].tolist(),
+                            "cos": vals[keep].tolist(),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos": []})
 
     part = pairs.mapInPandas(kernel, schema=part_schema)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -531,25 +582,38 @@ def quantize_int8(
 
         scale = 127.0 / max(|v_i|),   q_i = floor(v_i * scale + 0.5)
 
-    100 % native HOFs (transform / array_max / posexplode) — zero Python,
-    zero shuffle. floor(x + 0.5) rounding and the float->double casts are
-    identical IEEE in Spark and DuckDB, so the gate is hash-exact.
+    100 % native, zero shuffle — and zero lambda HOFs: higher-order
+    functions (`transform`) are evaluated INTERPRETED per element (no
+    whole-stage codegen), which made the original transform-based form the
+    single most expensive projection in the suite (12.7 s at the 10x bench
+    scale for 20k x 64 floats). This form explodes FIRST and computes q
+    per exploded row in plain codegen; max(|v_i|) = greatest(array_max(v),
+    -array_min(v)) — bit-identical to array_max(transform(abs)) for IEEE
+    floats (abs and negation are exact; NaN propagates to the max in both
+    forms, yielding scale NULL) without the per-element lambda.
+    floor(x + 0.5) rounding and the float->double casts are identical IEEE
+    in Spark and DuckDB, so the gate is hash-exact.
     All-zero vectors quantize to all-zero with scale NULL."""
-    mx = F.array_max(F.transform(F.col(vec_col), lambda v: F.abs(v))).cast("double")
+    mx = F.greatest(
+        F.array_max(F.col(vec_col)), -F.array_min(F.col(vec_col))
+    ).cast("double")
     scale = F.when(mx > 0, F.lit(127.0) / mx)
-    q = F.transform(
-        F.col(vec_col),
-        lambda v: F.when(
-            F.col("__scale").isNotNull(),
-            F.floor(v.cast("double") * F.col("__scale") + F.lit(0.5)).cast("int"),
-        ).otherwise(F.lit(0)),
-    )
     return (
         emb.withColumn("__scale", scale)
-        .withColumn("__q", q)
         .select(
             F.col(id_col),
-            F.posexplode("__q").alias("dim", "q"),
+            F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+            F.col("__scale"),
+        )
+        .select(
+            F.col(id_col),
+            "dim",
+            F.when(
+                F.col("__scale").isNotNull(),
+                F.floor(F.col("__v").cast("double") * F.col("__scale") + F.lit(0.5)).cast("int"),
+            )
+            .otherwise(F.lit(0))
+            .alias("q"),
             F.col("__scale").alias("scale"),
         )
     )
