@@ -61,6 +61,10 @@ def decontaminate(
     # array_distinct(transform(...)) per exploded row once the join's
     # constraints propagate — measured 20x slowdown. Below a Generate the
     # array is a bound attribute and is computed exactly once per doc.
+    from ..operators.dedup import _spread
+
+    docs = _spread(docs)  # a single-split corpus parquet would serialize
+    # the shingle build + broadcast probe onto one core; no-op at scale
     doc_arr = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array(F.struct(shingle_structs_col(text_col, n).alias("arr")))).alias("__b"),

@@ -101,14 +101,32 @@ def minhash_docs(docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text
     Shape: explode shingles -> md5 as plain columns -> groupBy(doc_id) with
     k min() aggregates. Everything stays inside whole-stage codegen (HOF
     lambdas over arrays are interpreted per element — measured ~10x slower
-    for the same md5 count), and the map-side partial min() means the
-    shuffle carries ~one row per doc per mapper, not the exploded shingles."""
+    for the same md5 count). The min() runs on the 32-bit INTEGER value of
+    each 8-hex component (``conv(hex, 16, 10)``): fixed-width lowercase hex
+    sorts identically as string or number, but min(long) keeps the
+    aggregate inside codegen HashAggregate with map-side combine, where
+    min(string) forces a SortAggregate that sorts every exploded shingle
+    row (the profiled cost of every minhash consumer); the post-aggregate
+    projection converts the k per-DOC minima back to the identical
+    lowercase hex strings, so ``sig`` is byte-for-byte unchanged."""
     assert k % 4 == 0
+    # one-element explode barrier (same trick as curation.decontaminate):
+    # without it, constraint propagation re-inlines the whole
+    # array_distinct(arrays_zip(...)) shingle pipeline PER EXPLODED ROW
+    # (measured 4.3 s vs 0.5 s for the exploded stream at the 10x bench
+    # scale); below a Generate the array is a bound attribute, computed
+    # exactly once per doc
     ex = (
         _spread(docs)
-        .select(F.col(id_col).alias("doc_id"), shingle_structs_col(text_col, n).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", F.explode("shingles").alias("__s"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array(F.struct(shingle_structs_col(text_col, n).alias("arr")))
+            ).alias("__b"),
+        )
+        .select("doc_id", F.col("__b.arr").alias("__sha"))
+        .filter(F.size("__sha") > 0)
+        .select("doc_id", F.explode("__sha").alias("__s"))
         .select("doc_id", ngram_string("__s", n).alias("__sh"))
     )
     hashed = ex.select(
@@ -116,14 +134,19 @@ def minhash_docs(docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text
         *[F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh"))).alias(f"__h{i}") for i in range(k // 4)],
     )
     aggs = [
-        F.min(F.substring(F.col(f"__h{i}"), 1 + 8 * r, 8)).alias(f"__c{4 * i + r}")
+        F.min(
+            F.conv(F.substring(F.col(f"__h{i}"), 1 + 8 * r, 8), 16, 10).cast("long")
+        ).alias(f"__c{4 * i + r}")
         for i in range(k // 4)
         for r in range(4)
+    ]
+    back = [
+        F.lpad(F.lower(F.hex(F.col(f"__c{j}"))), 8, "0") for j in range(k)
     ]
     return (
         hashed.groupBy("doc_id")
         .agg(*aggs)
-        .select("doc_id", F.array(*[F.col(f"__c{j}") for j in range(k)]).alias("sig"))
+        .select("doc_id", F.array(*back).alias("sig"))
     )
 
 
@@ -163,11 +186,17 @@ def _lower_band_agrees(rows: int, bands: int):
     )
 
 
-def _est_jaccard():
-    return (
-        F.size(F.filter(F.zip_with("a_sig", "b_sig", lambda x, y: x == y), lambda e: e))
-        / F.size("a_sig")
+def _est_jaccard(k: int = 16):
+    """Fraction of equal minhash components. Unrolled element comparisons
+    (the signature length is fixed and known at plan-build time) — plain
+    codegen instead of the interpreted zip_with+filter lambda pair that
+    ran per candidate row."""
+    matches = reduce(
+        lambda acc, j: acc + (F.col("a_sig")[j] == F.col("b_sig")[j]).cast("int"),
+        range(1, k),
+        (F.col("a_sig")[0] == F.col("b_sig")[0]).cast("int"),
     )
+    return matches / F.lit(k).cast("double")
 
 
 def lsh_candidate_pairs(signed: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
@@ -187,7 +216,7 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 4, rows: int = 4) -> Dat
         .filter(~_lower_band_agrees(rows, bands))
     )
     return track_persisted(
-        pairs.select("a_id", "b_id", _est_jaccard().alias("est_jaccard")), banded
+        pairs.select("a_id", "b_id", _est_jaccard(bands * rows).alias("est_jaccard")), banded
     )
 
 
@@ -224,7 +253,7 @@ def minhash_similarity_join(
     if broadcastable(b, broadcast_limit):
         b = F.broadcast(b)
     pairs = a.join(b, ["band", "bkey"]).filter(~_lower_band_agrees(rows, bands))
-    out = pairs.select("a_id", "b_id", _est_jaccard().alias("est_jaccard"))
+    out = pairs.select("a_id", "b_id", _est_jaccard(k).alias("est_jaccard"))
     if threshold > 0.0:
         out = out.filter(F.col("est_jaccard") >= threshold)
     return out

@@ -202,8 +202,10 @@ def vocabulary(
     shuffle, so shuffle volume is ~vocab-size per partition, not corpus
     token count. The top_k cap is a global sort of the (tiny) aggregated
     table only."""
+    from .dedup import _spread
+
     toks = (
-        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        _spread(docs.filter(F.length(F.trim(F.col(text_col))) > 0))
         .select(F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("token"))
         .filter(F.col("token") != "")
     )
@@ -236,19 +238,22 @@ def keywords_tfidf(
     from rare-term keywords. Stopwords self-select out: df ≈ N gives
     idf_bits 0.
 
-    Scale shape: vocabulary() [one shuffle, map-side combined] ->
-    per-doc token counts [shuffle on (doc, token)] -> broadcast-join the
-    capped vocab -> ONE window per doc_id for the top-k."""
+    Scale shape: vocabulary() [one shuffle, map-side combined] -> per-doc
+    token counts and the top-k window share ONE doc_id exchange: the doc
+    TEXT is hash-repartitioned by doc_id before tokenization (compressed
+    docs cross the wire once, exploded tokens never do), and both the
+    (doc_id, token) aggregation and the per-doc window are satisfied by
+    that partitioning — zero further exchanges after the broadcast vocab
+    join."""
     from pyspark.sql.window import Window
 
     vocab = vocabulary(docs, top_k=vocab_top_k, text_col=text_col)
     n_docs = docs.count() or 1
     nd_bits = int(n_docs).bit_length() - 1  # floor(log2(n_docs))
     doc_tok = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokens(F.col(text_col))).alias("token"),
-        )
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .repartition("doc_id")
+        .select("doc_id", F.explode(tokens(F.col("__text"))).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
