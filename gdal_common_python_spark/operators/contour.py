@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .focal import halo_exchange, assemble_padded
+from .focal import halo_exchange, assemble_padded, grouped_tile_apply
 
 # edge ids: 0=T (top), 1=R (right), 2=B (bottom), 3=L (left)
 # case index = tl + 2*tr + 4*br + 8*bl (bit set = corner >= level)
@@ -183,9 +183,7 @@ def contour_segments(
         c, pad = got
         return _march_tile(c, pad, lvls, tile_size)[seg_cols]
 
-    return halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
-        march, schema=_SEG_T
-    )
+    return grouped_tile_apply(halos, march, _SEG_T)
 
 
 def _segment_node_id(levels: list[float]):
@@ -343,11 +341,7 @@ def contour_lines(
     # eager reliable checkpoint: the table feeds segments, border points,
     # and the final join — without it the marching kernel re-runs per
     # consumer and per propagation round
-    local = (
-        halos.groupBy("raster_id", "band", "tile_x", "tile_y")
-        .applyInPandas(stitch, schema=_LOCAL_T)
-        .checkpoint(eager=True)
-    )
+    local = grouped_tile_apply(halos, stitch, _LOCAL_T).checkpoint(eager=True)
     segs = local.filter(F.col("kind") == "s").select(
         "raster_id", "band", "level", "gx", "gy", "seg",
         "x1", "y1", "x2", "y2", "chain",

@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .focal import halo_exchange, assemble_padded
+from .focal import halo_exchange, assemble_padded, grouped_tile_apply
 
 _QBITS = 20
 _QF = float(1 << _QBITS)
@@ -108,9 +108,7 @@ def fillnodata_pixels(
             columns=cols,
         )
 
-    t = halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
-        fill, schema=_FILL_T
-    )
+    t = grouped_tile_apply(halos, fill, _FILL_T)
     return t.select(
         "raster_id", "band", "tile_x", "tile_y", "tile_w",
         F.explode(F.arrays_zip("idxs", "d2s", "qsums", "cnts")).alias("z"),

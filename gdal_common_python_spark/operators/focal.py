@@ -65,53 +65,132 @@ _DIRS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0
 
 def halo_exchange(tiles: DataFrame, radius: int) -> DataFrame:
     """The halo-exchange shuffle shared by every focal-window operator
-    (focal stats, terrain gradients): one mapInPandas pass emits each tile
-    once (dx=dy=0) plus its 8 ``radius``-wide border strips addressed to
-    the neighbor tiles. Consumers groupBy the tile key and assemble the
-    padded window with :func:`assemble_padded`. Strips to tiles that don't
-    exist are dropped by the group stage (no center row -> no output), so
-    raster edges need no driver-side tile-count knowledge."""
+    (focal stats, terrain gradients): each tile is emitted once (dx=dy=0)
+    plus its 8 ``radius``-wide border strips addressed to the neighbor
+    tiles. Consumers groupBy the tile key and assemble the padded window
+    with :func:`assemble_padded`. Strips to tiles that don't exist are
+    dropped by the group stage (no center row -> no output), so raster
+    edges need no driver-side tile-count knowledge.
+
+    Fully native: one Generate over a 9-struct array whose strip blocks
+    are ``slice``/``flatten`` expressions over the row-major pixel array
+    (contiguous slices for full-width strips, one short slice per strip
+    row for the side/corner strips — per-TILE-ROW work, not per pixel).
+    The former mapInPandas emit moved every tile through Arrow + a Python
+    row loop with ``tolist()`` per block; at small tile counts that
+    roundtrip dominated the halo wall, at corpus scale it paid the Python
+    boundary for bytes the JVM can slice in place."""
     if radius < 1:
         raise ValueError(f"radius must be >= 1, got {radius}")
-
-    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                w, h = int(r.tile_w), int(r.tile_h)
-                if radius > min(w, h):
-                    # halo ships to ADJACENT tiles only; a window deeper than
-                    # one tile would silently miss pixels two tiles away
-                    raise ValueError(
-                        f"radius {radius} exceeds tile dim {min(w, h)} "
-                        f"(tile {r.tile_x},{r.tile_y}) — re-tile coarser first"
-                    )
-                arr = np.asarray(r.pixels, dtype=np.float64).reshape(h, w)
-                rows.append(
-                    (r.raster_id, int(r.band), int(r.tile_x), int(r.tile_y),
-                     0, 0, w, h, float(r.nodata), arr.ravel().tolist())
+    r = F.lit(int(radius))
+    tw = F.col("tile_w").cast("int")
+    th = F.col("tile_h").cast("int")
+    px = F.col("pixels").cast("array<double>")
+    # halo ships to ADJACENT tiles only; a window deeper than one tile
+    # would silently miss pixels two tiles away — the guard rides the
+    # strip width, so building any strip of an over-deep radius raises
+    rw = (
+        F.when(
+            r > F.least(tw, th),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"radius {radius} exceeds tile dim "),
+                    F.least(tw, th).cast("string"),
+                    F.lit(" (tile "), F.col("tile_x").cast("string"),
+                    F.lit(","), F.col("tile_y").cast("string"),
+                    F.lit(") — re-tile coarser first"),
                 )
-                rw, rh = min(radius, w), min(radius, h)
-                for dx, dy in _DIRS:
-                    # the block the (tile_x+dx, tile_y+dy) neighbor needs:
-                    # my side facing it, radius wide (corners: radius x radius)
-                    xs = slice(w - rw, w) if dx > 0 else slice(0, rw) if dx < 0 else slice(0, w)
-                    ys = slice(h - rh, h) if dy > 0 else slice(0, rh) if dy < 0 else slice(0, h)
-                    blk = arr[ys, xs]
-                    rows.append(
-                        (r.raster_id, int(r.band), int(r.tile_x) + dx, int(r.tile_y) + dy,
-                         dx, dy, blk.shape[1], blk.shape[0], float(r.nodata),
-                         blk.ravel().tolist())
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in _HALO_T.fields])
+            ).cast("int"),
+        )
+        .otherwise(F.least(r, tw))
+        .cast("int")
+    )
+    rh = F.least(r, th).cast("int")
 
+    def _strip(dx: int, dy: int):
+        x0 = (tw - rw) if dx > 0 else F.lit(0)
+        nx = rw if dx != 0 else tw
+        y0 = (th - rh) if dy > 0 else F.lit(0)
+        ny = rh if dy != 0 else th
+        if dx == 0:
+            blk = F.slice(px, y0 * tw + 1, ny * tw)
+        else:
+            blk = F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), ny - 1),
+                    lambda rr: F.slice(px, (y0 + rr) * tw + x0 + 1, nx),
+                )
+            )
+        return F.struct(
+            (F.col("tile_x") + dx).cast("int").alias("tile_x"),
+            (F.col("tile_y") + dy).cast("int").alias("tile_y"),
+            F.lit(dx).alias("dx"),
+            F.lit(dy).alias("dy"),
+            nx.cast("int").alias("bw"),
+            ny.cast("int").alias("bh"),
+            blk.alias("block"),
+        )
+
+    center = F.struct(
+        F.col("tile_x").cast("int").alias("tile_x"),
+        F.col("tile_y").cast("int").alias("tile_y"),
+        F.lit(0).alias("dx"),
+        F.lit(0).alias("dy"),
+        tw.alias("bw"),
+        th.alias("bh"),
+        px.alias("block"),
+    )
     from .dedup import _spread
 
-    return _spread(
-        tiles.select(
-            "raster_id", "band", "tile_x", "tile_y", "tile_w", "tile_h", "nodata", "pixels"
+    return (
+        _spread(
+            tiles.select(
+                "raster_id", "band", "tile_x", "tile_y", "tile_w", "tile_h", "nodata", "pixels"
+            )
         )
-    ).mapInPandas(emit, schema=_HALO_T)
+        .select(
+            "raster_id",
+            F.col("band").cast("int").alias("band"),
+            F.col("nodata").cast("double").alias("nodata"),
+            F.explode(F.array(center, *[_strip(dx, dy) for dx, dy in _DIRS])).alias("__e"),
+        )
+        .select(
+            "raster_id", "band",
+            F.col("__e.tile_x").alias("tile_x"),
+            F.col("__e.tile_y").alias("tile_y"),
+            F.col("__e.dx").alias("dx"),
+            F.col("__e.dy").alias("dy"),
+            F.col("__e.bw").alias("bw"),
+            F.col("__e.bh").alias("bh"),
+            "nodata",
+            F.col("__e.block").alias("block"),
+        )
+    )
+
+
+def grouped_tile_apply(halos: DataFrame, fn, schema: T.StructType,
+                       keys=("raster_id", "band", "tile_x", "tile_y")) -> DataFrame:
+    """``groupBy(keys).applyInPandas(fn, schema)`` with per-PARTITION
+    batching: hash-repartition by the keys and run one mapInPandas whose
+    function groups in pandas and calls ``fn(key, group)`` per group —
+    identical semantics and results. Grouped-map ships one Arrow batch
+    and one Python roundtrip PER GROUP, which dominates wall time when
+    groups are tile-sized (measured 1.28 s vs 0.63 s for a trivial
+    function over the sf0.1 tile set); this form bounds the Python
+    roundtrips by partition count instead of tile count."""
+    keyl = list(keys)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        for key, g in pdf.groupby(keyl, sort=False):
+            r = fn(key, g)
+            if r is not None and len(r):
+                yield r
+
+    return halos.repartition(*keyl).mapInPandas(run, schema)
 
 
 def assemble_padded(pdf: pd.DataFrame, radius: int):
@@ -195,9 +274,7 @@ def focal_mean_tiles(tiles: DataFrame, radius: int = 1) -> DataFrame:
             columns=[f.name for f in _OUT_T.fields],
         )
 
-    return halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
-        assemble, schema=_OUT_T
-    )
+    return grouped_tile_apply(halos, assemble, _OUT_T)
 
 
 def focal_mean_pixels(

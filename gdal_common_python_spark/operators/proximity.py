@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .focal import halo_exchange, assemble_padded
+from .focal import halo_exchange, assemble_padded, grouped_tile_apply
 
 _PROX_T = T.StructType(
     [
@@ -102,9 +102,7 @@ def proximity_pixels(
             columns=[f.name for f in _PROX_T.fields],
         )
 
-    t = halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
-        prox, schema=_PROX_T
-    )
+    t = grouped_tile_apply(halos, prox, _PROX_T)
     return t.select(
         "raster_id", "band", "tile_x", "tile_y", "tile_w",
         F.explode(F.arrays_zip("idxs", "d2s")).alias("z"),
@@ -230,9 +228,7 @@ def allocation_pixels(
             columns=[f.name for f in _ALLOC_T.fields],
         )
 
-    t = halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
-        alloc, schema=_ALLOC_T
-    )
+    t = grouped_tile_apply(halos, alloc, _ALLOC_T)
     return t.select(
         "raster_id", "band", "tile_x", "tile_y", "tile_w",
         F.explode(F.arrays_zip("idxs", "d2s", "allocs")).alias("z"),

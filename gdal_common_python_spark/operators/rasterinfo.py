@@ -718,7 +718,7 @@ def footprint(tiles: DataFrame, tile_size: int = 32) -> DataFrame:
     that is one giant connected blob costs the same as a shattered one
     (the recursive-closure trap a polygonize-based footprint would hit).
     """
-    from .focal import halo_exchange, assemble_padded
+    from .focal import halo_exchange, assemble_padded, grouped_tile_apply
 
     halos = halo_exchange(tiles, radius=1)
 
@@ -755,9 +755,7 @@ def footprint(tiles: DataFrame, tile_size: int = 32) -> DataFrame:
             columns=[f.name for f in _FP_T.fields],
         )
 
-    t = halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
-        stats, schema=_FP_T
-    )
+    t = grouped_tile_apply(halos, stats, _FP_T)
     return t.groupBy("raster_id", "band").agg(
         F.sum("n_valid").alias("n_valid"),
         F.min("min_gx").alias("min_gx"),

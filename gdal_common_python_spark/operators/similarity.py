@@ -23,6 +23,33 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
+def _topk_sel(cos: np.ndarray, kk: int) -> np.ndarray:
+    """Row-wise top-``kk`` column indices of ``cos`` ordered by
+    (value desc, column index asc). Columns must already be ordered so
+    that index order == the desired tie order (sort ids ascending
+    first). Exact under value ties: O(nc) argpartition per row picks the
+    candidates, one vectorized lexsort orders them, and rows whose
+    boundary value ties across the partition cut (cnt > kk — duplicate
+    vectors, +-inf rows) fall back to the exact full-row lexsort. This
+    replaces the former full stable argsort / per-row lexsort loops —
+    the profiled hot spot of every exact re-rank kernel."""
+    nq, nc = cos.shape
+    kr = min(kk, nc)
+    if kr < nc:
+        part = np.argpartition(-cos, kr - 1, axis=1)[:, :kr]
+    else:
+        part = np.broadcast_to(np.arange(nc), (nq, nc)).copy()
+    cand = np.take_along_axis(cos, part, axis=1)
+    thr = cand.min(axis=1)
+    cnt = (cos >= thr[:, None]).sum(axis=1)
+    ord2 = np.lexsort((part, -cand), axis=1)
+    sel = np.take_along_axis(part, ord2, axis=1)
+    idx = np.arange(nc)
+    for i in np.nonzero(cnt > kr)[0]:
+        sel[i] = np.lexsort((idx, -cos[i]))[:kr]
+    return sel
+
+
 @F.pandas_udf(T.DoubleType())
 def _cos_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
     """Arrow-vectorized pairwise cosine — one einsum per batch instead of an
@@ -149,27 +176,9 @@ def cosine_topk(
                 cos[np.isnan(cos)] = np.inf
                 self_m = qids[:, None] == cids[None, :]
                 cos[self_m] = -np.inf
-                kr = min(kk, cos.shape[1])
-                nq, nc = cos.shape
-                # top-k per row WITHOUT a full row sort (argpartition is
-                # O(nc), the former per-row lexsort / full stable argsort
-                # was the kernel's hot spot): candidates first, then a
-                # vectorized (cos desc, neighbor_id asc) lexsort of just
-                # the kr candidates per row. Rows with VALUE TIES crossing
-                # the partition boundary (cnt > kr — duplicate vectors,
-                # +-inf rows) fall back to the exact full-row lexsort, so
-                # the selected set is always identical to the full sort.
-                if kr < nc:
-                    part = np.argpartition(-cos, kr - 1, axis=1)[:, :kr]
-                else:
-                    part = np.broadcast_to(np.arange(nc), (nq, nc)).copy()
-                cand_vals = np.take_along_axis(cos, part, axis=1)
-                thr = cand_vals.min(axis=1)
-                cnt = (cos >= thr[:, None]).sum(axis=1)
-                ord2 = np.lexsort((cids[part], -cand_vals), axis=1)
-                sel = np.take_along_axis(part, ord2, axis=1)
-                for i in np.nonzero(cnt > kr)[0]:
-                    sel[i] = np.lexsort((cids, -cos[i]))[:kr]
+                # cids are sorted ascending, so _topk_sel's index tie
+                # order == neighbor_id tie order
+                sel = _topk_sel(cos, min(kk, cos.shape[1]))
                 vals = np.take_along_axis(cos, sel, axis=1)
                 keep = vals > -np.inf
                 qi, _ = np.nonzero(keep)
@@ -271,6 +280,34 @@ def ivf_topk(
     ex = base.select(
         "vec_id", "v", F.posexplode("probe_list").alias("pos", "cluster_id")
     )
+    # query-shard the rerank groups: n_centroids groups alone cap the
+    # re-rank at n_centroids tasks (and a hot cluster is one straggler);
+    # hashing QUERIES into shards and replicating each cluster's MEMBER
+    # rows to every shard turns (cluster) groups into (cluster, shard)
+    # groups with identical per-query candidate sets — the member
+    # replication is the only extra shuffle (n_shards * members rows)
+    n_shards = max(
+        1, spark.sparkContext.defaultParallelism // max(n_centroids, 1)
+    )
+    # ONE conditional fan-out explode (not a union of two branches, which
+    # would scan the table and run the assignment GEMM twice): every row
+    # emits its query copy in its hash shard; pos==0 rows additionally
+    # emit one member copy per shard
+    qshard = F.pmod(F.xxhash64("vec_id"), F.lit(n_shards)).cast("int")
+
+    def _fan(sh, is_m):
+        return F.struct(sh.cast("int").alias("shard"), F.lit(is_m).alias("is_m"))
+
+    fan = F.when(
+        F.col("pos") == 0,
+        F.array(_fan(qshard, False), *[_fan(F.lit(s), True) for s in range(n_shards)]),
+    ).otherwise(F.array(_fan(qshard, False)))
+    sharded = ex.select(
+        "vec_id", "v", "cluster_id", F.explode(fan).alias("__f")
+    ).select(
+        "vec_id", "v", "cluster_id",
+        F.col("__f.shard").alias("shard"), F.col("__f.is_m").alias("is_m"),
+    )
 
     # per-cluster GEMM re-rank (grouped UDF) instead of a query x member row
     # explosion: the shuffle carries n_probe rows per query (embedding
@@ -288,12 +325,13 @@ def ivf_topk(
     )
 
     def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
-        mpdf = pdf[pdf["pos"] == 0]
-        if len(pdf) == 0 or len(mpdf) == 0:
+        qpdf = pdf[~pdf["is_m"]]
+        mpdf = pdf[pdf["is_m"]]
+        if len(qpdf) == 0 or len(mpdf) == 0:
             return pd.DataFrame(columns=["vec_id", "neighbor_id", "cos"])
-        qids = pdf["vec_id"].to_numpy()
+        qids = qpdf["vec_id"].to_numpy()
         mids = mpdf["vec_id"].to_numpy()
-        Q = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        Q = np.stack([np.asarray(x, dtype=np.float64) for x in qpdf["v"]])
         M = np.stack([np.asarray(x, dtype=np.float64) for x in mpdf["v"]])
         # pre-sort members by id: a STABLE row-wise argsort on -cos then
         # tie-breaks by position == by neighbor_id, replacing the former
@@ -308,8 +346,8 @@ def ivf_topk(
         mn[mn == 0] = 1.0
         C = (Q @ M.T) / np.outer(qn, mn)
         C[qids[:, None] == mids[None, :]] = -np.inf  # exclude self
-        kk = min(k, C.shape[1])
-        order = np.argsort(-C, axis=1, kind="stable")[:, :kk]
+        # mids are sorted ascending, so index tie order == id tie order
+        order = _topk_sel(C, min(k, C.shape[1]))
         cos = np.take_along_axis(C, order, axis=1)
         keep = np.isfinite(cos)
         qi, _ = np.nonzero(keep)
@@ -323,7 +361,7 @@ def ivf_topk(
             }
         )
 
-    cand = ex.groupBy("cluster_id").applyInPandas(rerank, cand_schema)
+    cand = sharded.groupBy("cluster_id", "shard").applyInPandas(rerank, cand_schema)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -551,6 +589,11 @@ def lsh_topk(
         if len(ids) < 2:
             return pd.DataFrame(columns=["vec_id", "rank", "neighbor_id"])
         M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        # sort by id so _topk_sel's index tie order == the deterministic
+        # (-cos, neighbor_id) tie-break of the former per-row lexsort loop
+        o = np.argsort(ids, kind="stable")
+        ids = ids[o]
+        M = M[o]
         norms = np.linalg.norm(M, axis=1)
         norms[norms == 0] = 1.0
         C = (M @ M.T) / np.outer(norms, norms)
@@ -559,13 +602,8 @@ def lsh_topk(
         n = len(ids)
         vec_col_out = np.repeat(ids, kk)
         rank_col = np.tile(np.arange(1, kk + 1), n)
-        # dtype follows the id column (object for string ids)
-        neigh = np.empty(n * kk, dtype=ids.dtype)
-        for i in range(n):
-            # deterministic tie-break (-cos, neighbor_id), vectorized:
-            # lexsort keys are last-key-primary
-            order = np.lexsort((ids, -C[i]))[:kk]
-            neigh[i * kk : (i + 1) * kk] = ids[order]
+        sel = _topk_sel(C, kk)
+        neigh = ids[sel.ravel()]
         return pd.DataFrame(
             {"vec_id": vec_col_out, "rank": rank_col.astype(np.int32), "neighbor_id": neigh}
         )

@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .focal import halo_exchange, assemble_padded
+from .focal import halo_exchange, assemble_padded, grouped_tile_apply
 
 _GRAD_T = T.StructType(
     [
@@ -117,9 +117,7 @@ def horn_gradient_pixels(tiles: DataFrame, tile_size: int = 32) -> DataFrame:
             columns=[f.name for f in _GRAD_T.fields],
         )
 
-    t = halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
-        grad, schema=_GRAD_T
-    )
+    t = grouped_tile_apply(halos, grad, _GRAD_T)
     ex = t.select(
         "raster_id", "band", "tile_x", "tile_y", "tile_w",
         F.explode(F.arrays_zip("idxs", "gxs", "gys")).alias("z"),
@@ -274,9 +272,7 @@ def ruggedness_pixels(tiles: DataFrame, tile_size: int = 32) -> DataFrame:
             columns=[f.name for f in _RUG_T.fields],
         )
 
-    t = halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
-        stats, schema=_RUG_T
-    )
+    t = grouped_tile_apply(halos, stats, _RUG_T)
     return t.select(
         "raster_id", "band", "tile_x", "tile_y", "tile_w",
         F.explode(F.arrays_zip("idxs", "tris", "tpis", "roughs")).alias("z"),

@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .focal import halo_exchange, assemble_padded
+from .focal import halo_exchange, assemble_padded, grouped_tile_apply
 
 _VIS_T = T.StructType(
     [
@@ -161,9 +161,7 @@ def viewshed(
             return pd.DataFrame(columns=cols)
         return pd.DataFrame(rows, columns=cols)
 
-    t = halos.groupBy("raster_id", "band", "tile_x", "tile_y").applyInPandas(
-        kernel, schema=_VIS_T
-    )
+    t = grouped_tile_apply(halos, kernel, _VIS_T)
     return t.select(
         "obs_id", F.explode(F.arrays_zip("gxs", "gys")).alias("z")
     ).select("obs_id", F.col("z.gxs").alias("gx"), F.col("z.gys").alias("gy"))
