@@ -59,8 +59,26 @@ def _synth(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(d, f"{table}.parquet"))
 
 
+# tables whose consumers are map-compute-heavy (text/vector pipelines):
+# a single-row-group parquet arrives as ONE scan split and serializes the
+# whole map stage onto one core, so spread them (no-op when the source
+# already carries >= cores splits — the corpus-scale case).
+# lineitem/orders/events are left on their native splits: their consumers
+# are scan+partial-agg or key-shuffle shapes where an up-front shuffle of
+# the fact table costs more than the parallelism buys (measured:
+# event_sessions 0.84 s -> 1.41 s with events spread here); the one
+# map-heavy events consumer (interval_join's bucketing fan-out) spreads
+# its own inputs inside the operator.
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table in _SPREAD_TABLES:
+        from gdal_common_python_spark.operators.dedup import _spread
+
+        df = _spread(df)
+    return df
 
 
 # ---------------------------------------------------------------- entry

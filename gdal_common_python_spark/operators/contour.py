@@ -109,7 +109,10 @@ def _march_tile(c, pad, lvls, tile_size: int) -> pd.DataFrame:
     ii, jj = np.mgrid[0:h, 0:w]
     gx0 = int(c.tile_x) * tile_size
     gy0 = int(c.tile_y) * tile_size
-    out: list[pd.DataFrame] = []
+    # accumulate numpy columns and build ONE frame per tile at the end:
+    # the former one-DataFrame-per-(level, case, seg) append list spent
+    # more time constructing pandas objects than marching
+    acc: list[tuple] = []
     for lv_ix, lv in enumerate(lvls):
         case = (
             (v00 >= lv).astype(np.int8)
@@ -143,26 +146,27 @@ def _march_tile(c, pad, lvls, tile_size: int) -> pd.DataFrame:
                 for k, (ea, eb) in enumerate(segs):
                     x1, y1 = _edge_points(ea, *args)
                     x2, y2 = _edge_points(eb, *args)
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "raster_id": c.raster_id,
-                                "band": int(c.band),
-                                "level": lv,
-                                "lvl_ix": np.int32(lv_ix),
-                                "gx": j,
-                                "gy": i,
-                                "seg": np.int32(k),
-                                "x1": x1, "y1": y1,
-                                "x2": x2, "y2": y2,
-                            }
-                        )
-                    )
+                    acc.append((lv, lv_ix, j, i, k, x1, y1, x2, y2))
     cols = ["raster_id", "band", "level", "lvl_ix", "gx", "gy", "seg",
             "x1", "y1", "x2", "y2"]
-    if not out:
+    if not acc:
         return pd.DataFrame(columns=cols)
-    return pd.concat(out, ignore_index=True)[cols]
+    n_per = [len(a[2]) for a in acc]
+    return pd.DataFrame(
+        {
+            "raster_id": c.raster_id,
+            "band": int(c.band),
+            "level": np.repeat([a[0] for a in acc], n_per),
+            "lvl_ix": np.repeat([a[1] for a in acc], n_per).astype(np.int32),
+            "gx": np.concatenate([a[2] for a in acc]),
+            "gy": np.concatenate([a[3] for a in acc]),
+            "seg": np.repeat([a[4] for a in acc], n_per).astype(np.int32),
+            "x1": np.concatenate([a[5] for a in acc]),
+            "y1": np.concatenate([a[6] for a in acc]),
+            "x2": np.concatenate([a[7] for a in acc]),
+            "y2": np.concatenate([a[8] for a in acc]),
+        }
+    )[cols]
 
 
 def contour_segments(

@@ -116,12 +116,21 @@ def minhash_docs(docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text
     # (measured 4.3 s vs 0.5 s for the exploded stream at the 10x bench
     # scale); below a Generate the array is a bound attribute, computed
     # exactly once per doc
+    # NOTE: grams are exploded WITH duplicates — min() over a multiset
+    # equals min() over its distinct set, so the per-doc array_distinct the
+    # shingle form pays (a pairwise struct-equality pass) buys nothing here
     ex = (
         _spread(docs)
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode(
-                F.array(F.struct(shingle_structs_col(text_col, n).alias("arr")))
+                F.array(
+                    F.struct(
+                        ngram_structs_col(
+                            F.split(F.trim(F.col(text_col)), r"\s+"), n
+                        ).alias("arr")
+                    )
+                )
             ).alias("__b"),
         )
         .select("doc_id", F.col("__b.arr").alias("__sha"))
