@@ -360,6 +360,20 @@ def q_nearest_zone_distance(spark, sf_dir):
     )
 
 
+def q_nearest_zone_distance_distributed(spark, sf_dir):
+    """Same snap, zero edge broadcast (cell-bucketed candidate search with
+    ring-disk bounds — the plan for boundary tables too large to
+    broadcast); must produce byte-identical rows (same oracle as
+    nearest_zone_distance) — round-5 verdict ask #1."""
+    return sj.nearest_zone_distance(
+        spark,
+        _synth(spark, sf_dir, "documents_spans"),
+        _synth(spark, sf_dir, "zones"),
+        _synth(spark, sf_dir, "zone_edges"),
+        strategy="bucketed",
+    )
+
+
 def q_edge_intersections(spark, sf_dir):
     """Topology QA: proper crossings between boundary edges of different
     zones via a cell-bucketed edge join (shuffle ∝ edges x covered cells,
@@ -2157,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_anti_join": q_spatial_anti_join,
         "edge_intersections": q_edge_intersections,
         "nearest_zone_distance": q_nearest_zone_distance,
+        "nearest_zone_distance_distributed": q_nearest_zone_distance_distributed,
         "zone_mean_center": q_zone_mean_center,
         "zone_dedup_profile": q_zone_dedup_profile,
         "zone_stratified_sample": q_zone_stratified_sample,
@@ -4748,6 +4763,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_anti_join": _SQL_SPATIAL_ANTI_JOIN,
         "edge_intersections": _SQL_EDGE_INTERSECTIONS,
         "nearest_zone_distance": _SQL_NEAREST_ZONE_DISTANCE,
+        # byte-identical plan variant — same oracle by construction
+        "nearest_zone_distance_distributed": _SQL_NEAREST_ZONE_DISTANCE,
         "zone_mean_center": _SQL_ZONE_MEAN_CENTER,
         "zone_dedup_profile": _SQL_ZONE_DEDUP_PROFILE,
         "zone_stratified_sample": _SQL_ZONE_STRATIFIED_SAMPLE,

@@ -26,6 +26,7 @@ GATES = [
     "spatial_join_pip",
     "zone_keywords",
     "nearest_zone_distance",
+    "nearest_zone_distance_distributed",
     "zone_mean_center",
     "zone_corpus_profile",
     "track_resample",
