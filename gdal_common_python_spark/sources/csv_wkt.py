@@ -113,11 +113,19 @@ def round_trip_points_csv(spark: SparkSession, pts: DataFrame, path: str) -> Dat
     import os
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    import csv
+
     pdf = pts.select("point_id", "tag", "x", "y").toPandas().sort_values("point_id")
-    with open(path, "w") as f:
-        f.write("point_id,tag,wkt\n")
+    with open(path, "w", newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(["point_id", "tag", "wkt"])
         for r in pdf.itertuples(index=False):
-            f.write(f'{r.point_id},{r.tag},"POINT({r.x!r} {r.y!r})"\n')
+            # float(...) before repr: itertuples yields numpy.float64, whose
+            # repr under NumPy >= 2 is 'np.float64(1.5)' — malformed WKT;
+            # the csv module handles tag quoting (commas/quotes in tags)
+            wr.writerow(
+                [r.point_id, r.tag, f"POINT({float(r.x)!r} {float(r.y)!r})"]
+            )
     out = read_csv_wkt(spark, path, geometry_type="point")
     return out.select(
         F.col("point_id").cast("long").alias("point_id"), "tag", "x", "y"

@@ -42,12 +42,26 @@ def doc_fingerprint_expr(spans_col: str = "spans") -> Column:
     """Content fingerprint of the span sequence (kind, text, media_ref,
     offset) — the same canonical serialization the span-invariant gate uses,
     so 'duplicate' means byte-identical interleaved content, not just equal
-    text. Pure codegen (md5 over a concat_ws/transform tree)."""
+    text. Md5 over a concat_ws/transform tree.
+
+    The spans are canonicalized by OFFSET before folding (round-5 advice):
+    the oracles aggregate ORDER BY offset, so an engine fold in stored
+    array order silently depended on spans arriving offset-sorted — a
+    shuffled-spans corpus would diverge. Ingest-sorted corpora (every
+    current table) produce identical fingerprints either way; corpora with
+    DUPLICATE offsets remain ambiguous on both sides (the oracle's
+    string_agg tie order is equally unspecified)."""
+    canon = F.array_sort(
+        F.col(spans_col),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
     return F.md5(
         F.concat_ws(
             "\x1f",
             F.transform(
-                F.col(spans_col),
+                canon,
                 lambda s: F.concat_ws(
                     "\x1e",
                     s["kind"],

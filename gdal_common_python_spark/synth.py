@@ -113,11 +113,25 @@ def table_path(sf: str, name: str) -> str:
     return os.path.join(sf_dir(sf), f"{name}.parquet")
 
 
+def _scale_tag(sf: str) -> str:
+    """Staleness tag for one scale: global synth version PLUS a hash of the
+    scale's generation parameters (round-5 advice: SCALES['sf1'] changed
+    mid-round while _SYNTH_VERSION stayed put, so machines with pre-change
+    sf1 data silently kept it). A param change now invalidates exactly the
+    scales it touches — no global regeneration of the multi-GB bench
+    scales for an unrelated tweak."""
+    import hashlib
+    import json
+
+    blob = json.dumps(SCALES[sf], sort_keys=True, default=str)
+    return f"{_SYNTH_VERSION}:{hashlib.md5(blob.encode()).hexdigest()[:12]}"
+
+
 def ensure(sf: str) -> str:
     """Generate all tables for `sf` if absent or stale; return the directory."""
     d = sf_dir(sf)
     vfile = os.path.join(d, "VERSION")
-    if os.path.exists(vfile) and open(vfile).read().strip() == _SYNTH_VERSION:
+    if os.path.exists(vfile) and open(vfile).read().strip() == _scale_tag(sf):
         return d
     os.makedirs(d, exist_ok=True)
     cfg = SCALES[sf]
@@ -126,7 +140,7 @@ def ensure(sf: str) -> str:
     _gen_rasters(sf)
     _gen_near_points(sf, cfg["points"])
     with open(vfile, "w") as f:
-        f.write(_SYNTH_VERSION)
+        f.write(_scale_tag(sf))
     return d
 
 
