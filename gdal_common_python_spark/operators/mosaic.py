@@ -73,10 +73,11 @@ def mosaic(tiles: DataFrame, raster_ids: list[str] | None = None, band: int = 1)
             ]
         )
 
-    return (
-        t.select("tile_x", "tile_y", "tile_w", "tile_h", "input_rank", "nodata", "pixels")
-        .groupBy("tile_x", "tile_y")
-        .applyInPandas(fold, _SCHEMA)
+    from .focal import grouped_tile_apply
+
+    return grouped_tile_apply(
+        t.select("tile_x", "tile_y", "tile_w", "tile_h", "input_rank", "nodata", "pixels"),
+        lambda k, g: fold(g), _SCHEMA, keys=("tile_x", "tile_y"),
     )
 
 
@@ -285,7 +286,11 @@ def mosaic_merge(
                 )
             return pd.DataFrame(rows, columns=[f.name for f in _MERGE_SCHEMA.fields])
 
-        folded = allr.groupBy("tile_x", "tile_y", "band").applyInPandas(sub, _MERGE_SCHEMA)
+        from .focal import grouped_tile_apply
+
+        folded = grouped_tile_apply(
+            allr, lambda k, g: sub(g), _MERGE_SCHEMA, keys=("tile_x", "tile_y", "band")
+        )
         bands = list(range(1, len(metas) + 1))
     else:
 
@@ -306,7 +311,11 @@ def mosaic_merge(
                 ]
             )
 
-        folded = allr.groupBy("tile_x", "tile_y").applyInPandas(fold, _MERGE_SCHEMA)
+        from .focal import grouped_tile_apply
+
+        folded = grouped_tile_apply(
+            allr, lambda k, g: fold(g), _MERGE_SCHEMA, keys=("tile_x", "tile_y")
+        )
         bands = [band]
 
     return _merge_backfill(spark, folded, grid, fill, bands, tile_size, color_table)
@@ -486,4 +495,6 @@ def _merge_join_folded(
             )
         return pd.DataFrame(rows, columns=[f.name for f in _MERGE_SCHEMA.fields])
 
-    return cand.groupBy("t_tx", "t_ty").applyInPandas(fold_kernel, _MERGE_SCHEMA)
+    from .focal import grouped_tile_apply
+
+    return grouped_tile_apply(cand, fold_kernel, _MERGE_SCHEMA, keys=("t_tx", "t_ty"))

@@ -1554,15 +1554,18 @@ def nearest_zone_distance(
     stragglers-broadcast fallback. Identical output by the same
     tie-at-quantum argument — the bucketed bound is merely looser, so it
     prunes less, never more."""
-    from .util import broadcastable, track_persisted
+    from .util import track_persisted
 
     e_src = edges if edges is not None else zone_edges_df(zones)
     if strategy == "auto":
-        strategy = (
-            "broadcast"
-            if broadcastable(e_src, edge_broadcast_limit)
-            else "bucketed"
-        )
+        # measured at BOTH bench scales the bucketed plan wins even when
+        # the edge table easily broadcasts (sf0.1: 0.62 s vs 1.81 s; synth
+        # sf1: 2.32 s vs 14.78 s — BENCH/bench_sf1_leg.json), because the
+        # cost is the nested loop, not the broadcast; auto therefore
+        # always buckets, and the two-pass broadcast form stays available
+        # as strategy="broadcast" (it needs no cell index at all, which
+        # a caller without x/y grid coverage may prefer)
+        strategy = "bucketed"
     if strategy == "bucketed":
         return _nearest_zone_distance_bucketed(
             spark, docs, zones, e_src, **join_kwargs

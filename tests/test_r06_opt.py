@@ -38,16 +38,20 @@ def test_nearest_zone_distance_bucketed_matches_broadcast(spark, sdir):
     assert len(rb) > 0
 
 
-def test_nearest_zone_distance_auto_dispatches_small_to_broadcast(spark, sdir):
+def test_nearest_zone_distance_auto_is_bucketed_and_equal(spark, sdir):
     docs = spark.read.parquet(f"{sdir}/documents_spans.parquet")
     zones = spark.read.parquet(f"{sdir}/zones.parquet")
     edges = spark.read.parquet(f"{sdir}/zone_edges.parquet")
-    # the synth edge table is zone-dimension-sized: auto must pick the
-    # broadcast fast path (plan contains a broadcast of the edge table)
+    # auto picks the bucketed plan (measured faster at every bench scale);
+    # its rows must equal the broadcast two-pass reference
     out = sj.nearest_zone_distance(spark, docs, zones, edges, strategy="auto")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "cx" in plan and "cy" in plan  # cell-disk equi-join present
+    ref = sj.nearest_zone_distance(spark, docs, zones, edges, strategy="broadcast")
+    ro, rr = _rows(out), _rows(ref)
     release(out)
+    release(ref)
+    assert ro == rr
 
 
 def test_pick_join_resolution_stable_under_repartition(spark, sdir):
