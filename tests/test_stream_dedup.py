@@ -127,12 +127,22 @@ class TestStreamDedup:
         assert len(got) == 2  # two distinct fingerprints survive
 
     def test_fingerprint_distinguishes_order_and_media(self, spark):
+        # content order is the OFFSET order, not the storage order
+        # (round-5 advice: the oracles aggregate ORDER BY offset, so the
+        # engine canonicalizes by offset before folding): a shuffled
+        # ARRAY with unchanged offsets is the same document; swapping the
+        # spans' OFFSETS is a different document
+        swapped_offsets = [
+            _span("text", "hello world", None, 1),
+            _span("geo", "POINT(1 2)", None, 0),
+        ]
         df = spark.createDataFrame(
             pd.DataFrame(
                 [
                     ("a", SPANS_A),
-                    ("b", list(reversed(SPANS_A))),  # same spans, swapped order
+                    ("b", swapped_offsets),  # same spans at swapped offsets
                     ("c", SPANS_A),
+                    ("d", list(reversed(SPANS_A))),  # storage order only
                 ],
                 columns=["doc_id", "spans"],
             ),
@@ -143,6 +153,7 @@ class TestStreamDedup:
             for r in df.select("doc_id", doc_fingerprint_expr().alias("fp")).collect()
         )
         assert fps["a"] == fps["c"]
+        assert fps["a"] == fps["d"]  # canonical: offset order wins
         assert fps["a"] != fps["b"]
 
 
