@@ -96,9 +96,11 @@ def cosine_topk(
     import math
 
     id_type = emb.schema[id_col].dataType
-    v = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    # blocks ship in the SOURCE float width; the kernel widens to float64
+    # before any arithmetic (float -> double is exact, so cos values are
+    # bit-identical to casting in the plan) — half the shuffle and Arrow
+    # bytes for float32 embeddings, the §2.3 narrower-types lever
+    v = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     n = v.count()
     if n == 0:
         return emb.sparkSession.createDataFrame(
