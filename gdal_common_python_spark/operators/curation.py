@@ -49,8 +49,14 @@ def decontaminate(
     skew-immune anyway and the shuffle fallback leans on AQE skew handling.
     The benchmark side is distinct-reduced before the size-gated broadcast.
     """
+    # bench side explodes with duplicates (distinct=False): the .distinct()
+    # right below owns the set semantics, so the per-doc pairwise
+    # array_distinct pass bought nothing. The CORPUS side below keeps
+    # distinct=True — n_hits counts distinct grams per doc.
     bench_sh = (
-        benchmark.select(F.explode(shingle_structs_col(text_col, n)).alias("__h"))
+        benchmark.select(
+            F.explode(shingle_structs_col(text_col, n, distinct=False)).alias("__h")
+        )
         .distinct()
     )
     if broadcastable(bench_sh, broadcast_limit):
@@ -934,6 +940,10 @@ def scrub_contaminated(
     # the corpus-side span shingling dominates this operator; the same
     # pattern halves strip_boilerplate, whose strike set IS the expensive
     # side). Handle rides the result for util.release().
+    # grams keep the per-span array_distinct here (unlike minhash): on a
+    # repetitive corpus in-span gram duplicates are common and most grams
+    # HIT the benchmark set, so deduping before the join prunes real
+    # strike fan-out (measured: distinct=False regressed 3.0 s -> 4.2 s)
     bench_sh = (
         benchmark.select(F.explode(shingle_structs_col(bench_text_col, n)).alias("__h"))
         .distinct()

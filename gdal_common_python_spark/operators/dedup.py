@@ -84,10 +84,19 @@ def ngram_string(struct_col, n: int):
     return F.concat_ws(" ", *[c[f"g{i}"] for i in range(n)])
 
 
-def shingle_structs_col(text_col: str = "text", n: int = 3):
-    """Word n-gram shingles as a DISTINCT array of n-gram structs."""
+def shingle_structs_col(text_col: str = "text", n: int = 3, distinct: bool = True):
+    """Word n-gram shingles as a DISTINCT array of n-gram structs.
+
+    ``distinct=False`` skips the per-doc ``array_distinct`` — on struct
+    arrays that is a pairwise-equality pass (no hash path), and it buys
+    nothing for consumers whose downstream already has set semantics (a
+    ``.distinct()`` after the explode, or a join feeding a distinct) — the
+    corpus_overlap finding, applied to the gram consumers. Keep the
+    default for anything that COUNTS per-doc distinct grams
+    (``decontaminate``'s n_hits/n_shingles contract)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    return F.array_distinct(ngram_structs_col(toks, n))
+    grams = ngram_structs_col(toks, n)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def minhash_docs(docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

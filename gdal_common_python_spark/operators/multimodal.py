@@ -374,21 +374,16 @@ def rewrite_without(docs: DataFrame, strikes: DataFrame) -> DataFrame:
             F.array_contains(F.col("rm_offs"), s["offset"]), F.lit(False)
         ),
     )
-    rebound = F.transform(
-        keep,
-        lambda s, i: F.struct(
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-            i.alias("offset"),
-        ),
-    )
+    # the dense re-bound offset IS the element's position in the filtered
+    # array — posexplode emits it natively, replacing an interpreted
+    # per-span transform lambda (struct rebuild per survivor) with a
+    # codegen Generate
     return (
         docs.join(rm, "doc_id", "left")
-        .select("doc_id", F.explode(rebound).alias("s"))
+        .select("doc_id", F.posexplode(keep).alias("offset", "s"))
         .select(
             "doc_id",
-            F.col("s.offset").alias("offset"),
+            "offset",
             F.col("s.kind").alias("kind"),
             F.col("s.text").alias("text"),
             F.col("s.media_ref").alias("media_ref"),

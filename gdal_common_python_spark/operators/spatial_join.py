@@ -1337,6 +1337,8 @@ def zone_dedup_profile(
     the join; the final per-zone aggregate is integer-only with
     ``dup_ppm = (n_dup * 1e6) div n_docs`` (exact integer division, no
     float accumulation — hash-exact vs the oracle)."""
+    from pyspark.sql import Window
+
     from ..streaming.dedup import doc_fingerprint_expr
 
     dz = (
@@ -1344,10 +1346,16 @@ def zone_dedup_profile(
         .select("doc_id", "zone_id")
         .distinct()
     )
+    # corpus-wide group size as a count window over ONE fingerprint pass:
+    # the groupBy(fp)+join-back form evaluates the (interpreted-lambda)
+    # fingerprint fold on BOTH sides of the self-join — two full corpus
+    # scans for the same 32-byte column. The window shuffles the identical
+    # (doc_id, fp) rows once and counts within the fp partition — same
+    # group sizes, same __isdup values, fingerprint computed exactly once.
     fps = docs.select("doc_id", doc_fingerprint_expr().alias("fp"))
-    gs = fps.groupBy("fp").agg(F.count("*").alias("__n"))
-    dup = fps.join(gs, "fp").select(
-        "doc_id", (F.col("__n") > 1).cast("int").alias("__isdup")
+    dup = fps.select(
+        "doc_id",
+        (F.count("*").over(Window.partitionBy("fp")) > 1).cast("int").alias("__isdup"),
     )
     return (
         dz.join(dup, "doc_id")

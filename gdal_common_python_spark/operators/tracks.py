@@ -142,19 +142,28 @@ def line_interpolate(
     points) emit no row. One shuffle: the id-hash window partition."""
     if frac_den <= 0 or not 0 <= frac_num <= frac_den:
         raise ValueError("need 0 <= frac_num/frac_den <= 1")
-    w = Window.partitionBy(id_col).orderBy(seq_col)
-    x2 = F.lead(x_col).over(w)
-    y2 = F.lead(y_col).over(w)
+    # alias BEFORE the first window so every window clusters on the same
+    # attribute (track_resample rationale: a rename between windows hides
+    # partitioning equivalence and costs a second identical-key exchange)
+    base = points.select(
+        F.col(id_col).alias("track_id"),
+        F.col(seq_col).alias("__seq"),
+        F.col(x_col).alias("__x1"),
+        F.col(y_col).alias("__y1"),
+    )
+    w = Window.partitionBy("track_id").orderBy("__seq")
+    x2 = F.lead("__x1").over(w)
+    y2 = F.lead("__y1").over(w)
     d = F.sqrt(
-        (x2 - F.col(x_col)) * (x2 - F.col(x_col))
-        + (y2 - F.col(y_col)) * (y2 - F.col(y_col))
+        (x2 - F.col("__x1")) * (x2 - F.col("__x1"))
+        + (y2 - F.col("__y1")) * (y2 - F.col("__y1"))
     )
     segs = (
-        points.select(
-            F.col(id_col).alias("track_id"),
-            F.col(seq_col).alias("__seq"),
-            F.col(x_col).alias("__x1"),
-            F.col(y_col).alias("__y1"),
+        base.select(
+            "track_id",
+            "__seq",
+            "__x1",
+            "__y1",
             x2.alias("__x2"),
             y2.alias("__y2"),
             F.floor(d * 1e6).cast("long").alias("__seg_q"),
@@ -246,27 +255,39 @@ def track_resample(
     Tracks with zero quantized length (single/coincident points) emit no
     rows, like line_interpolate.
 
-    100 TB shape: the window pass shuffles once on the id hash; the
-    fraction grid joins per-track (hash equi-join on track_id; the grid
-    side is tracks x n_points rows, cheap next to the ping stream) and the
-    row_number pick shares the same partition. Intermediate size is
-    bounded by segments x n_points per track before the range filter —
-    n_points is a small constant by construction."""
+    100 TB shape: the window pass shuffles once on the id hash — and that
+    is the ONLY shuffle: the per-track fraction grid is an explode of
+    k = 0..n_points-1 directly on the segment rows (the per-track total is
+    already a window column, so the grid needs no aggregate and no join
+    back — a join re-evaluates the whole segment pipeline on both sides),
+    and the row_number pick clusters on (track_id, k), which the existing
+    track_id hash partitioning already satisfies (local sort only).
+    Intermediate size is bounded by segments x n_points per track before
+    the range filter — n_points is a small constant by construction."""
     if n_points < 2:
         raise ValueError("n_points must be >= 2")
     m = int(n_points) - 1
-    w = Window.partitionBy(id_col).orderBy(seq_col)
-    x2 = F.lead(x_col).over(w)
-    y2 = F.lead(y_col).over(w)
-    d = F.sqrt(
-        (x2 - F.col(x_col)) * (x2 - F.col(x_col))
-        + (y2 - F.col(y_col)) * (y2 - F.col(y_col))
-    )
-    segs = points.select(
+    # alias BEFORE the first window so every window in the plan clusters on
+    # the same attribute — a rename between windows hides the partitioning
+    # equivalence and costs a second (identical-key) exchange
+    base = points.select(
         F.col(id_col).alias("track_id"),
         F.col(seq_col).alias("__seq"),
         F.col(x_col).alias("__x1"),
         F.col(y_col).alias("__y1"),
+    )
+    w = Window.partitionBy("track_id").orderBy("__seq")
+    x2 = F.lead("__x1").over(w)
+    y2 = F.lead("__y1").over(w)
+    d = F.sqrt(
+        (x2 - F.col("__x1")) * (x2 - F.col("__x1"))
+        + (y2 - F.col("__y1")) * (y2 - F.col("__y1"))
+    )
+    segs = base.select(
+        "track_id",
+        "__seq",
+        "__x1",
+        "__y1",
         x2.alias("__x2"),
         y2.alias("__y2"),
         F.floor(d * 1e6).cast("long").alias("__seg_q"),
@@ -276,26 +297,16 @@ def track_resample(
     segs = segs.withColumn(
         "__cum", F.sum("__seg_q").over(ws.rowsBetween(Window.unboundedPreceding, 0))
     ).withColumn("__total", F.sum("__seg_q").over(wall))
-    targets = (
-        segs.groupBy("track_id")
-        .agg(F.max("__total").alias("__total"))
-        .filter(F.col("__total") > 0)
-        .select(
-            "track_id",
-            F.explode(F.sequence(F.lit(0), F.lit(m))).alias("k"),
-            "__total",
-        )
-        .select(
-            "track_id",
-            "k",
-            F.expr(f"(__total * k) div {m}").alias("__target"),
-        )
-    )
+    # zero-total tracks emit nothing and zero-length segments can never be
+    # picked — both predicates are k-independent, so they prune BEFORE the
+    # constant fan-out explode; __target is the identical integer formula
+    # over the identical window total
     hits = (
-        segs.join(targets, "track_id")
+        segs.filter((F.col("__total") > 0) & (F.col("__seg_q") > 0))
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(m))).alias("k"))
+        .withColumn("__target", F.expr(f"(__total * k) div {m}"))
         .filter(
-            (F.col("__seg_q") > 0)
-            & (F.col("__cum") >= F.col("__target"))
+            (F.col("__cum") >= F.col("__target"))
             & (F.col("__cum") - F.col("__seg_q") <= F.col("__target"))
         )
     )
