@@ -80,41 +80,77 @@ def dwell_points(
 
     The anchor rule is chosen over a lag-distance rule because it is
     expressible as a running composition: a point opens a new dwell iff its
-    distance to the CURRENT anchor exceeds radius — computed with one
-    ordered window pass (aggregate over the collected prefix), so the whole
-    segmentation is a window + groupBy, no iteration. Tracks are bounded
-    (documents have bounded spans), so the prefix collect is bounded."""
-    w = Window.partitionBy(id_col).orderBy(seq_col)
-    prefix = F.collect_list(F.struct(F.col(x_col).alias("x"), F.col(y_col).alias("y"))).over(w)
+    distance to the CURRENT anchor exceeds radius. The whole segmentation
+    is ONE slim shuffle (track_id + seq + two doubles, map-side combined
+    into per-track arrays) and one LINEAR in-array fold per track that
+    appends/extends the dwell list directly — replacing the former
+    per-POINT prefix window (O(points^2) interpreted fold per track plus a
+    second exchange for the dwell groupBy). The per-step distance runs the
+    identical IEEE expression against the identical running anchor, so the
+    emitted dwells are bit-for-bit the same. Tracks are bounded (documents
+    have bounded spans), so the collected track arrays are bounded."""
+    tracks = points.groupBy(F.col(id_col).alias("track_id")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(seq_col).alias("o"),
+                    F.col(x_col).alias("x"),
+                    F.col(y_col).alias("y"),
+                )
+            )
+        ).alias("__pts")
+    )
 
-    # fold the ordered prefix: state = (anchor, n_breaks); a point further
-    # than `radius` from the running anchor becomes the new anchor
+    # fold the ordered track: dwell list state; a point further than
+    # `radius` from the LAST dwell's anchor extends the list, otherwise it
+    # increments the last dwell's count. element_at(-1) of the empty list
+    # is NULL, so `started | far` opens the first dwell exactly like the
+    # former n==0 state.
     def fold(acc, p):
+        last = F.element_at(acc, -1)
         far = F.sqrt(
-            (p["x"] - acc["ax"]) * (p["x"] - acc["ax"])
-            + (p["y"] - acc["ay"]) * (p["y"] - acc["ay"])
+            (p["x"] - last["ax"]) * (p["x"] - last["ax"])
+            + (p["y"] - last["ay"]) * (p["y"] - last["ay"])
         ) > radius
-        started = acc["n"] == 0
+        started = F.size(acc) == 0
         new_anchor = started | far
-        return F.struct(
-            F.when(new_anchor, p["x"]).otherwise(acc["ax"]).alias("ax"),
-            F.when(new_anchor, p["y"]).otherwise(acc["ay"]).alias("ay"),
-            (acc["n"] + F.when(new_anchor, 1).otherwise(0)).alias("n"),
+        opened = F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    (F.size(acc) + 1).cast("long").alias("ix"),
+                    p["x"].alias("ax"),
+                    p["y"].alias("ay"),
+                    F.lit(1).cast("long").alias("cnt"),
+                )
+            ),
         )
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["ix"].alias("ix"),
+                    last["ax"].alias("ax"),
+                    last["ay"].alias("ay"),
+                    (last["cnt"] + 1).alias("cnt"),
+                )
+            ),
+        )
+        return F.when(new_anchor, opened).otherwise(extended)
 
-    init = F.struct(
-        F.lit(0.0).alias("ax"), F.lit(0.0).alias("ay"), F.lit(0).alias("n")
+    init = F.expr(
+        "CAST(array() AS array<struct<ix:bigint,ax:double,ay:double,cnt:bigint>>)"
     )
-    state = F.aggregate(prefix, init, fold)
-    pts = points.select(
-        F.col(id_col).alias("track_id"),
-        state["n"].cast("long").alias("dwell_ix"),
-        state["ax"].alias("anchor_x"),
-        state["ay"].alias("anchor_y"),
+    dwells = F.aggregate(F.col("__pts"), init, fold)
+    return tracks.select(
+        "track_id", F.explode(dwells).alias("__d")
+    ).select(
+        "track_id",
+        F.col("__d.ix").alias("dwell_ix"),
+        F.col("__d.cnt").alias("n_points"),
+        F.col("__d.ax").alias("anchor_x"),
+        F.col("__d.ay").alias("anchor_y"),
     )
-    return pts.groupBy("track_id", "dwell_ix", "anchor_x", "anchor_y").agg(
-        F.count("*").cast("long").alias("n_points")
-    ).select("track_id", "dwell_ix", "n_points", "anchor_x", "anchor_y")
 
 
 def line_interpolate(

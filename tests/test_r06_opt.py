@@ -142,3 +142,43 @@ def test_rewrite_without_posexplode_offsets():
         ("d1", 1, "text", "b", None),
         ("d2", 0, "text", "only", None),
     ]
+
+
+def test_dwell_points_linear_fold_semantics(spark):
+    """The per-track array fold must reproduce the anchor rule exactly:
+    first point opens dwell 1; a point beyond radius of the CURRENT
+    anchor (not the previous point) opens the next dwell; in-radius
+    points extend the current dwell."""
+    from gdal_common_python_spark.operators import tracks
+
+    pts = spark.createDataFrame(
+        [
+            # track A: (0,0) anchor; (3,0) within r=5 of anchor; (7,0) is
+            # beyond (0,0) even though only 4 from (3,0) -> new dwell
+            ("a", 0, 0.0, 0.0),
+            ("a", 1, 3.0, 0.0),
+            ("a", 2, 7.0, 0.0),
+            ("a", 3, 8.0, 0.0),
+            # track B: single point
+            ("b", 0, 1.0, 1.0),
+        ],
+        "doc_id string, offset int, x double, y double",
+    )
+    rows = sorted(
+        tuple(r) for r in tracks.dwell_points(pts, radius=5.0).collect()
+    )
+    assert rows == [
+        ("a", 1, 2, 0.0, 0.0),
+        ("a", 2, 2, 7.0, 0.0),
+        ("b", 1, 1, 1.0, 1.0),
+    ]
+
+
+def test_dwell_points_single_exchange(spark, sdir):
+    from gdal_common_python_spark.operators import tracks
+
+    docs = spark.read.parquet(f"{sdir}/documents_spans.parquet")
+    pts = sj.geo_points(docs)
+    p = _fmt_plan(tracks.dwell_points(pts, radius=5.0))
+    shuffles = [ln for ln in p.splitlines() if "+- Exchange" in ln]
+    assert len(shuffles) == 1, shuffles
