@@ -1259,6 +1259,7 @@ def zone_keywords(
     dz = (
         spatial_join_points(spark, docs, zones, **join_kwargs)
         .select("doc_id", "zone_id")
+        .repartition("doc_id")
         .distinct()
         .persist()
     )
@@ -1268,8 +1269,14 @@ def zone_keywords(
         # prune un-geotagged docs before any text work; broadcast semi
         # join on slim doc_id keys only — no shuffle of span text
         src = docs.join(F.broadcast(spine), "doc_id", "leftsemi")
+    # hash the pruned DOC rows by doc_id once (the keywords_tfidf
+    # discipline: compressed span text crosses the wire once, exploded
+    # tokens never do) — hash(doc_id) then satisfies the (doc_id, token)
+    # aggregate, the dz join, and dz's own distinct above, collapsing
+    # three exchanges of exploded/derived rows into this one
     doc_tok = (
-        src.select("doc_id", F.explode("spans").alias("s"))
+        src.repartition("doc_id")
+        .select("doc_id", F.explode("spans").alias("s"))
         .where(F.col("s.kind") == "text")
         .where(F.length(F.trim(F.col("s.text"))) > 0)
         .select("doc_id", F.explode(tokens(F.col("s.text"))).alias("token"))
@@ -1341,9 +1348,14 @@ def zone_dedup_profile(
 
     from ..streaming.dedup import doc_fingerprint_expr
 
+    # explicit doc_id repartition: hash(doc_id) clusters every
+    # (doc_id, zone_id) group, so the distinct runs without its own
+    # compound-key exchange AND the doc_id join below reuses the same
+    # partitioning — one exchange where distinct-then-join cost two
     dz = (
         spatial_join_points(spark, docs, zones, **join_kwargs)
         .select("doc_id", "zone_id")
+        .repartition("doc_id")
         .distinct()
     )
     # corpus-wide group size as a count window over ONE fingerprint pass:
@@ -1477,13 +1489,21 @@ def route_zone_sequence(
     interleaved corpus.
 
     100 TB shape: the PIP join's shuffles, then everything stays in ONE
-    doc_id hash partition — per-point zone min, the lag compare, and the
-    dense re-rank are three window passes over the same partition spec, no
-    further shuffle. DuckDB mirror: identical windows + QUALIFY."""
+    doc_id hash partition: the explicit doc_id repartition satisfies BOTH
+    the (doc_id, offset) zone-min aggregate (hash(doc_id) clusters every
+    (doc_id, offset) group) and the per-doc window passes — one exchange
+    where groupBy-then-window cost two. The map-side combine the direct
+    groupBy would run only collapses the ~1.3x zone-overlap duplication,
+    cheaper to ship than a second full exchange + sort. DuckDB mirror:
+    identical windows + QUALIFY."""
     from pyspark.sql.window import Window
 
     pip = spatial_join_points(spark, docs, zones, **join_kwargs)
-    pz = pip.groupBy("doc_id", "offset").agg(F.min("zone_id").alias("zone_id"))
+    pz = (
+        pip.repartition("doc_id")
+        .groupBy("doc_id", "offset")
+        .agg(F.min("zone_id").alias("zone_id"))
+    )
     w = Window.partitionBy("doc_id").orderBy("offset")
     return (
         pz.withColumn("__prev", F.lag("zone_id").over(w))
