@@ -369,4 +369,10 @@ def resample(
         "average": kernel_average,
         "cubic": kernel_cubic,
     }[method]
-    return cand.groupBy("t_tx", "t_ty").applyInPandas(kfn, _SCHEMA)
+    # per-partition batching (halo-family discipline): one Python
+    # roundtrip per partition, not per target tile; _assemble writes
+    # disjoint patch regions per source tile, so candidate order cannot
+    # change the assembled patch or the taps computed from it
+    from .focal import grouped_tile_apply
+
+    return grouped_tile_apply(cand, kfn, _SCHEMA, keys=("t_tx", "t_ty"))

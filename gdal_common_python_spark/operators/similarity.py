@@ -363,6 +363,9 @@ def ivf_topk(
             }
         )
 
+    # NOT batched through grouped_tile_apply (unlike lsh_topk): the group
+    # count here is n_centroids x n_shards ~ 2x parallelism by derivation,
+    # so roundtrips are already partition-bounded — A/B measured a wash
     cand = sharded.groupBy("cluster_id", "shard").applyInPandas(rerank, cand_schema)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -610,7 +613,12 @@ def lsh_topk(
             {"vec_id": vec_col_out, "rank": rank_col.astype(np.int32), "neighbor_id": neigh}
         )
 
-    return v.groupBy("bucket").applyInPandas(rerank, schema)
+    # per-partition batching: one Python roundtrip per partition, not per
+    # bucket (2^n_planes buckets); rerank sorts by id internally, so the
+    # per-bucket results are order-independent
+    from .focal import grouped_tile_apply
+
+    return grouped_tile_apply(v, lambda _key, g: rerank(g), schema, keys=("bucket",))
 
 
 def quantize_int8(

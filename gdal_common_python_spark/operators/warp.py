@@ -199,7 +199,13 @@ def warp_raster(
             [dict(tile_x=t_tx, tile_y=t_ty, tile_w=tw, tile_h=th, pixels=out.ravel().tolist())]
         )
 
-    return cand.groupBy("t_tx", "t_ty").applyInPandas(kernel, _SCHEMA)
+    # per-partition batching (halo-family discipline): one Python
+    # roundtrip per partition, not per target tile; the kernel writes
+    # DISJOINT pixel regions per source tile (tiles partition the source
+    # grid), so candidate-row order cannot change the output
+    from .focal import grouped_tile_apply
+
+    return grouped_tile_apply(cand, kernel, _SCHEMA, keys=("t_tx", "t_ty"))
 
 
 def warp_average(
